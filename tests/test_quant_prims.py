@@ -1,0 +1,164 @@
+"""Golden tests for the integer quantization primitives.
+
+The ground truth is (a) exact Python big-integer arithmetic and (b) the
+reference semantics re-expressed with torch float64 ops (independent
+reimplementation of quant_utils.py:121-216 behavior, not a copy).
+"""
+import decimal
+from decimal import Decimal
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qasr_tpu.ops.quant_prims import (
+    Dyadic,
+    QTensor,
+    dyadic_from_scale,
+    dyadic_from_scale_host,
+    dyadic_requant,
+    quantize,
+    requant_clamp,
+    requantize,
+    symmetric_scale,
+)
+
+
+def _py_round_half_even_div(q: int, e: int) -> int:
+    """Exact round-half-even of q / 2**e using Python ints."""
+    sign = -1 if q < 0 else 1
+    q = abs(q)
+    floor, rem = divmod(q, 1 << e)
+    half = 1 << (e - 1)
+    if rem > half or (rem == half and (floor & 1)):
+        floor += 1
+    return sign * floor
+
+
+def test_dyadic_requant_exact_vs_python(rng):
+    for zmax, name in [(2**28 + 2**27, "accumulator"), (260, "activation")]:
+        z = rng.integers(-zmax, zmax + 1, size=20000).astype(np.int32)
+        m = rng.integers(2**30, 2**31, size=20000).astype(np.int32)
+        e = rng.integers(1, 70, size=20000).astype(np.int32)
+        got = np.asarray(dyadic_requant(jnp.asarray(z), Dyadic(jnp.asarray(m), jnp.asarray(e))))
+        for i in range(len(z)):
+            expect = _py_round_half_even_div(int(z[i]) * int(m[i]), int(e[i]))
+            if abs(expect) >= 2**30:
+                assert abs(got[i]) >= 2**30, (i, z[i], m[i], e[i], got[i], expect)
+            else:
+                assert got[i] == expect, (i, z[i], m[i], e[i], got[i], expect)
+
+
+def test_dyadic_requant_tie_cases():
+    # exact .5 boundaries: z*m = 3 * 2**(e-1) -> 1.5 -> 2 (even); 1*2**(e-1) -> 0.5 -> 0
+    m = jnp.asarray([2**30, 2**30, 2**30, 2**30], jnp.int32)
+    e = jnp.asarray([31, 31, 31, 31], jnp.int32)
+    z = jnp.asarray([3, 1, -3, -1], jnp.int32)  # z*m/2**e = 1.5, .5, -1.5, -.5
+    out = np.asarray(dyadic_requant(z, Dyadic(m, e)))
+    assert list(out) == [2, 0, -2, 0]
+
+
+def test_dyadic_from_scale_host_matches_reference_semantics():
+    torch = pytest.importorskip("torch")
+    scales = np.asarray([1.0, 0.5, 3.1415926, 1e-4, 7.3e-7, 123.456, 2.0 ** -20], np.float64)
+    d = dyadic_from_scale_host(scales)
+    m = np.asarray(d.m, np.int64)
+    e = np.asarray(d.e, np.int64)
+    # reference semantics: np.frexp + Decimal ROUND_HALF_UP at 31 bits
+    mf, ex = np.frexp(scales)
+    for i in range(len(scales)):
+        m_ref = int(Decimal(mf[i] * 2**31).quantize(Decimal("1"), rounding=decimal.ROUND_HALF_UP))
+        e_ref = 31 - ex[i]
+        if m_ref == 2**31:
+            m_ref, e_ref = m_ref >> 1, e_ref - 1
+        assert m[i] == m_ref and e[i] == e_ref
+        # value reproduced to ~2**-31 relative
+        assert abs(m[i] * 2.0 ** -float(e[i]) - scales[i]) <= scales[i] * 2.0 ** -30
+
+
+def test_requant_matches_torch_float64_emulation(rng):
+    """End-to-end: our integer requant vs the reference's float64 emulation."""
+    torch = pytest.importorskip("torch")
+    bits = 6
+    n = 2 ** (bits - 1) - 1
+    z = rng.integers(-(2**27), 2**27, size=100000).astype(np.int64)
+    pre_sf = np.float32(3.7e-5)
+    out_sf = np.float32(0.0931)
+    # --- reference-style float64 emulation (torch) ---
+    new_scale = np.float64(pre_sf) / np.float64(out_sf)
+    mf, ex = np.frexp(new_scale)
+    m_ref = int(Decimal(mf * 2**31).quantize(Decimal("1"), rounding=decimal.ROUND_HALF_UP))
+    e_ref = float(31 - ex)
+    t = torch.round(torch.from_numpy(z).double() * m_ref / (2.0 ** e_ref))
+    ref = torch.clamp(t, -n - 1, n).numpy()
+    # --- ours ---
+    d = dyadic_from_scale_host(np.asarray(new_scale))
+    got = requant_clamp(dyadic_requant(jnp.asarray(z, jnp.int32), d), bits)
+    mismatches = int(np.sum(np.asarray(got) != ref))
+    # identical except float64 tie-rounding flukes (expected ~0 of 1e5)
+    assert mismatches == 0, mismatches
+
+
+def test_quantize_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.normal(size=(64, 33)).astype(np.float32) * 0.2
+    for bits in (4, 6, 8):
+        n = 2 ** (bits - 1) - 1
+        sat = np.maximum(np.abs(x.min()), np.abs(x.max()))
+        scale = np.float32(max(sat, 1e-8) / n)
+        ref = torch.clamp(torch.round(torch.from_numpy(x) / scale), -n, n - 1).numpy()
+        got = np.asarray(quantize(jnp.asarray(x), jnp.float32(scale), bits))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_symmetric_scale_per_channel(rng):
+    x = rng.normal(size=(8, 16)).astype(np.float32)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    s = np.asarray(symmetric_scale(jnp.asarray(mn), jnp.asarray(mx), 8))
+    expect = np.maximum(np.abs(mn), np.abs(mx)).clip(min=1e-8) / 127.0
+    np.testing.assert_allclose(s, expect, rtol=3e-7)
+
+
+def test_dyadic_from_scale_ingraph_close_to_host():
+    scales = np.asarray([1.0, 0.5, 3.14159, 1e-4, 7.3e-7, 123.456], np.float32)
+    dg = dyadic_from_scale(jnp.asarray(scales))
+    m = np.asarray(dg.m, np.int64)
+    e = np.asarray(dg.e, np.int64)
+    vals = m * np.exp2(-e.astype(np.float64))
+    np.testing.assert_allclose(vals, scales.astype(np.float64), rtol=2**-23)
+    assert np.all(m >= 2**30) and np.all(m < 2**31)
+    # identity scale must be exact (first-QuantAct pass-through property)
+    assert m[0] == 2**30 and e[0] == 30
+
+
+def test_requantize_identity_scale_is_noop():
+    z = jnp.asarray(np.arange(-31, 32), jnp.int32)
+    x = QTensor(z, jnp.float32(0.017))
+    out = requantize(x, jnp.float32(0.017), 6)
+    np.testing.assert_array_equal(np.asarray(out.values), np.asarray(z))
+
+
+def test_requantize_with_identity_residual(rng):
+    torch = pytest.importorskip("torch")
+    bits = 8
+    n = 2 ** (bits - 1) - 1
+    z = rng.integers(-(2**26), 2**26, size=5000).astype(np.int64)
+    zi = rng.integers(-120, 120, size=5000).astype(np.int64)
+    sf_x, sf_i, sf_o = np.float32(5.1e-6), np.float32(0.071), np.float32(0.0652)
+    # torch float64 emulation of fixedpoint_mul with identity
+    def emul(zv, sf):
+        ns = np.float64(sf) / np.float64(sf_o)
+        mf, ex = np.frexp(ns)
+        m = int(Decimal(mf * 2**31).quantize(Decimal("1"), rounding=decimal.ROUND_HALF_UP))
+        return torch.round(torch.from_numpy(zv).double() * m / 2.0 ** float(31 - ex))
+    ref = torch.clamp(emul(z, sf_x) + emul(zi, sf_i), -n - 1, n).numpy()
+    got = requantize(
+        QTensor(jnp.asarray(z, jnp.int32), jnp.asarray(sf_x)),
+        jnp.asarray(sf_o),
+        bits,
+        dyadic=dyadic_from_scale_host(np.float64(sf_x) / np.float64(sf_o)),
+        identity=QTensor(jnp.asarray(zi, jnp.int32), jnp.asarray(sf_i)),
+        identity_dyadic=dyadic_from_scale_host(np.float64(sf_i) / np.float64(sf_o)),
+    )
+    np.testing.assert_array_equal(np.asarray(got.values), ref)
