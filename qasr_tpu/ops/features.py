@@ -1,0 +1,260 @@
+"""Log-mel spectrogram frontend (TPU-native).
+
+Functional equivalent of the reference FilterbankFeatures
+(`/root/reference/nemo/collections/asr/parts/features.py:192-397`):
+dither -> preemphasis 0.97 -> STFT (hann 320/160, n_fft 512, center/reflect)
+-> |.|**2 -> mel(64, slaney) -> log(x + 2**-24) -> per-feature normalization
+over valid frames -> zero-mask the padded tail -> pad T to a multiple of 16.
+
+TPU-first choices:
+  * channels-last output (B, T, n_mels) — lanes on the feature axis;
+  * static shapes: frame count is derived from the (static) padded sample
+    length; true lengths are threaded as a (B,) vector and used via masks;
+  * the whole frontend is jit-compatible and differentiable-free (inference);
+  * an optional matmul-DFT path keeps the STFT on the MXU (see stft_matmul).
+
+The mel filterbank follows librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax)
+with htk=False, norm='slaney' (what the reference calls at features.py:281-283)
+implemented from the published Slaney formula — librosa is not a dependency.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+LOG_GUARD = 2.0 ** -24
+STD_GUARD = 1e-5  # reference CONSTANT (features.py:50,66)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (Slaney scale + Slaney area normalization)
+# ---------------------------------------------------------------------------
+
+
+def hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    safe = np.maximum(f, 1e-10)
+    return np.where(f >= min_log_hz, min_log_mel + np.log(safe / min_log_hz) / logstep, mels)
+
+
+def mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+def mel_filterbank(
+    sample_rate: int = 16000,
+    n_fft: int = 512,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+) -> np.ndarray:
+    """(n_freqs, n_mels) triangular slaney-normalized filterbank (transposed
+    relative to librosa so the mel projection is a channels-last matmul)."""
+    fmax = fmax or sample_rate / 2.0
+    n_freqs = 1 + n_fft // 2
+    fftfreqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
+    hz_pts = mel_to_hz_slaney(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
+    weights *= enorm[:, None]
+    return weights.T.astype(np.float32)  # (n_freqs, n_mels)
+
+
+# ---------------------------------------------------------------------------
+# STFT
+# ---------------------------------------------------------------------------
+
+
+def hann_window(win_length: int, n_fft: int) -> np.ndarray:
+    """torch.hann_window(win_length, periodic=False), zero-padded centered to
+    n_fft (torch.stft pads a short window this way)."""
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (win_length - 1))
+    pad_l = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float32)
+    out[pad_l : pad_l + win_length] = w.astype(np.float32)
+    return out
+
+
+def frame_signal(x: Array, n_fft: int, hop: int, center: bool) -> Array:
+    """(B, L) -> (B, n_frames, n_fft) frames, torch.stft-compatible."""
+    if center:
+        x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    n_frames = 1 + (x.shape[1] - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return x[:, idx]
+
+
+def stft_power(x: Array, window: Array, n_fft: int, hop: int, center: bool = True) -> Array:
+    """|STFT|^2 -> (B, n_frames, n_fft//2 + 1). FFT path (exact)."""
+    frames = frame_signal(x, n_fft, hop, center) * window
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+def dft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    n_freqs = 1 + n_fft // 2
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def stft_power_matmul(x: Array, window: Array, cos_m: Array, sin_m: Array,
+                      n_fft: int, hop: int, center: bool = True) -> Array:
+    """|STFT|^2 via two real matmuls — rides the MXU instead of the FFT op.
+
+    Useful fused with the mel projection; numerically ~1e-5 of the FFT path.
+    """
+    frames = frame_signal(x, n_fft, hop, center) * window
+    re = frames @ cos_m
+    im = frames @ sin_m
+    return re * re + im * im
+
+
+# ---------------------------------------------------------------------------
+# Full frontend
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Mirrors AudioToMelSpectrogramPreprocessor's YAML schema
+    (reference modules/audio_preprocessing.py:90-254, conf/quartznet_15x5.yaml:29-40)."""
+
+    sample_rate: int = 16000
+    window_size: float = 0.02     # seconds -> 320 samples
+    window_stride: float = 0.01   # seconds -> 160 samples
+    window: str = "hann"
+    normalize: str = "per_feature"
+    n_fft: int = 512
+    preemph: float = 0.97
+    features: int = 64            # n_mels
+    lowfreq: float = 0.0
+    highfreq: Optional[float] = None
+    log: bool = True
+    log_zero_guard_type: str = "add"
+    log_zero_guard_value: float = LOG_GUARD
+    dither: float = 1e-5
+    pad_to: int = 16
+    pad_value: float = 0.0
+    mag_power: float = 2.0
+    frame_splicing: int = 1
+    stft_matmul: bool = False     # MXU DFT path instead of jnp.fft
+
+    @property
+    def win_length(self) -> int:
+        return int(self.window_size * self.sample_rate)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.window_stride * self.sample_rate)
+
+
+class MelFrontend:
+    """Precomputes constants; __call__ is pure and jit-friendly.
+
+    Reference call stack: AudioToMelSpectrogramPreprocessor.forward ->
+    FilterbankFeatures.forward (features.py:334-397).
+    """
+
+    def __init__(self, cfg: FeatureConfig):
+        if cfg.window != "hann":
+            raise NotImplementedError("only hann window is supported")
+        self.cfg = cfg
+        self.window = jnp.asarray(hann_window(cfg.win_length, cfg.n_fft))
+        self.fb = jnp.asarray(mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.features, cfg.lowfreq, cfg.highfreq))
+        if cfg.stft_matmul:
+            cos_m, sin_m = dft_matrices(cfg.n_fft)
+            self.cos_m, self.sin_m = jnp.asarray(cos_m), jnp.asarray(sin_m)
+
+    def out_length(self, lengths: Array) -> Array:
+        # ceil(len / hop)  (features.py:327-328)
+        return jnp.ceil(lengths.astype(jnp.float32) / self.cfg.hop_length).astype(jnp.int32)
+
+    def __call__(self, x: Array, lengths: Array, *, rng: Optional[Array] = None,
+                 dither: Optional[float] = None) -> Tuple[Array, Array]:
+        """x: (B, L) float32 audio; lengths: (B,) int samples.
+
+        Returns (features (B, T, n_mels), feat_lengths (B,)) with T padded to
+        a multiple of cfg.pad_to and frames >= length zero-filled.
+        """
+        cfg = self.cfg
+        seq_len = self.out_length(lengths)
+        d = cfg.dither if dither is None else dither
+        if d > 0 and rng is not None:
+            x = x + d * jax.random.normal(rng, x.shape, x.dtype)
+        if cfg.preemph is not None and cfg.preemph > 0:
+            x = jnp.concatenate([x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]], axis=1)
+        if cfg.stft_matmul:
+            p = stft_power_matmul(x, self.window, self.cos_m, self.sin_m,
+                                  cfg.n_fft, cfg.hop_length)
+        else:
+            p = stft_power(x, self.window, cfg.n_fft, cfg.hop_length)
+        if cfg.mag_power != 2.0:
+            p = jnp.power(jnp.sqrt(p), cfg.mag_power)
+        mel = p @ self.fb  # (B, T, n_mels) — channels-last from the start
+        if cfg.log:
+            if cfg.log_zero_guard_type == "add":
+                mel = jnp.log(mel + cfg.log_zero_guard_value)
+            else:
+                mel = jnp.log(jnp.clip(mel, min=cfg.log_zero_guard_value))
+
+        t = mel.shape[1]
+        mask = (jnp.arange(t)[None, :] < seq_len[:, None])  # (B, T)
+        if cfg.normalize == "per_feature":
+            mel = _normalize_per_feature(mel, mask, seq_len)
+        elif cfg.normalize == "all_features":
+            mel = _normalize_all_features(mel, mask, seq_len)
+        elif cfg.normalize:
+            raise NotImplementedError(cfg.normalize)
+
+        mel = jnp.where(mask[:, :, None], mel, cfg.pad_value)
+        if cfg.pad_to == "max":
+            raise NotImplementedError("pad_to='max' — use static bucketing instead")
+        if cfg.pad_to and t % cfg.pad_to:
+            mel = jnp.pad(mel, ((0, 0), (0, cfg.pad_to - t % cfg.pad_to), (0, 0)),
+                          constant_values=cfg.pad_value)
+        return mel, seq_len
+
+
+def _normalize_per_feature(x: Array, mask: Array, seq_len: Array) -> Array:
+    """(x - mean)/(std + 1e-5) per (sample, feature) over valid frames;
+    std uses Bessel's correction like torch.std (features.py:53-67)."""
+    m = mask[:, :, None].astype(x.dtype)
+    cnt = seq_len.astype(x.dtype)[:, None, None]
+    mean = jnp.sum(x * m, axis=1, keepdims=True) / cnt
+    var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / (cnt - 1.0)
+    return (x - mean) / (jnp.sqrt(var) + STD_GUARD)
+
+
+def _normalize_all_features(x: Array, mask: Array, seq_len: Array) -> Array:
+    m = mask[:, :, None].astype(x.dtype)
+    cnt = (seq_len.astype(x.dtype) * x.shape[2])[:, None, None]
+    mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / cnt
+    var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 2), keepdims=True) / (cnt - 1.0)
+    return (x - mean) / (jnp.sqrt(var) + STD_GUARD)

@@ -1,0 +1,120 @@
+"""Mel frontend parity tests vs torch.stft-based reference semantics.
+
+Modeled on the reference's own numerics test style
+(tests/collections/asr/test_asr_modules.py:25-66: mean tol 1e-3, max 1e-2),
+but tighter where we can be.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qasr_tpu.ops.features import (
+    FeatureConfig,
+    MelFrontend,
+    dft_matrices,
+    frame_signal,
+    hann_window,
+    mel_filterbank,
+    stft_power,
+    stft_power_matmul,
+)
+
+
+def _torch_reference_mel(x, lengths, cfg):
+    """Independent torch implementation of FilterbankFeatures.forward
+    semantics (features.py:334-397) with dither=0, using our own mel matrix
+    (librosa itself is unavailable; the matrix is covered by property tests)."""
+    import torch
+
+    x = torch.from_numpy(x)
+    seq_len = torch.ceil(torch.as_tensor(lengths).float() / cfg.hop_length).long()
+    x = torch.cat((x[:, :1], x[:, 1:] - cfg.preemph * x[:, :-1]), dim=1)
+    window = torch.from_numpy(hann_window(cfg.win_length, cfg.n_fft))
+    spec = torch.stft(
+        x, n_fft=cfg.n_fft, hop_length=cfg.hop_length, win_length=cfg.n_fft,
+        center=True, window=window, return_complex=True,
+    )
+    p = spec.abs() ** 2  # (B, F, T)
+    fb = torch.from_numpy(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.features))
+    mel = torch.matmul(fb.T, p)  # (B, n_mels, T)
+    mel = torch.log(mel + cfg.log_zero_guard_value)
+    out = torch.zeros_like(mel)
+    for i in range(mel.shape[0]):
+        sl = int(seq_len[i])
+        m = mel[i, :, :sl].mean(dim=1, keepdim=True)
+        s = mel[i, :, :sl].std(dim=1, keepdim=True) + 1e-5
+        out[i] = (mel[i] - m) / s
+        out[i, :, sl:] = 0.0
+    t = out.shape[-1]
+    if t % cfg.pad_to:
+        out = torch.nn.functional.pad(out, (0, cfg.pad_to - t % cfg.pad_to))
+    return out.numpy(), seq_len.numpy()
+
+
+def test_stft_power_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.normal(size=(3, 4000)).astype(np.float32)
+    window = hann_window(320, 512)
+    got = np.asarray(stft_power(jnp.asarray(x), jnp.asarray(window), 512, 160))
+    spec = torch.stft(torch.from_numpy(x), n_fft=512, hop_length=160, win_length=512,
+                      center=True, window=torch.from_numpy(window), return_complex=True)
+    ref = (spec.abs() ** 2).numpy().transpose(0, 2, 1)  # torch (B,F,T) -> (B,T,F)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_stft_matmul_close_to_fft(rng):
+    x = rng.normal(size=(2, 2000)).astype(np.float32)
+    window = jnp.asarray(hann_window(320, 512))
+    cos_m, sin_m = dft_matrices(512)
+    a = np.asarray(stft_power(jnp.asarray(x), window, 512, 160))
+    b = np.asarray(stft_power_matmul(jnp.asarray(x), window, jnp.asarray(cos_m),
+                                     jnp.asarray(sin_m), 512, 160))
+    # f32 matmul accumulation over 512 taps: bounded relative to spectrum peak
+    assert np.abs(a - b).max() < 5e-3 * a.max()
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 512, 64)  # (257, 64)
+    assert fb.shape == (257, 64)
+    assert np.all(fb >= 0)
+    # each filter is a triangle: single contiguous support
+    for j in range(64):
+        nz = np.nonzero(fb[:, j])[0]
+        assert len(nz) > 0
+        assert np.all(np.diff(nz) == 1)
+    # slaney normalization: peak ~ 2/bandwidth, decreasing with frequency
+    peaks = fb.max(axis=0)
+    assert peaks[0] > peaks[-1]
+    # filters tile the [0, 8000] Hz band: every interior freq bin is covered
+    coverage = fb.sum(axis=1)
+    assert np.all(coverage[3:-1] > 0)
+
+
+def test_frontend_matches_torch_reference(rng):
+    pytest.importorskip("torch")
+    cfg = FeatureConfig(dither=0.0)
+    fe = MelFrontend(cfg)
+    lengths = np.asarray([16000, 12345, 8000], np.int32)
+    x = (rng.normal(size=(3, 16000)) * 0.1).astype(np.float32)
+    for i, l in enumerate(lengths):
+        x[i, l:] = 0.0
+    got, got_len = fe(jnp.asarray(x), jnp.asarray(lengths))
+    ref, ref_len = _torch_reference_mel(x, lengths, cfg)
+    ref = ref.transpose(0, 2, 1)  # (B, C, T) -> (B, T, C)
+    np.testing.assert_array_equal(np.asarray(got_len), ref_len)
+    assert got.shape == ref.shape
+    diff = np.abs(np.asarray(got) - ref)
+    assert diff.mean() < 1e-3, diff.mean()
+    assert diff.max() < 1e-2, diff.max()
+    # padded region exactly zero, T a multiple of 16
+    assert got.shape[1] % 16 == 0
+    assert np.all(np.asarray(got)[2, int(got_len[2]):, :] == 0)
+
+
+def test_frontend_length_semantics():
+    cfg = FeatureConfig(dither=0.0)
+    fe = MelFrontend(cfg)
+    x = jnp.zeros((2, 3200), jnp.float32)
+    _, sl = fe(x, jnp.asarray([3200, 161], jnp.int32))
+    assert list(np.asarray(sl)) == [20, 2]  # ceil(len/160)
