@@ -1,0 +1,177 @@
+""".nemo checkpoint interop.
+
+The reference persists models as ".nemo" = tar.gz{model_config.yaml,
+model_weights.ckpt(torch state_dict), artifacts} (modelPT.py:254-296) and
+restores by unpacking + hydra re-instantiation + load_state_dict
+(modelPT.py:343-407).  This module maps that format to/from our parameter
+pytrees so NGC-pretrained QuartzNet/Jasper checkpoints load directly.
+
+torch is used only here (CPU, dev-side); the rest of the framework never
+imports it.
+
+State-dict key layout being decoded (NeMo 1.0.0b module tree):
+  encoder.encoder.{block}.mconv.{i}.conv.weight          MaskedConv1d->Conv1d
+  encoder.encoder.{block}.mconv.{i}.{weight,bias,running_mean,running_var}
+                                                         BatchNorm1d entries
+  encoder.encoder.{block}.res.{pane}.{0,1}....           residual conv + BN
+  decoder.decoder_layers.0.{weight,bias}                 1x1 decoder conv
+mconv indices advance by [conv(+conv) , bn, act, dropout] per repeat
+(jasper.py:349-396: separable repeats occupy 5 slots, plain 4; the final
+repeat omits act+dropout).
+"""
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+import tempfile
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from qasr_tpu.models.config import ModelConfig
+from qasr_tpu.models.jasper import EncoderPlan, build_encoder_plan
+
+
+def block_slot_map(bp) -> Dict[int, Tuple[int, int]]:
+    """conv-spec index -> (mconv index of conv, mconv index of bn or -1)."""
+    mapping: Dict[int, Tuple[int, int]] = {}
+    idx = 0
+    ci = 0
+    n = len(bp.convs)
+    while ci < n:
+        spec = bp.convs[ci]
+        if not spec.has_bn and ci + 1 < n and bp.convs[ci + 1].kernel == 1 \
+                and bp.convs[ci + 1].has_bn and spec.groups == spec.in_ch:
+            # separable pair: dw at idx, pw at idx+1, bn at idx+2
+            mapping[ci] = (idx, -1)
+            mapping[ci + 1] = (idx + 1, idx + 2)
+            idx += 3 + (0 if ci + 1 == n - 1 else 2)  # +act,dropout unless final
+            ci += 2
+        else:
+            mapping[ci] = (idx, idx + 1)
+            idx += 2 + (0 if ci == n - 1 else 2)
+            ci += 1
+    return mapping
+
+
+def _to_np(t):
+    return np.asarray(t.detach().cpu().numpy(), np.float32)
+
+
+def params_from_state_dict(plan: EncoderPlan, sd: Dict[str, Any]) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    def conv_w(key):
+        w = _to_np(sd[key])  # torch (Cout, Cin/g, K)
+        return jnp.asarray(w.transpose(2, 1, 0))  # -> (K, Cin/g, Cout)
+
+    def bn(prefix):
+        return {
+            "gamma": jnp.asarray(_to_np(sd[prefix + ".weight"])),
+            "beta": jnp.asarray(_to_np(sd[prefix + ".bias"])),
+            "mean": jnp.asarray(_to_np(sd[prefix + ".running_mean"])),
+            "var": jnp.asarray(_to_np(sd[prefix + ".running_var"])),
+        }
+
+    blocks = []
+    for bp in plan.blocks:
+        slots = block_slot_map(bp)
+        convs = []
+        for ci, spec in enumerate(bp.convs):
+            mi, bni = slots[ci]
+            base = f"encoder.encoder.{bp.index}.mconv.{mi}"
+            p = {"w": conv_w(base + ".conv.weight")}
+            if base + ".conv.bias" in sd:
+                p["b"] = jnp.asarray(_to_np(sd[base + ".conv.bias"]))
+            if spec.has_bn:
+                p["bn"] = bn(f"encoder.encoder.{bp.index}.mconv.{bni}")
+            convs.append(p)
+        res = []
+        for pi, spec in enumerate(bp.res):
+            base = f"encoder.encoder.{bp.index}.res.{pi}"
+            p = {"w": conv_w(base + ".0.conv.weight"),
+                 "bn": bn(base + ".1")}
+            res.append(p)
+        blocks.append({"convs": convs, "res": res})
+
+    dec_w = _to_np(sd["decoder.decoder_layers.0.weight"])  # (V+1, C, 1)
+    decoder = {
+        "w": jnp.asarray(dec_w.transpose(2, 1, 0)),
+        "b": jnp.asarray(_to_np(sd["decoder.decoder_layers.0.bias"])),
+    }
+    return {"encoder": {"blocks": blocks}, "decoder": decoder}
+
+
+def state_dict_from_params(plan: EncoderPlan, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse mapping (for .nemo export interop)."""
+    import torch
+
+    sd: Dict[str, Any] = {}
+
+    def put_conv(key, w):
+        sd[key] = torch.from_numpy(np.asarray(w).transpose(2, 1, 0).copy())
+
+    def put_bn(prefix, bnp):
+        sd[prefix + ".weight"] = torch.from_numpy(np.asarray(bnp["gamma"]).copy())
+        sd[prefix + ".bias"] = torch.from_numpy(np.asarray(bnp["beta"]).copy())
+        sd[prefix + ".running_mean"] = torch.from_numpy(np.asarray(bnp["mean"]).copy())
+        sd[prefix + ".running_var"] = torch.from_numpy(np.asarray(bnp["var"]).copy())
+        sd[prefix + ".num_batches_tracked"] = torch.zeros((), dtype=torch.long)
+
+    for bp, bparams in zip(plan.blocks, params["encoder"]["blocks"]):
+        slots = block_slot_map(bp)
+        for ci, spec in enumerate(bp.convs):
+            mi, bni = slots[ci]
+            base = f"encoder.encoder.{bp.index}.mconv.{mi}"
+            put_conv(base + ".conv.weight", bparams["convs"][ci]["w"])
+            if "b" in bparams["convs"][ci]:
+                sd[base + ".conv.bias"] = torch.from_numpy(
+                    np.asarray(bparams["convs"][ci]["b"]).copy())
+            if spec.has_bn and "bn" in bparams["convs"][ci]:
+                put_bn(f"encoder.encoder.{bp.index}.mconv.{bni}",
+                       bparams["convs"][ci]["bn"])
+        for pi in range(len(bp.res)):
+            base = f"encoder.encoder.{bp.index}.res.{pi}"
+            put_conv(base + ".0.conv.weight", bparams["res"][pi]["w"])
+            if "bn" in bparams["res"][pi]:
+                put_bn(base + ".1", bparams["res"][pi]["bn"])
+
+    put_conv("decoder.decoder_layers.0.weight", params["decoder"]["w"])
+    sd["decoder.decoder_layers.0.bias"] = torch.from_numpy(
+        np.asarray(params["decoder"]["b"]).copy())
+    return sd
+
+
+def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any]]:
+    """Unpack .nemo (tar.gz), parse model_config.yaml, map the state dict."""
+    import torch
+    import yaml
+
+    with tempfile.TemporaryDirectory() as td:
+        with tarfile.open(path, "r:*") as tar:
+            tar.extractall(td)  # noqa: S202 - trusted local artifact
+        cfg_path = os.path.join(td, "model_config.yaml")
+        weights = os.path.join(td, "model_weights.ckpt")
+        with open(cfg_path) as f:
+            raw = yaml.safe_load(f)
+        cfg = ModelConfig.from_dict(raw)
+        sd = torch.load(weights, map_location="cpu", weights_only=False)
+    plan = build_encoder_plan(cfg.encoder)
+    return cfg, params_from_state_dict(plan, sd)
+
+
+def save_nemo(path: str, cfg_dict: Dict[str, Any], plan: EncoderPlan,
+              params: Dict[str, Any]) -> None:
+    """Write a reference-compatible .nemo (modelPT.py:254-296 layout)."""
+    import torch
+    import yaml
+
+    sd = state_dict_from_params(plan, params)
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "model_config.yaml"), "w") as f:
+            yaml.safe_dump(cfg_dict, f)
+        torch.save(sd, os.path.join(td, "model_weights.ckpt"))
+        with tarfile.open(path, "w:gz") as tar:
+            tar.add(os.path.join(td, "model_config.yaml"), arcname="model_config.yaml")
+            tar.add(os.path.join(td, "model_weights.ckpt"), arcname="model_weights.ckpt")

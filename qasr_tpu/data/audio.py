@@ -1,0 +1,89 @@
+"""Audio I/O (host side).
+
+Equivalent of the reference AudioSegment (parts/segment.py:43-223) minus the
+soundfile/librosa dependencies: WAV via stdlib `wave`, resampling via
+scipy.signal.resample_poly, int->float normalization by 2**(bits-1).
+FLAC/OGG decode is not available in this image; dataset prep converts to WAV
+(the reference's own LibriSpeech script shells out to sox for the same
+reason, scripts/get_librispeech_data.py:33).
+"""
+from __future__ import annotations
+
+import math
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Returns (float32 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width} in {path}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return x
+    from scipy.signal import resample_poly
+
+    g = math.gcd(orig_sr, target_sr)
+    return resample_poly(x, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def trim_silence(x: np.ndarray, top_db: float = 60.0, frame: int = 2048,
+                 hop: int = 512) -> np.ndarray:
+    """librosa.effects.trim-style energy trim (segment.py:118 trim=True)."""
+    if len(x) < frame:
+        return x
+    n = 1 + (len(x) - frame) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    rms = np.sqrt(np.mean(x[idx] ** 2, axis=1))
+    ref = rms.max()
+    if ref <= 0:
+        return x
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10) / ref)
+    keep = np.nonzero(db > -top_db)[0]
+    if len(keep) == 0:
+        return x
+    start = keep[0] * hop
+    end = min(len(x), keep[-1] * hop + frame)
+    return x[start:end]
+
+
+def read_audio(path: str, target_sr: int = 16000, offset: float = 0.0,
+               duration: Optional[float] = None, trim: bool = False) -> np.ndarray:
+    """AudioSegment.from_file equivalent (segment.py:112-155)."""
+    x, sr = read_wav(path)
+    if offset:
+        x = x[int(offset * sr):]
+    if duration:
+        x = x[: int(duration * sr)]
+    x = resample(x, sr, target_sr)
+    if trim:
+        x = trim_silence(x)
+    return x
+
+
+def write_wav(path: str, x: np.ndarray, sr: int = 16000) -> None:
+    x16 = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x16.tobytes())

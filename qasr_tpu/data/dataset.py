@@ -1,0 +1,164 @@
+"""Manifest-driven char dataset + XLA-friendly batching.
+
+Equivalent of the reference data layer:
+  - JSON-lines manifest parsing      <- parts/manifest.py:34-120
+  - ASRAudioText duration filtering  <- parts/collections.py:90-203
+  - AudioToCharDataset + collate     <- data/audio_to_text.py:41-291
+plus a TPU-specific addition: *bucketed* padding (lengths rounded up to a
+bucket grid) so jit recompiles a handful of shapes instead of one per batch.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qasr_tpu.data.audio import read_audio
+from qasr_tpu.data.parsers import CharParser, make_parser
+
+
+@dataclass
+class ManifestEntry:
+    audio_file: str
+    duration: float
+    text: str
+    offset: float = 0.0
+    speaker: Optional[int] = None
+
+
+def read_manifest(path: str) -> List[ManifestEntry]:
+    """JSON-lines manifest (manifest.py:34-120 key aliases honored)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            audio = d.get("audio_filepath") or d.get("audio_file")
+            text = d.get("text")
+            if text is None and "text_filepath" in d:
+                with open(d["text_filepath"]) as tf:
+                    text = tf.read().strip()
+            out.append(ManifestEntry(
+                audio_file=audio,
+                duration=float(d.get("duration", 0.0)),
+                text=text or "",
+                offset=float(d.get("offset", 0.0) or 0.0),
+                speaker=d.get("speaker"),
+            ))
+    return out
+
+
+class AudioToCharDataset:
+    """Loads (audio, transcript-token) pairs from a manifest
+    (audio_to_text.py:41-198 semantics: duration filters, char parser)."""
+
+    def __init__(
+        self,
+        manifest_filepath: str,
+        labels: Sequence[str],
+        sample_rate: int = 16000,
+        max_duration: Optional[float] = None,
+        min_duration: Optional[float] = None,
+        max_utts: int = 0,
+        trim: bool = False,
+        normalize_transcripts: bool = True,
+        parser: str = "en",
+    ):
+        self.labels = list(labels)
+        self.sample_rate = sample_rate
+        self.trim = trim
+        self.parser = make_parser(self.labels, parser,
+                                  do_normalize=normalize_transcripts)
+        entries = []
+        for p in manifest_filepath.split(","):
+            entries.extend(read_manifest(p))
+        kept = []
+        for e in entries:
+            if max_duration and e.duration > max_duration:
+                continue
+            if min_duration and e.duration < min_duration:
+                continue
+            tokens = self.parser(e.text)
+            if tokens is None:
+                continue
+            kept.append((e, tokens))
+            if max_utts and len(kept) >= max_utts:
+                break
+        self.items = kept
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, i: int):
+        e, tokens = self.items[i]
+        sig = read_audio(e.audio_file, self.sample_rate, offset=e.offset,
+                         duration=e.duration or None, trim=self.trim)
+        return sig, np.asarray(tokens, np.int32)
+
+
+BUCKET_QUANTUM = 16000  # 1 s of 16 kHz audio -> ~100 frames per bucket step
+
+
+def bucket_pad(signals: Sequence[np.ndarray], quantum: int = BUCKET_QUANTUM
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a list of 1-D signals to a common bucketed length.
+
+    Replaces _speech_collate_fn's pad-to-batch-max (audio_to_text.py:201-240)
+    with pad-to-bucket so XLA sees a small, fixed set of shapes.
+    """
+    lens = np.asarray([len(s) for s in signals], np.int32)
+    t = int(max(1, -(-int(lens.max()) // quantum)) * quantum)
+    out = np.zeros((len(signals), t), np.float32)
+    for i, s in enumerate(signals):
+        out[i, : len(s)] = s
+    return out, lens
+
+
+def collate_batch(batch, quantum: int = BUCKET_QUANTUM):
+    """-> (audio (B,T), audio_lens, tokens (B,L), token_lens)."""
+    sigs, toks = zip(*batch)
+    audio, alens = bucket_pad(sigs, quantum)
+    tl = np.asarray([len(t) for t in toks], np.int32)
+    lmax = int(max(1, -(-int(tl.max()) // 16)) * 16)
+    tokens = np.zeros((len(toks), lmax), np.int32)
+    for i, t in enumerate(toks):
+        tokens[i, : len(t)] = t
+    return audio, alens, tokens, tl
+
+
+class DataLoader:
+    """Minimal host-side loader: batching + optional shard slicing for data
+    parallelism (the tarred-dataset 'scatter' strategy's role,
+    audio_to_text.py:748-781, done here by index striding)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False,
+                 shard_id: int = 0, num_shards: int = 1,
+                 quantum: int = BUCKET_QUANTUM):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.quantum = quantum
+
+    def __len__(self) -> int:
+        n = len(range(self.shard_id, len(self.ds), self.num_shards))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        idx = list(range(self.shard_id, len(self.ds), self.num_shards))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed)
+            rng.shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield collate_batch([self.ds[j] for j in chunk], self.quantum)

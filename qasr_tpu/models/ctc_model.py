@@ -1,0 +1,261 @@
+"""EncDecCTCModel: the composed ASR model (TPU-native).
+
+Functional analogue of the reference EncDecCTCModel
+(`/root/reference/nemo/collections/asr/models/ctc_models.py`):
+preprocessor -> (spec augment, train only) -> encoder -> decoder -> greedy
+argmax (ctc_models.py:383-406), plus the Q-ASR quantization workflow:
+set_quant_bit/set_quant_mode (ctc_models.py:141-147), BN folding
+(inference.py:117), calibration (inference.py:121-130), static/dynamic
+integer evaluation (inference.py:133-157).
+
+State is explicit: `params` (float pytree), `qstate` (activation ranges),
+`qcfg` (bits/mode/percentile/dynamic).  Heavy paths are jitted once per
+input shape; use bucketed batches (data/dataset.py) to bound recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qasr_tpu.decode.ctc import WER, ctc_collapse, greedy_predictions
+from qasr_tpu.models.config import (
+    ModelConfig,
+    PRESETS,
+    QuantConfig,
+    preprocessor_config_from_dict,
+)
+from qasr_tpu.models.jasper import (
+    EncoderPlan,
+    FloatExec,
+    QuantExec,
+    build_encoder_plan,
+    decoder_forward_float,
+    decoder_forward_quant,
+    encoder_forward,
+    fold_bn_encoder,
+    init_decoder_params,
+    init_encoder_params,
+    init_qstate,
+)
+from qasr_tpu.ops.features import FeatureConfig, MelFrontend
+from qasr_tpu.ops.quant_prims import QTensor
+from qasr_tpu.quantize.freeze import FrozenExec, freeze_model
+
+
+@dataclass
+class ASRModel:
+    cfg: ModelConfig
+    plan: EncoderPlan
+    frontend: MelFrontend
+    params: Dict[str, Any]          # {'encoder': ..., 'decoder': ...}
+    qstate: Dict[str, Any]
+    qcfg: QuantConfig
+    folded: bool = False
+    _jit_cache: Dict[Any, Any] = dataclasses.field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, seed: int = 0) -> "ASRModel":
+        plan = build_encoder_plan(cfg.encoder)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        params = {
+            "encoder": init_encoder_params(k1, plan),
+            "decoder": init_decoder_params(k2, cfg.decoder),
+        }
+        fcfg = preprocessor_config_from_dict(cfg.preprocessor)
+        return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg), params=params,
+                   qstate=init_qstate(plan), qcfg=QuantConfig())
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, seed: int = 0) -> "ASRModel":
+        """Preset name (model cards, ctc_models.py:47-89) or a local .nemo."""
+        if name_or_path.endswith(".nemo"):
+            from qasr_tpu.compat.nemo_loader import load_nemo
+            cfg, params = load_nemo(name_or_path)
+            plan = build_encoder_plan(cfg.encoder)
+            fcfg = preprocessor_config_from_dict(cfg.preprocessor)
+            return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg),
+                       params=params, qstate=init_qstate(plan), qcfg=QuantConfig())
+        if name_or_path in PRESETS:
+            return cls.from_config(PRESETS[name_or_path](), seed=seed)
+        raise ValueError(f"unknown model: {name_or_path}")
+
+    @property
+    def vocabulary(self) -> Sequence[str]:
+        return self.cfg.decoder.vocabulary
+
+    @property
+    def blank_id(self) -> int:
+        return len(self.vocabulary)
+
+    # ------------------------------------------------------------------
+    # Q-ASR workflow knobs (ctc_models.py:141-147, quantize_model.py:5-41)
+    # ------------------------------------------------------------------
+
+    def set_quant_bit(self, bit: int, mode: str = "all") -> None:
+        assert mode in ("all", "weight", "act")
+        kw = {}
+        if mode in ("all", "weight"):
+            kw["weight_bit"] = bit
+        if mode in ("all", "act"):
+            kw["act_bit"] = bit
+        self.qcfg = replace(self.qcfg, **kw)
+        self._jit_cache.clear()
+
+    def set_quant_mode(self, mode: str) -> None:
+        self.qcfg = replace(self.qcfg, mode=mode)
+        self._jit_cache.clear()
+
+    def set_percentile(self, percentile: Optional[float]) -> None:
+        self.qcfg = replace(self.qcfg, percentile=percentile)
+        self._jit_cache.clear()
+
+    def set_dynamic(self, dynamic: bool) -> None:
+        self.qcfg = replace(self.qcfg, dynamic=dynamic)
+        self._jit_cache.clear()
+
+    def bn_folding(self) -> None:
+        if not self.folded:
+            self.params = dict(self.params,
+                               encoder=fold_bn_encoder(self.params["encoder"]))
+            self.folded = True
+            self._jit_cache.clear()
+
+    # ------------------------------------------------------------------
+    # forward paths
+    # ------------------------------------------------------------------
+
+    def _encode_decode_fp32(self, enc_params, dec_params, feats, feat_lens):
+        ex = FloatExec(enc_params, activation=self.plan.activation)
+        enc, enc_lens = encoder_forward(ex, self.plan, feats, feat_lens)
+        log_probs = decoder_forward_float(dec_params, enc)
+        return log_probs, enc_lens
+
+    def _encode_decode_quant(self, enc_params, dec_params, qstate, feats, feat_lens,
+                             update_ranges: bool):
+        ex = QuantExec(enc_params, qstate, self.qcfg,
+                       activation=self.plan.activation, update_ranges=update_ranges)
+        enc, enc_lens = encoder_forward(ex, self.plan, feats, feat_lens)
+        log_probs = decoder_forward_quant(ex, dec_params, enc)
+        return log_probs, enc_lens, ex.new_qstate
+
+    def _forward_jit(self, mode: str):
+        key = (mode, self.qcfg)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        if mode == "fp32":
+            @jax.jit
+            def fn(params, audio, lens):
+                feats, feat_lens = self.frontend(audio, lens, dither=0.0)
+                lp, el = self._encode_decode_fp32(params["encoder"], params["decoder"],
+                                                  feats, feat_lens)
+                return lp, el
+        elif mode == "quant":
+            @jax.jit
+            def fn(params, qstate, audio, lens):
+                feats, feat_lens = self.frontend(audio, lens, dither=0.0)
+                lp, el, _ = self._encode_decode_quant(
+                    params["encoder"], params["decoder"], qstate, feats, feat_lens,
+                    update_ranges=False)
+                return lp, el
+        elif mode == "frozen":
+            tables = self.freeze()
+
+            @jax.jit
+            def fn(audio, lens):
+                feats, feat_lens = self.frontend(audio, lens, dither=0.0)
+                fx = FrozenExec(tables, self.qcfg, activation=self.plan.activation)
+                enc, enc_lens = encoder_forward(fx, self.plan, feats, feat_lens)
+                return fx.decoder(enc), enc_lens
+        else:
+            raise ValueError(mode)
+        self._jit_cache[key] = fn
+        return fn
+
+    def forward(self, audio: np.ndarray, lengths: np.ndarray,
+                mode: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (log_probs (B,T,V+1), encoded_lengths, greedy_predictions),
+        like EncDecCTCModel.forward (ctc_models.py:383-406)."""
+        audio = jnp.asarray(audio, jnp.float32)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        if mode is None:
+            if self.qcfg.mode == "none":
+                mode = "fp32"
+            else:
+                mode = "quant" if self.qcfg.dynamic else "frozen"
+        fn = self._forward_jit(mode)
+        if mode == "fp32":
+            lp, el = fn(self.params, audio, lengths)
+        elif mode == "quant":
+            lp, el = fn(self.params, self.qstate, audio, lengths)
+        else:
+            lp, el = fn(audio, lengths)
+        lp = np.asarray(lp)
+        return lp, np.asarray(el), greedy_predictions(lp)
+
+    # ------------------------------------------------------------------
+    # calibration (inference.py:121-130) & freezing
+    # ------------------------------------------------------------------
+
+    def calibrate(self, batches: Sequence[np.ndarray],
+                  seqlen: Optional[int] = None) -> None:
+        """Run synthetic mel batches ((B, T, C) or reference (B, C, T) order
+        auto-detected by C==feat_in on axis 1) through the quantized model,
+        updating activation ranges (qm.calibrate semantics)."""
+        if not self.folded:
+            raise RuntimeError("call bn_folding() before calibrate()")
+
+        @jax.jit
+        def step(qstate, feats, feat_lens):
+            _, _, new_qstate = self._encode_decode_quant(
+                self.params["encoder"], self.params["decoder"], qstate, feats,
+                feat_lens, update_ranges=True)
+            return new_qstate
+
+        qstate = self.qstate
+        for x in batches:
+            x = np.asarray(x, np.float32)
+            if x.shape[1] == self.plan.feat_in and x.shape[2] != self.plan.feat_in:
+                x = x.transpose(0, 2, 1)  # (B, C, T) -> (B, T, C)
+            t = x.shape[1] if seqlen is None else seqlen
+            lens = jnp.full((x.shape[0],), t, jnp.int32)
+            qstate = step(qstate, jnp.asarray(x), lens)
+        self.qstate = jax.tree_util.tree_map(np.asarray, qstate)
+        self._jit_cache.clear()
+
+    def freeze(self):
+        if not self.folded:
+            raise RuntimeError("call bn_folding() before freeze()")
+        return freeze_model(self.plan, self.params["encoder"], self.params["decoder"],
+                            self.qstate, self.qcfg, self.cfg.decoder)
+
+    # ------------------------------------------------------------------
+    # transcribe (ctc_models.py:150-212)
+    # ------------------------------------------------------------------
+
+    def transcribe(self, paths2audio_files: List[str], batch_size: int = 4,
+                   logprobs: bool = False) -> List[str]:
+        from qasr_tpu.data.audio import read_audio
+        from qasr_tpu.data.dataset import bucket_pad
+
+        hyps: List[str] = []
+        for i in range(0, len(paths2audio_files), batch_size):
+            chunk = paths2audio_files[i : i + batch_size]
+            sigs = [read_audio(p, self.cfg.sample_rate) for p in chunk]
+            audio, lens = bucket_pad(sigs)
+            lp, el, preds = self.forward(audio, lens)
+            if logprobs:
+                hyps.extend(lp[j, : int(el[j])] for j in range(len(chunk)))
+            else:
+                hyps.extend(ctc_collapse(preds, self.blank_id, self.vocabulary, el))
+        return hyps

@@ -130,8 +130,9 @@ def stft_power_matmul(x: Array, window: Array, cos_m: Array, sin_m: Array,
     Useful fused with the mel projection; numerically ~1e-5 of the FFT path.
     """
     frames = frame_signal(x, n_fft, hop, center) * window
-    re = frames @ cos_m
-    im = frames @ sin_m
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(frames, cos_m, precision=hi)
+    im = jnp.matmul(frames, sin_m, precision=hi)
     return re * re + im * im
 
 
@@ -217,7 +218,10 @@ class MelFrontend:
             p = stft_power(x, self.window, cfg.n_fft, cfg.hop_length)
         if cfg.mag_power != 2.0:
             p = jnp.power(jnp.sqrt(p), cfg.mag_power)
-        mel = p @ self.fb  # (B, T, n_mels) — channels-last from the start
+        # channels-last mel projection; HIGHEST precision: the TPU default
+        # bf16 matmul pass would perturb log-mel values at ~1e-2, which the
+        # first activation quantizer then amplifies through clipping.
+        mel = jnp.matmul(p, self.fb, precision=jax.lax.Precision.HIGHEST)
         if cfg.log:
             if cfg.log_zero_guard_type == "add":
                 mel = jnp.log(mel + cfg.log_zero_guard_value)

@@ -82,7 +82,9 @@ def quantize(x: Array, scale: Array, bits: int) -> Array:
     and jnp.  Returns int32.
     """
     n = 2 ** (bits - 1) - 1
-    q = jnp.round(x / scale)
+    # reciprocal-then-multiply, matching linear_quantize (quant_utils.py:12-26:
+    # ``torch.round(1. / scale * input)``) bit-for-bit in f32
+    q = jnp.round((1.0 / scale) * x)
     return jnp.clip(q, -n, n - 1).astype(jnp.int32)
 
 

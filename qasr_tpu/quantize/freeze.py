@@ -1,0 +1,242 @@
+"""Freezing: turn (float params + calibrated ranges) into a static integer model.
+
+In the reference, static-mode inference recomputes per layer, per forward:
+weight integerization (quant_modules.py:272-309), the float64 dyadic
+decomposition of every requant multiplier (quant_utils.py:121-147, including
+a host round-trip through Python ``Decimal``), and a float64 emulated conv.
+On TPU all of those quantities are *constants* once calibration has frozen
+the ranges (qm.evaluate, quantize_model.py:65-67), so we precompute them once
+on the host — with the same np.frexp + Decimal ROUND_HALF_UP semantics — and
+the deployed graph is pure int8/int32 MXU+VPU work.
+
+`freeze_model` runs a scale-propagation pass over the same block-walk used by
+the compute executors (models/jasper.py), emitting `FrozenTables`;
+`FrozenExec` then executes the walk with those tables.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qasr_tpu.models.config import DecoderConfig, QuantConfig
+from qasr_tpu.models.jasper import (
+    ConvSpec,
+    EncoderPlan,
+    _apply_activation,
+    conv_nwc,
+    conv_out_len,
+    decoder_spec,
+    encoder_forward,
+    mask_values,
+)
+from qasr_tpu.ops.quant_prims import (
+    Dyadic,
+    QTensor,
+    dyadic_from_scale_host,
+    requant_clamp,
+    dyadic_requant,
+)
+
+Array = jax.Array
+
+
+def _act_scale_f32(x_min: float, x_max: float, bits: int) -> np.float32:
+    n = 2 ** (bits - 1) - 1
+    sat = max(abs(np.float32(x_min)), abs(np.float32(x_max)))
+    return np.float32(max(sat, np.float32(1e-8)) / np.float32(n))
+
+
+def _weight_tables(w: np.ndarray, b: Optional[np.ndarray], act_scale: np.float32,
+                   weight_bit: int):
+    """Per-out-channel weight quant + 32-bit bias, f32 semantics identical to
+    the in-graph path (QuantConv1d.int_conv, quant_modules.py:272-309)."""
+    w = np.asarray(w, np.float32)
+    n = 2 ** (weight_bit - 1) - 1
+    sat = np.maximum(np.abs(w.min(axis=(0, 1))), np.abs(w.max(axis=(0, 1))))
+    w_scale = (np.maximum(sat, 1e-8) / np.float32(n)).astype(np.float32)
+    w_int = np.clip(np.round((np.float32(1.0) / w_scale) * w), -n, n - 1)
+    out_scale = (w_scale * act_scale).astype(np.float32)
+    b_int = None
+    if b is not None:
+        b_int = np.round((np.float32(1.0) / out_scale) * np.asarray(b, np.float32))
+        b_int = b_int.astype(np.int64).clip(-(2**31), 2**31 - 1).astype(np.int32)
+    return w_int, w_scale, out_scale, b_int
+
+
+def _dyadic(pre_scale: np.ndarray, out_scale: np.float32) -> Dyadic:
+    """new_scale = f64(pre)/f64(out), matching fixedpoint_mul's
+    _A.double()/_B.double() (quant_utils.py:188-190)."""
+    ns = np.asarray(pre_scale, np.float32).astype(np.float64) / np.float64(
+        np.float32(out_scale))
+    return dyadic_from_scale_host(ns)
+
+
+class _SVal:
+    """Symbolic activation: just its scale (None => float/unquantized)."""
+
+    __slots__ = ("scale",)
+
+    def __init__(self, scale):
+        self.scale = scale  # np.float32 scalar, (C,) np array, or None
+
+
+class ScaleFreezeExec:
+    """Host executor: propagates scales, emits tables (no tensor math)."""
+
+    def __init__(self, params, qstate, qcfg: QuantConfig, plan: EncoderPlan):
+        self.params = params
+        self.qstate = qstate
+        self.qcfg = qcfg
+        self.tables: Dict[str, Any] = {
+            "blocks": [
+                {"convs": [None] * len(bp.convs), "res": [None] * len(bp.res),
+                 "res_act": []}
+                for bp in plan.blocks
+            ],
+        }
+
+    def _state(self, path):
+        node = self.qstate
+        for k in path:
+            node = node[k]
+        return float(np.asarray(node["x_min"])), float(np.asarray(node["x_max"]))
+
+    def _act_bits(self, asymmetric: bool) -> int:
+        return self.qcfg.act_bit + (1 if asymmetric else 0)
+
+    def masked_conv(self, site, spec: ConvSpec, x: _SVal, lens):
+        bi, kind, i = site
+        p = self.params["blocks"][bi][kind][i]
+        if "bn" in p:
+            raise ValueError("freeze requires BN-folded params")
+        bits = self._act_bits(spec.asymmetric)
+        x_min, x_max = self._state(("blocks", bi, kind, i))
+        act_scale = _act_scale_f32(x_min, x_max, bits)
+        entry: Dict[str, Any] = {"act_scale": jnp.float32(act_scale)}
+        if x.scale is not None:
+            d = _dyadic(x.scale, act_scale)
+            entry["act_m"], entry["act_e"] = d.m, d.e
+        w_int, w_scale, out_scale, b_int = _weight_tables(
+            np.asarray(p["w"]), np.asarray(p["b"]) if "b" in p else None,
+            act_scale, self.qcfg.weight_bit)
+        wdtype = jnp.int8  # weight_bit <= 8 always
+        entry["w"] = jnp.asarray(w_int, wdtype)
+        if b_int is not None:
+            entry["b"] = jnp.asarray(b_int)
+        entry["out_scale"] = jnp.asarray(out_scale)
+        self.tables["blocks"][bi][kind][i] = entry
+        return _SVal(out_scale), conv_out_len(np.asarray(lens), spec)
+
+    def residual_add(self, block_idx: int, pane: int, out: _SVal, res_out: _SVal,
+                     mode: str):
+        x_min, x_max = self._state(("blocks", block_idx, "res_act"))
+        act_scale = _act_scale_f32(x_min, x_max, self.qcfg.act_bit)
+        dx = _dyadic(out.scale, act_scale)
+        dr = _dyadic(res_out.scale, act_scale)
+        self.tables["blocks"][block_idx]["res_act"].append(
+            {"m": dx.m, "e": dx.e, "m_r": dr.m, "e_r": dr.e,
+             "scale": jnp.float32(act_scale)})
+        return _SVal(np.float32(act_scale))
+
+    def activation(self, x: _SVal, dropout: float) -> _SVal:
+        return x  # relu/hardtanh preserve the scale grid
+
+    def group_shuffle(self, x, groups):
+        raise NotImplementedError("grouped convs unsupported in quant mode")
+
+
+def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
+                 qcfg: QuantConfig, dec_cfg: DecoderConfig):
+    """Host pass producing the frozen integer model (tables pytree)."""
+    fx = ScaleFreezeExec(enc_params, qstate, qcfg, plan)
+    out_sval, _ = encoder_forward(fx, plan, _SVal(None), np.zeros((1,), np.int64))
+    tables = fx.tables
+    # decoder: plain act_bit QuantAct + per-channel 1x1 conv (conv_asr.py:260-267)
+    x_min = float(np.asarray(qstate["decoder_act"]["x_min"]))
+    x_max = float(np.asarray(qstate["decoder_act"]["x_max"]))
+    act_scale = _act_scale_f32(x_min, x_max, qcfg.act_bit)
+    d = _dyadic(out_sval.scale, act_scale)
+    w_int, w_scale, out_scale, b_int = _weight_tables(
+        np.asarray(dec_params["w"]), np.asarray(dec_params["b"]),
+        act_scale, qcfg.weight_bit)
+    tables["decoder"] = {
+        "act_scale": jnp.float32(act_scale), "act_m": d.m, "act_e": d.e,
+        "w": jnp.asarray(w_int, jnp.int8), "b": jnp.asarray(b_int),
+        "out_scale": jnp.asarray(out_scale),
+    }
+    return tables
+
+
+class FrozenExec:
+    """Deployment executor: int8 MXU convs + exact dyadic requants from the
+    frozen tables. No float arithmetic until the decoder's log-softmax."""
+
+    def __init__(self, tables, qcfg: QuantConfig, *, activation: str):
+        self.t = tables
+        self.qcfg = qcfg
+        self.activation_kind = activation
+
+    def _act_bits(self, spec: ConvSpec) -> int:
+        return self.qcfg.act_bit + (1 if spec.asymmetric else 0)
+
+    def _requant_in(self, entry, x: Union[Array, QTensor], bits: int) -> QTensor:
+        if isinstance(x, QTensor):
+            q = dyadic_requant(x.values, Dyadic(entry["act_m"], entry["act_e"]))
+            return QTensor(requant_clamp(q, bits), entry["act_scale"])
+        # direct quantization of the float network input
+        n = 2 ** (bits - 1) - 1
+        q = jnp.round((1.0 / entry["act_scale"]) * x)
+        return QTensor(jnp.clip(q, -n, n - 1).astype(jnp.int32), entry["act_scale"])
+
+    def masked_conv(self, site, spec: ConvSpec, x, lens):
+        bi, kind, i = site
+        entry = self.t["blocks"][bi][kind][i]
+        if isinstance(x, QTensor):
+            x = QTensor(mask_values(x.values, lens), x.scale)
+        else:
+            x = mask_values(x, lens)
+        new_lens = conv_out_len(lens, spec)
+        bits = self._act_bits(spec)
+        xq = self._requant_in(entry, x, bits)
+        xv = xq.values.astype(jnp.int8) if bits <= 8 else xq.values
+        wv = entry["w"] if bits <= 8 else entry["w"].astype(jnp.int32)
+        y = conv_nwc(xv, wv, spec, preferred=jnp.int32)
+        if "b" in entry:
+            y = y + entry["b"]
+        return QTensor(y, entry["out_scale"]), new_lens
+
+    def residual_add(self, block_idx: int, pane: int, out: QTensor, res_out: QTensor,
+                     mode: str):
+        assert mode in ("add", "stride_add")
+        e = self.t["blocks"][block_idx]["res_act"][pane]
+        q = dyadic_requant(out.values, Dyadic(e["m"], e["e"])) + \
+            dyadic_requant(res_out.values, Dyadic(e["m_r"], e["e_r"]))
+        return QTensor(requant_clamp(q, self.qcfg.act_bit), e["scale"])
+
+    def activation(self, x: QTensor, dropout: float) -> QTensor:
+        if self.activation_kind == "relu":
+            return QTensor(jnp.maximum(x.values, 0), x.scale)
+        if self.activation_kind == "hardtanh":
+            hi = jnp.round(20.0 / x.scale).astype(jnp.int32)
+            return QTensor(jnp.clip(x.values, 0, hi), x.scale)
+        y = jnp.round(_apply_activation(x.dequantize(), self.activation_kind) / x.scale)
+        return QTensor(y.astype(jnp.int32), x.scale)
+
+    def group_shuffle(self, x, groups):
+        raise NotImplementedError
+
+    # -- decoder -----------------------------------------------------------
+
+    def decoder(self, x: QTensor) -> Array:
+        t = self.t["decoder"]
+        q = dyadic_requant(x.values, Dyadic(t["act_m"], t["act_e"]))
+        q = requant_clamp(q, self.qcfg.act_bit)
+        spec = decoder_spec(q.shape[-1], t["w"].shape[-1])
+        xv = q.astype(jnp.int8) if self.qcfg.act_bit <= 8 else q
+        wv = t["w"] if self.qcfg.act_bit <= 8 else t["w"].astype(jnp.int32)
+        y = conv_nwc(xv, wv, spec, preferred=jnp.int32) + t["b"]
+        logits = y.astype(jnp.float32) * t["out_scale"]
+        return jax.nn.log_softmax(logits, axis=-1)

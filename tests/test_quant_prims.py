@@ -106,7 +106,8 @@ def test_quantize_matches_torch(rng):
         n = 2 ** (bits - 1) - 1
         sat = np.maximum(np.abs(x.min()), np.abs(x.max()))
         scale = np.float32(max(sat, 1e-8) / n)
-        ref = torch.clamp(torch.round(torch.from_numpy(x) / scale), -n, n - 1).numpy()
+        # reference linear_quantize computes round(1./scale * x) (quant_utils.py:26)
+        ref = torch.clamp(torch.round((1.0 / torch.tensor(scale)) * torch.from_numpy(x)), -n, n - 1).numpy()
         got = np.asarray(quantize(jnp.asarray(x), jnp.float32(scale), bits))
         np.testing.assert_array_equal(got, ref)
 
