@@ -1,0 +1,67 @@
+"""Benchmark: frozen W6A6 QuartzNet15x5 integer inference throughput.
+
+Measures RTFx = seconds of audio processed per wall-clock second on one TPU
+chip, end-to-end (mel frontend + int8 encoder + decoder + greedy argmax).
+The reference publishes no throughput numbers (BASELINE.md); the north-star
+target is >=20x real-time per v5e chip (BASELINE.json), so
+vs_baseline = rtfx / 20.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _calibrated_frozen_quartznet
+    from qasr_tpu.models.jasper import encoder_forward
+    from qasr_tpu.quantize.freeze import FrozenExec
+
+    model = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
+    tables = jax.device_put(model.freeze())
+    frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
+
+    @jax.jit
+    def fn(tables, audio, lengths):
+        feats, feat_lens = frontend(audio, lengths, dither=0.0)
+        fx = FrozenExec(tables, qcfg, activation=plan.activation)
+        enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
+        return jnp.argmax(fx.decoder(enc), axis=-1), enc_lens
+
+    batch = 16
+    seconds = 15.0
+    n = int(16000 * seconds)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32) * 0.1)
+    lengths = jnp.full((batch,), n, jnp.int32)
+
+    # warmup/compile
+    jax.block_until_ready(fn(tables, audio, lengths))
+    jax.block_until_ready(fn(tables, audio, lengths))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(tables, audio, lengths)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch * seconds * iters
+    rtfx = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": "quartznet15x5_w6a6_int8_rtfx_per_chip",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(rtfx / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

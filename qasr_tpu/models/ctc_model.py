@@ -66,10 +66,10 @@ class ASRModel:
     @classmethod
     def from_config(cls, cfg: ModelConfig, seed: int = 0) -> "ASRModel":
         plan = build_encoder_plan(cfg.encoder)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        rng = np.random.default_rng(seed)
         params = {
-            "encoder": init_encoder_params(k1, plan),
-            "decoder": init_decoder_params(k2, cfg.decoder),
+            "encoder": init_encoder_params(rng, plan),
+            "decoder": init_decoder_params(rng, cfg.decoder),
         }
         fcfg = preprocessor_config_from_dict(cfg.preprocessor)
         return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg), params=params,

@@ -171,7 +171,9 @@ def build_encoder_plan(cfg: EncoderConfig) -> EncoderPlan:
 # ---------------------------------------------------------------------------
 
 
-def _init_conv(key, spec: ConvSpec, dtype=jnp.float32) -> Dict[str, Any]:
+def _init_conv(rng: np.random.Generator, spec: ConvSpec, dtype=np.float32) -> Dict[str, Any]:
+    # Host-side numpy init: over the TPU tunnel every distinct eager op shape
+    # costs a remote compile, so model construction never touches the device.
     if spec.heads != -1:
         # heads: depthwise conv over `heads` channels, batch-folded
         # (jasper.py:139-147: in=out=groups=heads)
@@ -180,54 +182,54 @@ def _init_conv(key, spec: ConvSpec, dtype=jnp.float32) -> Dict[str, Any]:
         cin_g, out_ch = spec.in_ch // spec.groups, spec.out_ch
     fan_in = cin_g * spec.kernel
     fan_out = out_ch * spec.kernel
-    a = math.sqrt(6.0 / (fan_in + fan_out))
+    a = math.sqrt(6.0 / (fan_in + fan_out))  # xavier_uniform, jasper.py:33-34
     p: Dict[str, Any] = {
-        "w": jax.random.uniform(key, (spec.kernel, cin_g, out_ch), dtype, -a, a)
+        "w": rng.uniform(-a, a, (spec.kernel, cin_g, out_ch)).astype(dtype)
     }
     if spec.bias:
-        p["b"] = jnp.zeros((spec.out_ch,), dtype)
+        p["b"] = np.zeros((spec.out_ch,), dtype)
     if spec.has_bn:
         p["bn"] = {
-            "gamma": jnp.ones((spec.out_ch,), dtype),
-            "beta": jnp.zeros((spec.out_ch,), dtype),
-            "mean": jnp.zeros((spec.out_ch,), dtype),
-            "var": jnp.ones((spec.out_ch,), dtype),
+            "gamma": np.ones((spec.out_ch,), dtype),
+            "beta": np.zeros((spec.out_ch,), dtype),
+            "mean": np.zeros((spec.out_ch,), dtype),
+            "var": np.ones((spec.out_ch,), dtype),
         }
     return p
 
 
-def init_encoder_params(key, plan: EncoderPlan) -> Dict[str, Any]:
-    blocks = []
-    for bp in plan.blocks:
-        keys = jax.random.split(key, len(bp.convs) + len(bp.res) + 1)
-        key = keys[-1]
-        blocks.append({
-            "convs": [_init_conv(k, s) for k, s in zip(keys[: len(bp.convs)], bp.convs)],
-            "res": [_init_conv(k, s) for k, s in
-                    zip(keys[len(bp.convs):-1], bp.res)],
-        })
-    return {"blocks": blocks}
+def init_encoder_params(seed, plan: EncoderPlan) -> Dict[str, Any]:
+    rng = seed if isinstance(seed, np.random.Generator) else np.random.default_rng(
+        int(np.asarray(seed).sum()) if hasattr(seed, "shape") else seed)
+    return {"blocks": [
+        {"convs": [_init_conv(rng, s) for s in bp.convs],
+         "res": [_init_conv(rng, s) for s in bp.res]}
+        for bp in plan.blocks
+    ]}
 
 
-def init_decoder_params(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
+def init_decoder_params(seed, cfg: DecoderConfig, dtype=np.float32) -> Dict[str, Any]:
     # 1x1 conv with bias onto num_classes+1 (conv_asr.py:259-267)
+    rng = seed if isinstance(seed, np.random.Generator) else np.random.default_rng(
+        int(np.asarray(seed).sum()) if hasattr(seed, "shape") else seed)
     v = cfg.num_classes + 1
     a = math.sqrt(6.0 / (cfg.feat_in + v))
     return {
-        "w": jax.random.uniform(key, (1, cfg.feat_in, v), dtype, -a, a),
-        "b": jnp.zeros((v,), dtype),
+        "w": rng.uniform(-a, a, (1, cfg.feat_in, v)).astype(dtype),
+        "b": np.zeros((v,), dtype),
     }
 
 
 def fold_bn_conv(p: Dict[str, Any], eps: float = BN_EPS) -> Dict[str, Any]:
     """W' = W * gamma/sigma ; b' = (b - mu) * gamma/sigma + beta
-    (quant_modules.py:351-365)."""
+    (quant_modules.py:351-365).  Pure host numpy."""
     if "bn" not in p:
         return p
-    bn = p["bn"]
-    sf = bn["gamma"] / jnp.sqrt(bn["var"] + eps)
-    b0 = p.get("b", jnp.zeros_like(bn["mean"]))
-    return {"w": p["w"] * sf, "b": (b0 - bn["mean"]) * sf + bn["beta"]}
+    bn = {k: np.asarray(v) for k, v in p["bn"].items()}
+    sf = bn["gamma"] / np.sqrt(bn["var"] + np.float32(eps))
+    b0 = np.asarray(p["b"]) if "b" in p else np.zeros_like(bn["mean"])
+    return {"w": np.asarray(p["w"]) * sf,
+            "b": (b0 - bn["mean"]) * sf + bn["beta"]}
 
 
 def fold_bn_encoder(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -245,8 +247,24 @@ def fold_bn_encoder(params: Dict[str, Any]) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def fabricate_qstate(plan: EncoderPlan, lo: float = -4.0, hi: float = 4.0) -> Dict[str, Any]:
+    """Host-fabricated activation ranges (for benchmarks/compile checks with
+    random weights — the frozen integer graph's structure and cost don't
+    depend on range values).  Real workflows use calibrate()."""
+    z = lambda: {"x_min": np.float32(lo), "x_max": np.float32(hi)}
+    return {
+        "blocks": [
+            {"convs": [z() for _ in bp.convs],
+             "res": [z() for _ in bp.res],
+             "res_act": z()}
+            for bp in plan.blocks
+        ],
+        "decoder_act": z(),
+    }
+
+
 def init_qstate(plan: EncoderPlan) -> Dict[str, Any]:
-    z = lambda: {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
+    z = lambda: {"x_min": np.zeros((), np.float32), "x_max": np.zeros((), np.float32)}
     return {
         "blocks": [
             {"convs": [z() for _ in bp.convs],
@@ -277,6 +295,29 @@ def mask_values(x: Array, lens: Array) -> Array:
     return jnp.where(m, x, jnp.zeros((), x.dtype))
 
 
+def _depthwise_conv_int(x: Array, w: Array, stride: int, padding: int,
+                        dilation: int) -> Array:
+    """Integer depthwise conv as an unrolled sum of strided slices.
+
+    Depthwise convs have no contraction dimension, so on TPU they are VPU
+    work either way; this formulation compiles orders of magnitude faster
+    than XLA's grouped integer conv and is bit-identical (int32 accumulate).
+    x: (B, T, C) int, w: (K, 1, C) int.
+    """
+    k_size = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    t_out = (x.shape[1] + 2 * padding - dilation * (k_size - 1) - 1) // stride + 1
+    acc = jnp.zeros((x.shape[0], t_out, x.shape[2]), jnp.int32)
+    wi = w.astype(jnp.int32)
+    for k in range(k_size):
+        start = k * dilation
+        sl = jax.lax.slice(xp, (0, start, 0),
+                           (xp.shape[0], start + (t_out - 1) * stride + 1, xp.shape[2]),
+                           (1, stride, 1))
+        acc = acc + sl.astype(jnp.int32) * wi[k, 0]
+    return acc
+
+
 def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
              preferred=None, precision=None) -> Array:
     """1D conv, channels-last, optional grouped/depthwise; heads fold extra
@@ -293,6 +334,16 @@ def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
         # (B, T, C) -> (B * C/heads, T, heads)
         x = x.reshape(sh[0], sh[1], sh[2] // spec.heads, spec.heads)
         x = x.transpose(0, 2, 1, 3).reshape(-1, sh[1], spec.heads)
+    groups = spec.groups if spec.heads == -1 else spec.heads
+    if preferred == jnp.int32 and w.shape[1] == 1 and groups == x.shape[-1]:
+        y = _depthwise_conv_int(x, w, spec.stride, spec.padding, spec.dilation)
+        if spec.heads != -1:
+            t2 = y.shape[1]
+            y = y.reshape(sh[0], sh[2] // spec.heads, t2, spec.heads)
+            y = y.transpose(0, 2, 1, 3).reshape(sh[0], t2, sh[2])
+        if b is not None:
+            y = y + b
+        return y
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(spec.stride,),

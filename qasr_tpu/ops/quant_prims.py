@@ -125,9 +125,11 @@ def dyadic_from_scale_host(new_scale: np.ndarray, max_bit: int = 31):
     if np.any(e_out < 1):
         raise ValueError("requant scale >= 2**30 is unsupported (e < 1)")
     shape = np.asarray(new_scale).shape
+    # host numpy (not device arrays): freeze runs fully on host; jit bakes
+    # the tables in as constants
     return Dyadic(
-        jnp.asarray(m_out.reshape(shape), dtype=jnp.int32),
-        jnp.asarray(e_out.reshape(shape), dtype=jnp.int32),
+        m_out.reshape(shape).astype(np.int32),
+        e_out.reshape(shape).astype(np.int32),
     )
 
 

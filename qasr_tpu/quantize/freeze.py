@@ -115,18 +115,17 @@ class ScaleFreezeExec:
         bits = self._act_bits(spec.asymmetric)
         x_min, x_max = self._state(("blocks", bi, kind, i))
         act_scale = _act_scale_f32(x_min, x_max, bits)
-        entry: Dict[str, Any] = {"act_scale": jnp.float32(act_scale)}
+        entry: Dict[str, Any] = {"act_scale": np.float32(act_scale)}
         if x.scale is not None:
             d = _dyadic(x.scale, act_scale)
             entry["act_m"], entry["act_e"] = d.m, d.e
         w_int, w_scale, out_scale, b_int = _weight_tables(
             np.asarray(p["w"]), np.asarray(p["b"]) if "b" in p else None,
             act_scale, self.qcfg.weight_bit)
-        wdtype = jnp.int8  # weight_bit <= 8 always
-        entry["w"] = jnp.asarray(w_int, wdtype)
+        entry["w"] = w_int.astype(np.int8)  # weight_bit <= 8 always
         if b_int is not None:
-            entry["b"] = jnp.asarray(b_int)
-        entry["out_scale"] = jnp.asarray(out_scale)
+            entry["b"] = b_int
+        entry["out_scale"] = out_scale
         self.tables["blocks"][bi][kind][i] = entry
         return _SVal(out_scale), conv_out_len(np.asarray(lens), spec)
 
@@ -138,7 +137,7 @@ class ScaleFreezeExec:
         dr = _dyadic(res_out.scale, act_scale)
         self.tables["blocks"][block_idx]["res_act"].append(
             {"m": dx.m, "e": dx.e, "m_r": dr.m, "e_r": dr.e,
-             "scale": jnp.float32(act_scale)})
+             "scale": np.float32(act_scale)})
         return _SVal(np.float32(act_scale))
 
     def activation(self, x: _SVal, dropout: float) -> _SVal:
@@ -163,9 +162,9 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
         np.asarray(dec_params["w"]), np.asarray(dec_params["b"]),
         act_scale, qcfg.weight_bit)
     tables["decoder"] = {
-        "act_scale": jnp.float32(act_scale), "act_m": d.m, "act_e": d.e,
-        "w": jnp.asarray(w_int, jnp.int8), "b": jnp.asarray(b_int),
-        "out_scale": jnp.asarray(out_scale),
+        "act_scale": np.float32(act_scale), "act_m": d.m, "act_e": d.e,
+        "w": w_int.astype(np.int8), "b": b_int,
+        "out_scale": out_scale,
     }
     return tables
 
