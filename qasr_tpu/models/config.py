@@ -235,3 +235,10 @@ PRESETS = {
     "Jasper10x5Dr-En": jasper10x5dr,
     "Jasper10x5Dr": jasper10x5dr,
 }
+
+
+def register_preset(name: str, factory) -> None:
+    """Register a model factory under a pretrained-style name (used by tests
+    and downstream users; mirrors list_available_models extensibility,
+    ctc_models.py:47-89)."""
+    PRESETS[name] = factory

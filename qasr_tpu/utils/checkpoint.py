@@ -1,0 +1,132 @@
+"""Checkpoint save/restore.
+
+Two formats (mirroring the reference's dual .nemo / .ckpt story,
+SURVEY.md §5 "Checkpoint / resume"):
+  * native ".qasr": a tar.gz{model_config.yaml, arrays.npz} — pure
+    numpy/yaml, no torch needed (the analogue of .nemo's
+    tar{yaml, state_dict}, modelPT.py:254-296);
+  * training checkpoints: arrays.npz holding params + qstate + optimizer
+    state + step for crash-resume (exp_manager.check_resume analogue,
+    exp_manager.py:270-346).
+Pytrees are flattened to '/'-joined string keys.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_into(template: Any, flat: Dict[str, np.ndarray], prefix: str = "") -> Any:
+    """Rebuild arrays into the shape of `template` (same structure)."""
+    if isinstance(template, dict):
+        return {k: unflatten_into(v, flat, f"{prefix}{k}/") for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        t = [unflatten_into(v, flat, f"{prefix}{i}/") for i, v in enumerate(template)]
+        return type(template)(t) if isinstance(template, tuple) else t
+    if template is None:
+        return None
+    return flat[prefix[:-1]]
+
+
+def save_arrays(path: str, tree: Any) -> None:
+    np.savez(path, **flatten_tree(tree))
+
+
+def load_arrays(path: str, template: Any) -> Any:
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    return unflatten_into(template, flat)
+
+
+# ---------------------------------------------------------------------------
+# native .qasr model archive
+# ---------------------------------------------------------------------------
+
+
+def save_qasr(path: str, cfg_dict: Dict[str, Any], params: Any,
+              qstate: Optional[Any] = None) -> None:
+    import yaml
+
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "model_config.yaml"), "w") as f:
+            yaml.safe_dump(cfg_dict, f)
+        tree = {"params": params}
+        if qstate is not None:
+            tree["qstate"] = qstate
+        np.savez(os.path.join(td, "arrays.npz"), **flatten_tree(tree))
+        with tarfile.open(path, "w:gz") as tar:
+            tar.add(os.path.join(td, "model_config.yaml"), arcname="model_config.yaml")
+            tar.add(os.path.join(td, "arrays.npz"), arcname="arrays.npz")
+
+
+def load_qasr(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+    """Returns (config dict, flat arrays dict with 'params/...' keys)."""
+    import yaml
+
+    with tempfile.TemporaryDirectory() as td:
+        with tarfile.open(path, "r:*") as tar:
+            tar.extractall(td)  # noqa: S202 - local artifact
+        with open(os.path.join(td, "model_config.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        with np.load(os.path.join(td, "arrays.npz"), allow_pickle=False) as z:
+            flat = {k: z[k] for k in z.files}
+    return cfg, flat
+
+
+# ---------------------------------------------------------------------------
+# training checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_training_ckpt(path: str, params: Any, opt_state: Any, step: int,
+                       qstate: Optional[Any] = None) -> None:
+    tree = {"params": params, "opt": _optstate_to_tree(opt_state), "step": step}
+    if qstate is not None:
+        tree["qstate"] = qstate
+    save_arrays(path, tree)
+
+
+def load_training_ckpt(path: str, params_tpl: Any, opt_state_tpl: Any,
+                       qstate_tpl: Optional[Any] = None):
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    params = unflatten_into(params_tpl, flat, "params/")
+    opt = _tree_into_optstate(opt_state_tpl, flat, "opt/")
+    step = int(flat["step"])
+    qstate = unflatten_into(qstate_tpl, flat, "qstate/") if qstate_tpl is not None else None
+    return params, opt, step, qstate
+
+
+def _optstate_to_tree(opt_state: Any) -> Any:
+    import jax
+
+    return jax.tree_util.tree_leaves(opt_state)
+
+
+def _tree_into_optstate(tpl: Any, flat: Dict[str, np.ndarray], prefix: str) -> Any:
+    import jax
+
+    leaves = [flat[f"{prefix}{i}"] for i in range(len(jax.tree_util.tree_leaves(tpl)))]
+    treedef = jax.tree_util.tree_structure(tpl)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

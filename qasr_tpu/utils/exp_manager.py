@@ -1,0 +1,112 @@
+"""Experiment manager.
+
+Equivalent of the reference nemo/utils/exp_manager.py:96-593: creates
+exp_dir/name/version, captures the config and git state, wires the log file,
+provides periodic checkpointing with top-k retention + a 'last' checkpoint,
+and crash-resume (check_resume, exp_manager.py:270-346).  TensorBoard is
+replaced by a JSONL metrics stream (host-side, trivially plottable).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from qasr_tpu.utils.logging import logging
+
+
+@dataclass
+class ExpManagerConfig:
+    exp_dir: str = "qasr_experiments"
+    name: str = "default"
+    version: Optional[int] = None
+    create_checkpoint_callback: bool = True
+    checkpoint_every_n_steps: int = 1000
+    keep_top_k: int = 3
+    resume_if_exists: bool = False
+    resume_ignore_no_checkpoint: bool = False
+
+
+class ExpManager:
+    def __init__(self, cfg: ExpManagerConfig, run_config: Optional[Dict] = None):
+        self.cfg = cfg
+        base = os.path.join(cfg.exp_dir, cfg.name)
+        if cfg.version is None:
+            v = 0
+            while os.path.exists(os.path.join(base, f"version_{v}")) and not cfg.resume_if_exists:
+                v += 1
+            if cfg.resume_if_exists and os.path.exists(base):
+                versions = [int(d.split("_")[1]) for d in os.listdir(base)
+                            if d.startswith("version_")]
+                v = max(versions) if versions else 0
+        else:
+            v = cfg.version
+        self.log_dir = os.path.join(base, f"version_{v}")
+        self.ckpt_dir = os.path.join(self.log_dir, "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        logging.add_file_handler(os.path.join(self.log_dir, "qasr.log"))
+        self._metrics = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        self._ckpts: List[str] = []
+        if run_config is not None:
+            import yaml
+
+            with open(os.path.join(self.log_dir, "run_config.yaml"), "w") as f:
+                yaml.safe_dump(run_config, f)
+        self._capture_git()
+        logging.info(f"ExpManager: logging to {self.log_dir}")
+
+    def _capture_git(self) -> None:
+        # git-hash/diff capture (exp_manager.py:449-478)
+        try:
+            sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                                 text=True, timeout=5).stdout.strip()
+            if sha:
+                with open(os.path.join(self.log_dir, "git-info.log"), "w") as f:
+                    f.write(f"commit: {sha}\n")
+        except Exception:
+            pass
+
+    # -- metrics ---------------------------------------------------------
+
+    def log_metrics(self, step: int, **metrics) -> None:
+        rec = {"step": step, "time": time.time(), **metrics}
+        self._metrics.write(json.dumps(rec) + "\n")
+        self._metrics.flush()
+
+    # -- checkpoints -----------------------------------------------------
+
+    def maybe_checkpoint(self, step: int, params, opt_state, qstate=None,
+                         force: bool = False) -> Optional[str]:
+        if not self.cfg.create_checkpoint_callback:
+            return None
+        if not force and (step == 0 or step % self.cfg.checkpoint_every_n_steps):
+            return None
+        from qasr_tpu.utils.checkpoint import save_training_ckpt
+
+        path = os.path.join(self.ckpt_dir, f"step_{step}.npz")
+        save_training_ckpt(path, params, opt_state, step, qstate)
+        self._ckpts.append(path)
+        while len(self._ckpts) > self.cfg.keep_top_k:
+            old = self._ckpts.pop(0)
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+        last = os.path.join(self.ckpt_dir, "last.npz")
+        save_training_ckpt(last, params, opt_state, step, qstate)
+        logging.info(f"checkpoint saved: {path}")
+        return path
+
+    def check_resume(self) -> Optional[str]:
+        """Latest 'last' checkpoint for crash-resume (exp_manager.py:270-346)."""
+        last = os.path.join(self.ckpt_dir, "last.npz")
+        if os.path.exists(last):
+            return last
+        if self.cfg.resume_if_exists and not self.cfg.resume_ignore_no_checkpoint:
+            raise FileNotFoundError(
+                f"resume_if_exists set but no checkpoint under {self.ckpt_dir}")
+        return None

@@ -1,0 +1,121 @@
+"""End-to-end CLI workflow test on a tiny registered preset:
+synthesize -> pickle -> inference (static W8A8, percentile), plus the
+--dynamic and --no_quant paths (reference README.md:45-87 workflow)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qasr_tpu.data.audio import write_wav
+from qasr_tpu.models.config import (
+    DecoderConfig, ModelConfig, register_preset,
+)
+from tests.test_jasper_model import tiny_encoder_cfg, FEAT
+
+
+def _tiny_cfg():
+    enc = tiny_encoder_cfg()
+    dec = DecoderConfig(feat_in=40, num_classes=28)
+    return ModelConfig(encoder=enc, decoder=dec,
+                       preprocessor={"features": FEAT, "dither": 0.0})
+
+
+register_preset("TinyTestNet", _tiny_cfg)
+
+
+@pytest.fixture
+def manifest(tmp_path, rng):
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"a{i}.wav"
+        write_wav(str(p), rng.normal(size=16000 + 2000 * i).astype(np.float32) * 0.05)
+        paths.append(p)
+    man = tmp_path / "manifest.json"
+    texts = ["hello world", "testing one two", "the cat sat"]
+    with open(man, "w") as f:
+        for p, t in zip(paths, texts):
+            f.write(json.dumps({"audio_filepath": str(p),
+                                "duration": 1.0, "text": t}) + "\n")
+    return str(man)
+
+
+def test_synthesize_then_inference_cli(tmp_path, manifest):
+    from qasr_tpu.cli.synthesize import main as synth_main
+    from qasr_tpu.cli.inference import main as infer_main
+
+    pkl = synth_main([
+        "--asr_model", "TinyTestNet", "--num_batch", "2", "--batch_size", "2",
+        "--seqlen", "32", "--train_iter", "3", "--lr", "0.01",
+        "--dump_path", str(tmp_path), "--parallel", "2",
+    ])
+    assert os.path.exists(pkl)
+
+    wer = infer_main([
+        "--asr_model", "TinyTestNet", "--dataset", manifest,
+        "--load", pkl, "--weight_bit", "8", "--act_bit", "8",
+        "--percentile", "99.9", "--batch_size", "2",
+    ])
+    assert np.isfinite(wer)
+
+
+def test_inference_cli_dynamic_and_noquant(manifest):
+    from qasr_tpu.cli.inference import main as infer_main
+
+    wer_d = infer_main(["--asr_model", "TinyTestNet", "--dataset", manifest,
+                        "--dynamic", "--batch_size", "2"])
+    assert np.isfinite(wer_d)
+    wer_f = infer_main(["--asr_model", "TinyTestNet", "--dataset", manifest,
+                        "--no_quant", "--batch_size", "2"])
+    assert np.isfinite(wer_f)
+
+
+def test_seq_len_flag_alias():
+    from qasr_tpu.cli.synthesize import build_parser
+
+    # README spells --seq_len; the script defines --seqlen (README.md:55 vs
+    # synthesize.py:54) — accept both
+    a1 = build_parser().parse_args(["--asr_model", "x", "--seq_len", "100"])
+    a2 = build_parser().parse_args(["--asr_model", "x", "--seqlen", "100"])
+    assert a1.seqlen == a2.seqlen == 100
+
+
+def test_train_cli_tiny(tmp_path, manifest):
+    import yaml
+    from qasr_tpu.cli.speech_to_text import main as train_main
+    from qasr_tpu.models.config import DEFAULT_LABELS
+
+    cfg = {
+        "model": {
+            "sample_rate": 16000,
+            "labels": DEFAULT_LABELS,
+            "train_ds": {"manifest_filepath": manifest, "batch_size": 2,
+                         "shuffle": False},
+            "preprocessor": {"features": FEAT, "dither": 0.0},
+            "encoder": {
+                "feat_in": FEAT, "activation": "relu",
+                "jasper": [
+                    {"filters": 24, "repeat": 1, "kernel": [7], "stride": [2],
+                     "dilation": [1], "dropout": 0.0, "residual": False,
+                     "separable": True},
+                    {"filters": 32, "repeat": 1, "kernel": [1], "stride": [1],
+                     "dilation": [1], "dropout": 0.0, "residual": False},
+                ],
+            },
+            "decoder": {"feat_in": 32, "num_classes": 28},
+            "optim": {"name": "novograd", "lr": 0.01,
+                      "sched": {"name": "CosineAnnealing", "warmup_steps": 0}},
+        },
+        "trainer": {"max_steps": 3},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "tiny",
+                        "checkpoint_every_n_steps": 2},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_main(["--config-path", str(cfg_path)])
+    # checkpoints + metrics written
+    root = tmp_path / "exp" / "tiny" / "version_0"
+    assert (root / "checkpoints" / "last.npz").exists()
+    assert (root / "metrics.jsonl").exists()
+    assert (root / "run_config.yaml").exists()
