@@ -17,7 +17,18 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the ~300 s whole-model compile happens
+    # once per shape, later bench runs start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _calibrated_frozen_quartznet

@@ -1,0 +1,173 @@
+"""Beam search decoding (native C++ with optional ARPA LM).
+
+Equivalent of the reference BeamSearchDecoderWithLM
+(modules/beam_search_decoder.py:16-104), which wraps the external
+`ctc_decoders` C++/SWIG package.  Here the native decoder is in-tree
+(qasr_tpu/native/ctc_beam_search.cpp), compiled on demand with g++ and
+loaded via ctypes; `beam_search_python` is a pure-Python reference of the
+same algorithm used for cross-checking and as a fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+import tempfile
+from collections import defaultdict
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _build_native() -> str:
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "ctc_beam_search.cpp"))
+    out = os.path.abspath(os.path.join(_NATIVE_DIR, "libctc_beam.so"))
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", out,
+           "-pthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(_build_native())
+        lib.qasr_lm_load.restype = ctypes.c_void_p
+        lib.qasr_lm_load.argtypes = [ctypes.c_char_p]
+        lib.qasr_lm_free.argtypes = [ctypes.c_void_p]
+        lib.qasr_lm_order.restype = ctypes.c_int
+        lib.qasr_lm_order.argtypes = [ctypes.c_void_p]
+        lib.qasr_beam_search_batch.restype = ctypes.c_int
+        lib.qasr_beam_search_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ]
+        _LIB = lib
+    return _LIB
+
+
+class BeamSearchDecoderWithLM:
+    """Reference API (beam_search_decoder.py:19-104): vocab, beam_width,
+    alpha, beta, lm_path, num_cpus, cutoff_prob, cutoff_top_n; __call__ takes
+    (log_probs (B,T,V+1), lengths) and returns per-sample n-best
+    [(score, text), ...] lists."""
+
+    def __init__(self, vocab: Sequence[str], beam_width: int = 128,
+                 alpha: float = 0.0, beta: float = 0.0,
+                 lm_path: Optional[str] = None, num_cpus: int = 4,
+                 cutoff_prob: float = 1.0, cutoff_top_n: int = 40):
+        self.vocab = list(vocab)
+        self.beam_width = beam_width
+        self.alpha = alpha
+        self.beta = beta
+        self.num_cpus = num_cpus
+        self.cutoff_prob = cutoff_prob
+        self.cutoff_top_n = cutoff_top_n
+        self._lm = None
+        if lm_path:
+            self._lm = _lib().qasr_lm_load(lm_path.encode())
+            if not self._lm:
+                raise FileNotFoundError(f"cannot load ARPA LM: {lm_path}")
+
+    def __del__(self):
+        if getattr(self, "_lm", None):
+            try:
+                _lib().qasr_lm_free(self._lm)
+            except Exception:
+                pass
+
+    def __call__(self, log_probs: np.ndarray, log_probs_length: np.ndarray,
+                 n_best: int = 1) -> List[List[Tuple[float, str]]]:
+        lp = np.ascontiguousarray(np.asarray(log_probs, np.float32))
+        lens = np.ascontiguousarray(np.asarray(log_probs_length, np.int32))
+        b, t, v = lp.shape
+        assert v == len(self.vocab) + 1, "blank must be the last index"
+        max_text = t + 1
+        texts = ctypes.create_string_buffer(b * n_best * max_text)
+        scores = (ctypes.c_double * (b * n_best))()
+        blob = "\x1f".join(self.vocab).encode("utf-8")
+        rc = _lib().qasr_beam_search_batch(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b, t, v, blob, self.beam_width, self.alpha, self.beta,
+            self.cutoff_prob, self.cutoff_top_n,
+            self._lm, n_best, max_text, texts, scores, self.num_cpus)
+        if rc != 0:
+            raise RuntimeError(f"beam search failed: rc={rc}")
+        out: List[List[Tuple[float, str]]] = []
+        for i in range(b):
+            cand = []
+            for j in range(n_best):
+                s = scores[i * n_best + j]
+                if s == -math.inf:
+                    break
+                raw = texts.raw[(i * n_best + j) * max_text:
+                                (i * n_best + j + 1) * max_text]
+                cand.append((float(s), raw.split(b"\x00")[0].decode("utf-8")))
+            out.append(cand)
+        return out
+
+    def forward(self, log_probs, log_probs_length):  # reference method name
+        return self(log_probs, log_probs_length)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (cross-check / fallback)
+# ---------------------------------------------------------------------------
+
+
+def beam_search_python(log_probs: np.ndarray, vocab: Sequence[str],
+                       beam_width: int = 16, n_best: int = 1,
+                       cutoff_top_n: int = 0) -> List[Tuple[float, str]]:
+    """Prefix beam search on one utterance (T, V+1), blank last, no LM."""
+    t_len, v = log_probs.shape
+    blank = v - 1
+    NEG = -math.inf
+
+    def lse(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + math.log1p(math.exp(-abs(a - b)))
+
+    beams = {(): (0.0, NEG)}  # prefix(tuple of ids) -> (p_b, p_nb)
+    for t in range(t_len):
+        row = log_probs[t]
+        order = np.argsort(row)[::-1]
+        if cutoff_top_n > 0:
+            order = order[:cutoff_top_n]
+        nxt = defaultdict(lambda: (NEG, NEG))
+        for ids, (p_b, p_nb) in beams.items():
+            last = ids[-1] if ids else -1
+            ptot = lse(p_b, p_nb)
+            for s in order:
+                p = float(row[s])
+                if s == blank:
+                    b_, nb_ = nxt[ids]
+                    nxt[ids] = (lse(b_, ptot + p), nb_)
+                    continue
+                if s == last:
+                    b_, nb_ = nxt[ids]
+                    nxt[ids] = (b_, lse(nb_, p_nb + p))
+                    base = p_b
+                else:
+                    base = ptot
+                nids = ids + (int(s),)
+                b_, nb_ = nxt[nids]
+                nxt[nids] = (b_, lse(nb_, base + p))
+        ranked = sorted(nxt.items(), key=lambda kv: -lse(*kv[1]))
+        beams = dict(ranked[:beam_width])
+    finals = sorted(((lse(pb, pnb), "".join(vocab[i] for i in ids))
+                     for ids, (pb, pnb) in beams.items()), key=lambda x: -x[0])
+    return finals[:n_best]

@@ -1,0 +1,374 @@
+// CTC prefix beam search with optional ARPA n-gram LM rescoring.
+//
+// Native replacement for the reference's external `ctc_decoders` C++/SWIG
+// package (OpenSeq2Seq branch; built by scripts/install_ctc_decoders.sh and
+// wrapped at nemo/collections/asr/modules/beam_search_decoder.py:60-104).
+// Differences: the LM is a self-contained ARPA reader (no KenLM link);
+// batching is parallelized with std::thread; the ABI is plain C for ctypes.
+//
+// Algorithm: prefix beam search (Hannun et al. 2014) in log space with
+// per-step top-n/cutoff-prob pruning; word-level LM scoring applied when a
+// space closes a word, final partial word scored at the end; ranking score
+//   log P_ctc(prefix) + alpha * log10 P_lm(words) + beta * |words|
+// matching the ctc_decoders scoring convention.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC ctc_beam_search.cpp -o libctc_beam.so -pthread
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <limits>
+#include <memory>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+
+inline double log_sum_exp(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  double m = a > b ? a : b;
+  return m + std::log1p(std::exp(-(a > b ? a - b : b - a)));
+}
+
+// ---------------------------------------------------------------------------
+// ARPA n-gram language model (word level)
+// ---------------------------------------------------------------------------
+
+struct ArpaLM {
+  // key: space-joined n-gram; value: (log10 prob, log10 backoff)
+  std::unordered_map<std::string, std::pair<float, float>> table;
+  int order = 0;
+  float unk_logp = -10.0f;
+
+  static std::unique_ptr<ArpaLM> Load(const char* path) {
+    std::ifstream f(path);
+    if (!f.is_open()) return nullptr;
+    auto lm = std::make_unique<ArpaLM>();
+    std::string line;
+    int cur_order = 0;
+    bool in_grams = false;
+    while (std::getline(f, line)) {
+      // strip trailing \r
+      while (!line.empty() && (line.back() == '\r' || line.back() == '\n'))
+        line.pop_back();
+      if (line.empty()) continue;
+      if (line[0] == '\\') {
+        if (line == "\\end\\") break;
+        size_t g = line.find("-grams:");
+        if (g != std::string::npos) {
+          cur_order = std::atoi(line.substr(1, g - 1).c_str());
+          lm->order = std::max(lm->order, cur_order);
+          in_grams = true;
+        } else {
+          in_grams = false;
+        }
+        continue;
+      }
+      if (!in_grams || cur_order == 0) continue;
+      // "logp<TAB>w1 w2 ... wN[<TAB>backoff]"
+      std::istringstream ss(line);
+      float logp;
+      if (!(ss >> logp)) continue;
+      std::string words, w;
+      for (int i = 0; i < cur_order; ++i) {
+        if (!(ss >> w)) { words.clear(); break; }
+        if (i) words += ' ';
+        words += w;
+      }
+      if (words.empty()) continue;
+      float backoff = 0.0f;
+      ss >> backoff;  // absent -> stays 0
+      lm->table.emplace(std::move(words), std::make_pair(logp, backoff));
+      if (cur_order == 1 && line.find("<unk>") != std::string::npos)
+        lm->unk_logp = logp;
+    }
+    return lm;
+  }
+
+  // log10 P(word | context words), with standard backoff recursion.
+  float Score(const std::vector<std::string>& context,
+              const std::string& word) const {
+    int max_ctx = std::min<int>(order - 1, (int)context.size());
+    for (int n = max_ctx; n >= 0; --n) {
+      std::string key;
+      for (int i = (int)context.size() - n; i < (int)context.size(); ++i) {
+        key += context[i];
+        key += ' ';
+      }
+      key += word;
+      auto it = table.find(key);
+      if (it != table.end()) {
+        float bo = 0.0f;
+        // accumulated backoff of the skipped longer contexts
+        for (int m = max_ctx; m > n; --m) {
+          std::string bkey;
+          for (int i = (int)context.size() - m; i < (int)context.size(); ++i) {
+            if (!bkey.empty()) bkey += ' ';
+            bkey += context[i];
+          }
+          auto bit = table.find(bkey);
+          if (bit != table.end()) bo += bit->second.second;
+        }
+        return it->second.first + bo;
+      }
+    }
+    return unk_logp;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Prefix beam search
+// ---------------------------------------------------------------------------
+
+struct Prefix {
+  std::vector<int> ids;        // label ids (no blanks, collapsed)
+  double p_b = kNegInf;        // log prob ending in blank
+  double p_nb = kNegInf;       // log prob ending in non-blank
+  double lm_logp = 0.0;        // accumulated log10 LM prob of closed words
+  int word_count = 0;
+
+  double p_total() const { return log_sum_exp(p_b, p_nb); }
+};
+
+struct PrefixKey {
+  size_t operator()(const std::vector<int>& v) const {
+    size_t h = 1469598103934665603ull;
+    for (int x : v) {
+      h ^= (size_t)(x + 0x9e3779b9);
+      h *= 1099511628211ull;
+    }
+    return h;
+  }
+};
+
+std::string ids_to_text(const std::vector<int>& ids,
+                        const std::vector<std::string>& vocab) {
+  std::string out;
+  for (int id : ids) out += vocab[id];
+  return out;
+}
+
+std::vector<std::string> last_words(const std::string& text, int max_words) {
+  std::vector<std::string> words;
+  std::istringstream ss(text);
+  std::string w;
+  while (ss >> w) words.push_back(w);
+  if ((int)words.size() > max_words)
+    words.erase(words.begin(), words.end() - max_words);
+  return words;
+}
+
+void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
+                const std::vector<std::string>& vocab, int space_id,
+                int beam_width, float alpha, float beta, float cutoff_prob,
+                int cutoff_top_n, const ArpaLM* lm, int n_best,
+                std::vector<std::pair<double, std::string>>* out) {
+  using Map = std::unordered_map<std::vector<int>, Prefix, PrefixKey>;
+  Map beams;
+  Prefix root;
+  root.p_b = 0.0;
+  beams.emplace(std::vector<int>{}, root);
+
+  std::vector<int> idx(V);
+  for (int t = 0; t < T; ++t) {
+    const float* row = lp + (size_t)t * V;
+    // per-step pruning: top-n symbols and cumulative cutoff_prob
+    for (int v = 0; v < V; ++v) idx[v] = v;
+    int keep = std::min(cutoff_top_n > 0 ? cutoff_top_n : V, V);
+    std::partial_sort(idx.begin(), idx.begin() + keep, idx.end(),
+                      [&](int a, int b) { return row[a] > row[b]; });
+    if (cutoff_prob < 1.0f) {
+      double cum = 0.0;
+      int k = 0;
+      for (; k < keep; ++k) {
+        cum += std::exp((double)row[idx[k]]);
+        if (cum >= cutoff_prob) { ++k; break; }
+      }
+      keep = std::max(1, k);
+    }
+
+    Map next;
+    next.reserve(beams.size() * (keep + 1));
+    for (auto& kv : beams) {
+      const std::vector<int>& ids = kv.first;
+      const Prefix& pre = kv.second;
+      int last = ids.empty() ? -1 : ids.back();
+      for (int k = 0; k < keep; ++k) {
+        int s = idx[k];
+        double p = row[s];
+        if (s == blank) {
+          Prefix& nx = next.try_emplace(ids, Prefix{}).first->second;
+          if (nx.ids.empty() && !ids.empty()) nx.ids = ids;
+          nx.lm_logp = pre.lm_logp;
+          nx.word_count = pre.word_count;
+          nx.p_b = log_sum_exp(nx.p_b, pre.p_total() + p);
+          continue;
+        }
+        // extend with repeated last symbol: stays same prefix (non-blank path)
+        if (s == last) {
+          Prefix& same = next.try_emplace(ids, Prefix{}).first->second;
+          if (same.ids.empty() && !ids.empty()) same.ids = ids;
+          same.lm_logp = pre.lm_logp;
+          same.word_count = pre.word_count;
+          same.p_nb = log_sum_exp(same.p_nb, pre.p_nb + p);
+        }
+        // new extended prefix
+        std::vector<int> nids = ids;
+        nids.push_back(s);
+        Prefix& ext = next.try_emplace(std::move(nids), Prefix{}).first->second;
+        if (ext.ids.empty()) {
+          ext.ids = ids;
+          ext.ids.push_back(s);
+        }
+        double base = (s == last) ? pre.p_b : pre.p_total();
+        double add = base + p;
+        if (ext.p_nb == kNegInf) {
+          ext.lm_logp = pre.lm_logp;
+          ext.word_count = pre.word_count;
+          if (lm && s == space_id) {
+            // a space closes the current word: score it
+            std::string text = ids_to_text(ids, vocab);
+            size_t ws = text.find_last_of(' ');
+            std::string word =
+                ws == std::string::npos ? text : text.substr(ws + 1);
+            if (!word.empty()) {
+              std::string ctx_text = ws == std::string::npos
+                                         ? std::string()
+                                         : text.substr(0, ws);
+              auto ctx = last_words(ctx_text, lm->order - 1);
+              ext.lm_logp = pre.lm_logp + lm->Score(ctx, word);
+              ext.word_count = pre.word_count + 1;
+            }
+          }
+        }
+        ext.p_nb = log_sum_exp(ext.p_nb, add);
+      }
+    }
+    // prune to beam_width by score
+    std::vector<std::pair<double, const std::vector<int>*>> ranked;
+    ranked.reserve(next.size());
+    for (auto& kv : next) {
+      double score = kv.second.p_total() +
+                     alpha * kv.second.lm_logp + beta * kv.second.word_count;
+      ranked.emplace_back(score, &kv.first);
+    }
+    int bw = std::min<int>(beam_width, (int)ranked.size());
+    std::partial_sort(ranked.begin(), ranked.begin() + bw, ranked.end(),
+                      [](auto& a, auto& b) { return a.first > b.first; });
+    Map pruned;
+    pruned.reserve(bw);
+    for (int i = 0; i < bw; ++i) pruned.emplace(*ranked[i].second,
+                                                next[*ranked[i].second]);
+    beams.swap(pruned);
+  }
+
+  // final ranking; score the trailing partial word too
+  std::vector<std::pair<double, std::string>> finals;
+  finals.reserve(beams.size());
+  for (auto& kv : beams) {
+    const Prefix& p = kv.second;
+    std::string text = ids_to_text(kv.first, vocab);
+    double lm_logp = p.lm_logp;
+    int wc = p.word_count;
+    if (lm) {
+      size_t ws = text.find_last_of(' ');
+      std::string word = ws == std::string::npos ? text : text.substr(ws + 1);
+      if (!word.empty()) {
+        auto ctx = last_words(
+            ws == std::string::npos ? std::string() : text.substr(0, ws),
+            lm->order - 1);
+        lm_logp += lm->Score(ctx, word);
+        wc += 1;
+      }
+    }
+    double score = p.p_total() + alpha * lm_logp + beta * wc;
+    finals.emplace_back(score, std::move(text));
+  }
+  std::sort(finals.begin(), finals.end(),
+            [](auto& a, auto& b) { return a.first > b.first; });
+  if ((int)finals.size() > n_best) finals.resize(n_best);
+  *out = std::move(finals);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* qasr_lm_load(const char* arpa_path) {
+  auto lm = ArpaLM::Load(arpa_path);
+  return lm ? lm.release() : nullptr;
+}
+
+void qasr_lm_free(void* lm) { delete reinterpret_cast<ArpaLM*>(lm); }
+
+int qasr_lm_order(void* lm) {
+  return lm ? reinterpret_cast<ArpaLM*>(lm)->order : 0;
+}
+
+// log_probs: (B, T, V) float32 row-major; lengths: (B,) int32.
+// vocab_blob: '\x1f'-separated utf-8 symbols (V-1 of them; blank is last id).
+// out_texts: (B * n_best * max_text) char buffer; out_scores: (B * n_best).
+// Returns 0 on success.
+int qasr_beam_search_batch(const float* log_probs, const int32_t* lengths,
+                           int B, int T, int V, const char* vocab_blob,
+                           int beam_width, float alpha, float beta,
+                           float cutoff_prob, int cutoff_top_n, void* lm_ptr,
+                           int n_best, int max_text, char* out_texts,
+                           double* out_scores, int num_threads) {
+  std::vector<std::string> vocab;
+  {
+    std::string blob(vocab_blob);
+    size_t start = 0;
+    while (start <= blob.size()) {
+      size_t end = blob.find('\x1f', start);
+      if (end == std::string::npos) {
+        vocab.push_back(blob.substr(start));
+        break;
+      }
+      vocab.push_back(blob.substr(start, end - start));
+      start = end + 1;
+    }
+  }
+  if ((int)vocab.size() != V - 1) return -1;
+  int blank = V - 1;
+  int space_id = -1;
+  for (int i = 0; i < (int)vocab.size(); ++i)
+    if (vocab[i] == " ") space_id = i;
+  const ArpaLM* lm = reinterpret_cast<ArpaLM*>(lm_ptr);
+
+  std::memset(out_texts, 0, (size_t)B * n_best * max_text);
+  for (int i = 0; i < B * n_best; ++i) out_scores[i] = kNegInf;
+
+  auto work = [&](int b) {
+    std::vector<std::pair<double, std::string>> out;
+    int t_len = std::min(lengths[b], T);
+    decode_one(log_probs + (size_t)b * T * V, t_len, V, blank, vocab, space_id,
+               beam_width, alpha, beta, cutoff_prob, cutoff_top_n, lm, n_best,
+               &out);
+    for (int i = 0; i < (int)out.size(); ++i) {
+      out_scores[(size_t)b * n_best + i] = out[i].first;
+      std::strncpy(out_texts + ((size_t)b * n_best + i) * max_text,
+                   out[i].second.c_str(), max_text - 1);
+    }
+  };
+
+  int nt = std::max(1, std::min(num_threads, B));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int b = t; b < B; b += nt) work(b);
+    });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+}  // extern "C"
