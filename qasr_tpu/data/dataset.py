@@ -67,10 +67,12 @@ class AudioToCharDataset:
         trim: bool = False,
         normalize_transcripts: bool = True,
         parser: str = "en",
+        augmentor=None,
     ):
         self.labels = list(labels)
         self.sample_rate = sample_rate
         self.trim = trim
+        self.augmentor = augmentor
         self.parser = make_parser(self.labels, parser,
                                   do_normalize=normalize_transcripts)
         entries = []
@@ -97,6 +99,8 @@ class AudioToCharDataset:
         e, tokens = self.items[i]
         sig = read_audio(e.audio_file, self.sample_rate, offset=e.offset,
                          duration=e.duration or None, trim=self.trim)
+        if self.augmentor is not None:
+            sig = self.augmentor.perturb(sig, self.sample_rate)
         return sig, np.asarray(tokens, np.int32)
 
 

@@ -246,6 +246,48 @@ class MelFrontend:
         return mel, seq_len
 
 
+def dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n_mels, n_mfcc) — torchaudio MFCC semantics
+    (reference AudioToMFCCPreprocessor, audio_preprocessing.py:257-340)."""
+    n = np.arange(n_mels)[:, None]
+    k = np.arange(n_mfcc)[None, :]
+    basis = np.cos(np.pi / n_mels * (n + 0.5) * k)
+    basis *= np.sqrt(2.0 / n_mels)
+    basis[:, 0] *= 1.0 / np.sqrt(2.0)
+    return basis.astype(np.float32)
+
+
+class MFCCFrontend(MelFrontend):
+    """AudioToMFCCPreprocessor equivalent: log-mel -> DCT-II -> n_mfcc."""
+
+    def __init__(self, cfg: FeatureConfig, n_mfcc: int = 64):
+        super().__init__(cfg)
+        self.n_mfcc = n_mfcc
+        self.dct = jnp.asarray(dct_matrix(n_mfcc, cfg.features))
+
+    def __call__(self, x, lengths, *, rng=None, dither=None):
+        mel, seq_len = super().__call__(x, lengths, rng=rng, dither=dither)
+        mfcc = jnp.matmul(mel, self.dct, precision=jax.lax.Precision.HIGHEST)
+        return mfcc, seq_len
+
+
+def crop_or_pad_spectrogram(x: Array, lengths: Array, audio_length: int,
+                            pad_value: float = 0.0):
+    """CropOrPadSpectrogramAugmentation (audio_preprocessing.py:443-585):
+    center-crop or symmetric-pad the time axis to `audio_length` frames."""
+    t = x.shape[1]
+    if t > audio_length:
+        start = (t - audio_length) // 2
+        x = x[:, start : start + audio_length, :]
+        lengths = jnp.minimum(lengths, audio_length)
+    elif t < audio_length:
+        total = audio_length - t
+        left = total // 2
+        x = jnp.pad(x, ((0, 0), (left, total - left), (0, 0)),
+                    constant_values=pad_value)
+    return x, jnp.full_like(lengths, audio_length)
+
+
 def _normalize_per_feature(x: Array, mask: Array, seq_len: Array) -> Array:
     """(x - mean)/(std + 1e-5) per (sample, feature) over valid frames;
     std uses Bessel's correction like torch.std (features.py:53-67)."""
