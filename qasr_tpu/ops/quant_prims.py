@@ -196,13 +196,18 @@ def _rshift_round_half_even(hi: Array, lo: Array, e: Array) -> Array:
     floorB = hi >> f
     hrem = hi & ((1 << f) - 1)
     hb = 1 << jnp.maximum(f - 1, 0)
-    gtB = jnp.where(f == 0, lo > jnp.uint32(1 << 31),
-                    (hrem > hb) | ((hrem == hb) & (lo > 0)))
-    eqB = jnp.where(f == 0, lo == jnp.uint32(1 << 31), (hrem == hb) & (lo == 0))
+    # int32-valued selects (Mosaic cannot select between i1 vectors)
+    gtB = jnp.where(f == 0, (lo > jnp.uint32(1 << 31)).astype(jnp.int32),
+                    ((hrem > hb) | ((hrem == hb) & (lo > 0))).astype(jnp.int32)) == 1
+    eqB = jnp.where(f == 0, (lo == jnp.uint32(1 << 31)).astype(jnp.int32),
+                    ((hrem == hb) & (lo == 0)).astype(jnp.int32)) == 1
     upB = gtB | (eqB & ((floorB & 1) == 1))
     rB = floorB + upB.astype(jnp.int32)
     rB = jnp.where(e > 62, 0, rB)
-    return jnp.where(e <= 31, rA, rB)
+    r = jnp.where(e <= 31, rA, rB)
+    # saturate far above any activation clamp bound (<= 2**9) but low enough
+    # that summing two results (residual add) cannot overflow int32
+    return jnp.minimum(r, jnp.int32(1 << 26))
 
 
 def dyadic_requant(z: Array, d: Dyadic) -> Array:
