@@ -1,0 +1,324 @@
+"""RNN-Transducer: prediction network, joint, loss, greedy/beam decoding.
+
+Equivalent of the reference RNNT stack:
+  - RNNTDecoder (prediction network: embedding + LSTM stack,
+    modules/rnnt.py:50-300; forget_gate_bias init rnnt.py:126)
+  - RNNTJoint (enc/pred projections -> add -> activation -> vocab logits,
+    modules/rnnt.py:486-700)
+  - RNNT loss (losses/rnnt.py:36-107 wraps the warprnnt CUDA extension) —
+    here a pure-JAX log-space forward recursion, vectorized over (U) and
+    scanned over T (TPU-friendly: static shapes, lax.scan, no host syncs)
+  - greedy decoding (parts/rnnt_greedy_decoding.py) as a lax.while_loop-free
+    batched host loop over device-stepped LSTM cells, and beam search
+    (parts/rnnt_beam_decoding.py, 'default' algorithm) on host.
+
+Layout: encoder outputs (B, T, D); labels (B, U).  Blank id = num_classes
+(last), matching the CTC convention used across this framework.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+HI = jax.lax.Precision.HIGHEST
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Prediction network (embedding + LSTM)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RNNTConfig:
+    num_classes: int            # vocab size WITHOUT blank
+    enc_hidden: int
+    pred_hidden: int = 320
+    pred_rnn_layers: int = 1
+    joint_hidden: int = 320
+    activation: str = "relu"
+    forget_gate_bias: float = 1.0
+
+    @property
+    def blank_id(self) -> int:
+        return self.num_classes
+
+
+def init_rnnt_params(seed, cfg: RNNTConfig) -> Dict[str, Any]:
+    rng = seed if isinstance(seed, np.random.Generator) else np.random.default_rng(seed)
+
+    def uni(shape, fan_in):
+        b = 1.0 / math.sqrt(fan_in)
+        return rng.uniform(-b, b, shape).astype(np.float32)
+
+    h = cfg.pred_hidden
+    layers = []
+    for i in range(cfg.pred_rnn_layers):
+        din = h
+        lp = {
+            "wi": uni((din, 4 * h), h), "wh": uni((h, 4 * h), h),
+            "b": np.zeros((4 * h,), np.float32),
+        }
+        # forget gate bias init (rnnt.py:126, gates ordered i,f,g,o)
+        lp["b"][h: 2 * h] = cfg.forget_gate_bias
+        layers.append(lp)
+    return {
+        # embedding with a dedicated blank row used as start-of-sequence
+        "embed": rng.normal(0, 1.0, (cfg.num_classes + 1, h)).astype(np.float32),
+        "lstm": layers,
+        "joint": {
+            "enc": {"w": uni((cfg.enc_hidden, cfg.joint_hidden), cfg.enc_hidden),
+                    "b": np.zeros((cfg.joint_hidden,), np.float32)},
+            "pred": {"w": uni((h, cfg.joint_hidden), h),
+                     "b": np.zeros((cfg.joint_hidden,), np.float32)},
+            "out": {"w": uni((cfg.joint_hidden, cfg.num_classes + 1), cfg.joint_hidden),
+                    "b": np.zeros((cfg.num_classes + 1,), np.float32)},
+        },
+    }
+
+
+class LSTMState(NamedTuple):
+    h: Array  # (layers, B, H)
+    c: Array
+
+
+def lstm_init_state(cfg: RNNTConfig, batch: int) -> LSTMState:
+    z = jnp.zeros((cfg.pred_rnn_layers, batch, cfg.pred_hidden), jnp.float32)
+    return LSTMState(z, z)
+
+
+def _lstm_cell(p, x, h, c):
+    gates = jnp.matmul(x, p["wi"], precision=HI) + \
+        jnp.matmul(h, p["wh"], precision=HI) + p["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+    return h2, c2
+
+
+def pred_step(params, cfg: RNNTConfig, token: Array, state: LSTMState
+              ) -> Tuple[Array, LSTMState]:
+    """One prediction-network step: token ids (B,) -> (B, H), new state.
+    Blank id embeds the start-of-sequence row (RNNTDecoder.predict
+    semantics: SOS == blank, rnnt.py:153-230)."""
+    x = jnp.take(jnp.asarray(params["embed"]), token, axis=0)
+    hs, cs = [], []
+    for li, lp in enumerate(params["lstm"]):
+        h2, c2 = _lstm_cell(lp, x, state.h[li], state.c[li])
+        hs.append(h2)
+        cs.append(c2)
+        x = h2
+    return x, LSTMState(jnp.stack(hs), jnp.stack(cs))
+
+
+def pred_network(params, cfg: RNNTConfig, targets: Array) -> Array:
+    """Teacher-forced prediction net over (B, U) targets -> (B, U+1, H)
+    with the SOS (blank) step first (RNNTDecoder.forward, rnnt.py:142-151)."""
+    b, u = targets.shape
+    sos = jnp.full((b, 1), cfg.blank_id, targets.dtype)
+    tokens = jnp.concatenate([sos, targets], axis=1)  # (B, U+1)
+
+    def step(state, tok):
+        out, state2 = pred_step(params, cfg, tok, state)
+        return state2, out
+
+    _, outs = jax.lax.scan(step, lstm_init_state(cfg, b), tokens.T)
+    return outs.transpose(1, 0, 2)  # (B, U+1, H)
+
+
+def joint(params, cfg: RNNTConfig, enc: Array, pred: Array) -> Array:
+    """(B,T,De) x (B,U+1,Dp) -> (B,T,U+1,V+1) logits (RNNTJoint.forward,
+    rnnt.py:640-700: project both, add, activation, project to vocab)."""
+    jp = params["joint"]
+    f = jnp.matmul(enc, jp["enc"]["w"], precision=HI) + jp["enc"]["b"]
+    g = jnp.matmul(pred, jp["pred"]["w"], precision=HI) + jp["pred"]["b"]
+    x = f[:, :, None, :] + g[:, None, :, :]
+    if cfg.activation == "relu":
+        x = jax.nn.relu(x)
+    elif cfg.activation == "tanh":
+        x = jnp.tanh(x)
+    elif cfg.activation == "sigmoid":
+        x = jax.nn.sigmoid(x)
+    return jnp.matmul(x, jp["out"]["w"], precision=HI) + jp["out"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# RNNT loss (log-space forward algorithm)
+# ---------------------------------------------------------------------------
+
+
+def rnnt_loss(log_probs: Array, targets: Array, input_lengths: Array,
+              target_lengths: Array, blank_id: int,
+              reduction: str = "mean_batch") -> Array:
+    """Negative log-likelihood of the RNNT lattice.
+
+    log_probs: (B, T, U+1, V+1) log-softmaxed joint outputs.
+    Replaces warprnnt_pytorch (losses/rnnt.py:36-107) with a lax.scan over
+    time of a vectorized in-row recursion:
+        alpha[t, u] = lse(alpha[t-1, u] + blank[t-1, u],
+                          alpha[t, u-1] + emit[t, u-1])
+    The in-row (u) recursion is a cumulative carry computed with an inner
+    scan over U (U ~ tens to low hundreds; fine under jit).
+    """
+    b, t_max, u1, _ = log_probs.shape
+    u_max = u1 - 1
+    blank_lp = log_probs[:, :, :, blank_id]  # (B, T, U+1)
+    emit_lp = jnp.take_along_axis(
+        log_probs[:, :, :u_max, :],
+        targets[:, None, :, None].astype(jnp.int32), axis=-1
+    )[..., 0]  # (B, T, U): log p(y_u | t, u)
+
+    u_range = jnp.arange(u1)
+    u_valid = u_range[None, :] <= target_lengths[:, None]  # (B, U+1)
+
+    def row_update(alpha_prev_t, t):
+        # horizontal move: from alpha[t-1, u] emitting blank at (t-1, u)
+        horiz = alpha_prev_t + blank_lp[:, t - 1, :]
+        # then vertical (emit) moves within row t via cumulative carry
+        # emission moves within time step t: alpha[t,u] <- alpha[t,u-1]
+        # consuming label u-1; horiz already holds the blank-transition mass
+        def ustep(carry, u):
+            val = jnp.where(u == 0, horiz[:, 0],
+                            jnp.logaddexp(horiz[:, u],
+                                          carry + emit_lp[:, t, u - 1]))
+            return val, val
+        _, rows = jax.lax.scan(ustep, jnp.full((b,), NEG_INF), u_range)
+        alpha_t = rows.T  # (B, U+1)
+        return jnp.where(u_valid, alpha_t, NEG_INF)
+
+    # t = 0 row: only emission moves from alpha[0,0] = 0
+    def u0step(carry, u):
+        val = jnp.where(u == 0, jnp.zeros((b,)),
+                        carry + emit_lp[:, 0, u - 1])
+        return val, val
+    _, rows0 = jax.lax.scan(u0step, jnp.full((b,), NEG_INF), u_range)
+    alpha0 = jnp.where(u_valid, rows0.T, NEG_INF)
+
+    def scan_t(alpha, t):
+        alpha_t = row_update(alpha, t)
+        return alpha_t, alpha_t
+
+    _, alphas = jax.lax.scan(scan_t, alpha0, jnp.arange(1, t_max))
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # (T, B, U+1)
+
+    # ll = alpha[T_b - 1, U_b] + blank(T_b - 1, U_b)
+    t_idx = (input_lengths - 1).astype(jnp.int32)
+    u_idx = target_lengths.astype(jnp.int32)
+    batch_idx = jnp.arange(b)
+    final_alpha = alphas[t_idx, batch_idx, u_idx]
+    final_blank = blank_lp[batch_idx, t_idx, u_idx]
+    nll = -(final_alpha + final_blank)
+    if reduction == "mean_batch":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "none":
+        return nll
+    if reduction == "mean":
+        return jnp.mean(nll / jnp.maximum(target_lengths, 1))
+    raise ValueError(reduction)
+
+
+# ---------------------------------------------------------------------------
+# Greedy decoding (GreedyRNNTInfer, parts/rnnt_greedy_decoding.py)
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
+                  max_symbols_per_step: int = 10) -> List[List[int]]:
+    """Batched greedy RNNT decoding.  Per frame: emit symbols until blank
+    (capped at max_symbols_per_step), advancing the prediction net only on
+    non-blank — the standard transducer greedy algorithm."""
+    enc = np.asarray(enc)
+    b, t_max, _ = enc.shape
+    enc_lens = np.asarray(enc_lens)
+
+    step_jit = jax.jit(lambda tok, st: pred_step(params, cfg, tok, st))
+    joint_jit = jax.jit(
+        lambda e, g: jax.nn.log_softmax(
+            joint(params, cfg, e[:, None, :], g[:, None, :])[:, 0, 0], axis=-1))
+
+    state = lstm_init_state(cfg, b)
+    g, state = step_jit(jnp.full((b,), cfg.blank_id, jnp.int32), state)
+    hyps: List[List[int]] = [[] for _ in range(b)]
+    for t in range(t_max):
+        active = enc_lens > t
+        if not active.any():
+            break
+        e_t = jnp.asarray(enc[:, t])
+        for _ in range(max_symbols_per_step):
+            lp = np.asarray(joint_jit(e_t, g))
+            sym = lp.argmax(-1)
+            emit = (sym != cfg.blank_id) & active
+            if not emit.any():
+                break
+            tok = np.where(emit, sym, cfg.blank_id).astype(np.int32)
+            g2, state2 = step_jit(jnp.asarray(tok), state)
+            # only advance pred-net state where a symbol was emitted
+            keep = jnp.asarray(emit)[:, None]
+            g = jnp.where(keep, g2, g)
+            state = LSTMState(
+                jnp.where(keep[None], state2.h, state.h),
+                jnp.where(keep[None], state2.c, state.c))
+            for i in np.nonzero(emit)[0]:
+                hyps[int(i)].append(int(sym[i]))
+    return hyps
+
+
+# ---------------------------------------------------------------------------
+# Beam decoding ('default' algorithm of parts/rnnt_beam_decoding.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Hypothesis:
+    score: float
+    y_sequence: List[int]
+    dec_state: Any
+    g: Any
+
+
+def beam_decode_one(params, cfg: RNNTConfig, enc_t: np.ndarray,
+                    beam_size: int = 4) -> List[int]:
+    """Beam search over one utterance's encoder frames (T, D)."""
+    step_jit = jax.jit(lambda tok, st: pred_step(params, cfg, tok, st))
+    joint_jit = jax.jit(
+        lambda e, g: jax.nn.log_softmax(
+            joint(params, cfg, e[None, None, :], g[:, None, :])[:, 0, 0], axis=-1))
+
+    state = lstm_init_state(cfg, 1)
+    g, state = step_jit(jnp.full((1,), cfg.blank_id, jnp.int32), state)
+    beams = [Hypothesis(0.0, [], state, g)]
+    for t in range(enc_t.shape[0]):
+        e = jnp.asarray(enc_t[t])
+        # expand: A* style one-symbol expansion per frame (max_expansions=beam)
+        cand: List[Hypothesis] = []
+        for hyp in beams:
+            lp = np.asarray(joint_jit(e, hyp.g))[0]
+            # blank: stay
+            cand.append(Hypothesis(hyp.score + float(lp[cfg.blank_id]),
+                                   hyp.y_sequence, hyp.dec_state, hyp.g))
+            top = np.argsort(lp)[::-1]
+            for k in top[: beam_size]:
+                if k == cfg.blank_id:
+                    continue
+                g2, st2 = step_jit(jnp.full((1,), int(k), jnp.int32), hyp.dec_state)
+                cand.append(Hypothesis(hyp.score + float(lp[k]),
+                                       hyp.y_sequence + [int(k)], st2, g2))
+        cand.sort(key=lambda h: h.score, reverse=True)
+        # merge identical label sequences
+        seen: Dict[tuple, Hypothesis] = {}
+        for h in cand:
+            key = tuple(h.y_sequence)
+            if key in seen:
+                seen[key].score = float(np.logaddexp(seen[key].score, h.score))
+            else:
+                seen[key] = h
+        beams = sorted(seen.values(), key=lambda h: h.score, reverse=True)[:beam_size]
+    return beams[0].y_sequence

@@ -1,0 +1,93 @@
+"""EncDecRNNTModel: transducer ASR model (reference models/rnnt_models.py).
+
+Composes the mel frontend + a float encoder (Jasper/QuartzNet block stack or
+Conformer) + the RNNT prediction/joint networks, with the pure-JAX RNNT loss
+and greedy/beam decoding from models/rnnt.py.  The reference's RNNT path is
+inherited NeMo and unquantized (SURVEY.md §2.2); same here — quantization
+applies to the CTC family.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qasr_tpu.models.config import ModelConfig
+from qasr_tpu.models.jasper import (
+    EncoderPlan, FloatExec, build_encoder_plan, encoder_forward,
+    init_encoder_params,
+)
+from qasr_tpu.models.rnnt import (
+    RNNTConfig, beam_decode_one, greedy_decode, init_rnnt_params, joint,
+    pred_network, rnnt_loss,
+)
+from qasr_tpu.models.config import preprocessor_config_from_dict
+from qasr_tpu.ops.features import MelFrontend
+
+
+@dataclass
+class RNNTModel:
+    cfg: ModelConfig
+    rnnt_cfg: RNNTConfig
+    plan: EncoderPlan
+    frontend: MelFrontend
+    params: Dict[str, Any]  # {'encoder', 'rnnt'}
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, rnnt_cfg: Optional[RNNTConfig] = None,
+                    seed: int = 0) -> "RNNTModel":
+        plan = build_encoder_plan(cfg.encoder)
+        rng = np.random.default_rng(seed)
+        if rnnt_cfg is None:
+            rnnt_cfg = RNNTConfig(num_classes=len(cfg.labels),
+                                  enc_hidden=plan.feat_out)
+        params = {
+            "encoder": init_encoder_params(rng, plan),
+            "rnnt": init_rnnt_params(rng, rnnt_cfg),
+        }
+        return cls(cfg=cfg, rnnt_cfg=rnnt_cfg, plan=plan,
+                   frontend=MelFrontend(preprocessor_config_from_dict(cfg.preprocessor)),
+                   params=params)
+
+    # -- training ----------------------------------------------------------
+
+    def loss_fn(self, params, audio, alens, targets, tlens, rng=None):
+        feats, feat_lens = self.frontend(audio, alens, rng=rng)
+        ex = FloatExec(params["encoder"], activation=self.plan.activation)
+        enc, enc_lens = encoder_forward(ex, self.plan, feats, feat_lens)
+        pred = pred_network(params["rnnt"], self.rnnt_cfg, targets)
+        logits = joint(params["rnnt"], self.rnnt_cfg, enc, pred)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return rnnt_loss(log_probs, targets, enc_lens, tlens,
+                         self.rnnt_cfg.blank_id)
+
+    # -- inference ----------------------------------------------------------
+
+    def encode(self, audio, alens):
+        @jax.jit
+        def enc_fn(params, audio, alens):
+            feats, feat_lens = self.frontend(audio, alens, dither=0.0)
+            ex = FloatExec(params["encoder"], activation=self.plan.activation)
+            return encoder_forward(ex, self.plan, feats, feat_lens)
+
+        return enc_fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
+
+    def transcribe_greedy(self, audio, alens) -> List[str]:
+        enc, enc_lens = self.encode(audio, alens)
+        hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc, enc_lens)
+        labels = list(self.cfg.labels)
+        return ["".join(labels[i] for i in h) for h in hyps]
+
+    def transcribe_beam(self, audio, alens, beam_size: int = 4) -> List[str]:
+        enc, enc_lens = self.encode(audio, alens)
+        enc = np.asarray(enc)
+        labels = list(self.cfg.labels)
+        out = []
+        for i in range(enc.shape[0]):
+            ids = beam_decode_one(self.params["rnnt"], self.rnnt_cfg,
+                                  enc[i, : int(enc_lens[i])], beam_size)
+            out.append("".join(labels[j] for j in ids))
+        return out

@@ -1,0 +1,101 @@
+"""RNNT tests: loss vs exhaustive DP ground truth, gradients, decoding."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qasr_tpu.models.rnnt import (
+    RNNTConfig, greedy_decode, init_rnnt_params, joint, pred_network,
+    rnnt_loss, beam_decode_one,
+)
+
+
+def _ref_rnnt_nll(lp, target, t_len, u_len, blank):
+    """Pure-python float64 forward algorithm."""
+    alpha = np.full((t_len, u_len + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for t in range(t_len):
+        for u in range(u_len + 1):
+            if t == 0 and u == 0:
+                continue
+            c = []
+            if t > 0:
+                c.append(alpha[t - 1, u] + lp[t - 1, u, blank])
+            if u > 0:
+                c.append(alpha[t, u - 1] + lp[t, u - 1, target[u - 1]])
+            alpha[t, u] = np.logaddexp.reduce(c) if c else -np.inf
+    return -(alpha[t_len - 1, u_len] + lp[t_len - 1, u_len, blank])
+
+
+def test_rnnt_loss_matches_reference_dp(rng):
+    B, T, U, V = 3, 7, 4, 5
+    logits = rng.normal(size=(B, T, U + 1, V + 1)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    targets = rng.integers(0, V, size=(B, U)).astype(np.int32)
+    t_lens = np.asarray([7, 5, 6], np.int32)
+    u_lens = np.asarray([4, 2, 3], np.int32)
+    got = rnnt_loss(jnp.asarray(lp), jnp.asarray(targets), jnp.asarray(t_lens),
+                    jnp.asarray(u_lens), blank_id=V, reduction="none")
+    for i in range(B):
+        want = _ref_rnnt_nll(lp[i], targets[i], int(t_lens[i]), int(u_lens[i]), V)
+        np.testing.assert_allclose(float(got[i]), want, rtol=1e-4)
+
+
+def test_rnnt_loss_grad_finite(rng):
+    B, T, U, V = 2, 5, 3, 4
+    logits = jnp.asarray(rng.normal(size=(B, T, U + 1, V + 1)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, V, size=(B, U)).astype(np.int32))
+    t_lens = jnp.asarray([5, 4], jnp.int32)
+    u_lens = jnp.asarray([3, 2], jnp.int32)
+
+    def f(lg):
+        return rnnt_loss(jax.nn.log_softmax(lg, -1), targets, t_lens, u_lens, V)
+
+    g = jax.grad(f)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    # grads flow only into valid region for sample 1 (t<4, u<=2)
+    assert np.allclose(np.asarray(g)[1, 4], 0.0)
+
+
+def test_pred_network_and_joint_shapes(rng):
+    cfg = RNNTConfig(num_classes=28, enc_hidden=32, pred_hidden=16,
+                     joint_hidden=24, pred_rnn_layers=2)
+    params = init_rnnt_params(0, cfg)
+    targets = jnp.asarray(rng.integers(0, 28, size=(2, 6)).astype(np.int32))
+    pred = pred_network(params, cfg, targets)
+    assert pred.shape == (2, 7, 16)
+    enc = jnp.asarray(rng.normal(size=(2, 9, 32)).astype(np.float32))
+    logits = joint(params, cfg, enc, pred)
+    assert logits.shape == (2, 9, 7, 29)
+
+
+def test_greedy_and_beam_decode_smoke(rng):
+    cfg = RNNTConfig(num_classes=6, enc_hidden=8, pred_hidden=8, joint_hidden=8)
+    params = init_rnnt_params(0, cfg)
+    enc = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+    lens = np.asarray([6, 4], np.int32)
+    hyps = greedy_decode(params, cfg, enc, lens)
+    assert len(hyps) == 2
+    assert all(all(0 <= s < 6 for s in h) for h in hyps)
+    ids = beam_decode_one(params, cfg, np.asarray(enc)[0], beam_size=2)
+    assert all(0 <= s < 6 for s in ids)
+
+
+def test_rnnt_model_end_to_end(rng):
+    from qasr_tpu.models.config import DecoderConfig, ModelConfig
+    from qasr_tpu.models.rnnt_model import RNNTModel
+    from tests.test_jasper_model import tiny_encoder_cfg, FEAT
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0})
+    m = RNNTModel.from_config(cfg)
+    audio = rng.normal(size=(2, 4000)).astype(np.float32) * 0.1
+    alens = np.asarray([4000, 3000], np.int32)
+    targets = jnp.asarray(rng.integers(0, 28, size=(2, 5)).astype(np.int32))
+    tlens = jnp.asarray([5, 3], jnp.int32)
+    loss = m.loss_fn(m.params, jnp.asarray(audio), jnp.asarray(alens),
+                     targets, tlens)
+    assert np.isfinite(float(loss))
+    texts = m.transcribe_greedy(audio, alens)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
