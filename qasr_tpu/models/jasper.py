@@ -101,6 +101,8 @@ class BlockPlan:
     dropout: float
     groups: int
     se: bool
+    se_reduction_ratio: int = 8
+    se_context_window: int = -1
 
 
 @dataclass(frozen=True)
@@ -160,7 +162,9 @@ def build_encoder_plan(cfg: EncoderConfig) -> EncoderPlan:
         blocks.append(BlockPlan(
             index=bi, convs=tuple(convs), res=tuple(res), residual=b.residual,
             dense_residual=dense_residual, residual_mode=b.residual_mode,
-            dropout=b.dropout, groups=b.groups, se=b.se))
+            dropout=b.dropout, groups=b.groups, se=b.se,
+            se_reduction_ratio=b.se_reduction_ratio,
+            se_context_window=b.se_context_size))
         feat_in = b.filters
     return EncoderPlan(blocks=tuple(blocks), activation=cfg.activation,
                        feat_in=cfg.feat_in * cfg.frame_splicing, feat_out=feat_in)
@@ -201,11 +205,20 @@ def _init_conv(rng: np.random.Generator, spec: ConvSpec, dtype=np.float32) -> Di
 def init_encoder_params(seed, plan: EncoderPlan) -> Dict[str, Any]:
     rng = seed if isinstance(seed, np.random.Generator) else np.random.default_rng(
         int(np.asarray(seed).sum()) if hasattr(seed, "shape") else seed)
-    return {"blocks": [
-        {"convs": [_init_conv(rng, s) for s in bp.convs],
-         "res": [_init_conv(rng, s) for s in bp.res]}
-        for bp in plan.blocks
-    ]}
+    blocks = []
+    for bp in plan.blocks:
+        b = {"convs": [_init_conv(rng, s) for s in bp.convs],
+             "res": [_init_conv(rng, s) for s in bp.res]}
+        if bp.se:
+            # SqueezeExcite fc stack (jasper.py:271-275): C -> C/r -> C, no bias
+            c = bp.convs[-1].out_ch
+            r = max(c // bp.se_reduction_ratio, 1)
+            a1 = math.sqrt(6.0 / (c + r))
+            a2 = math.sqrt(6.0 / (r + c))
+            b["se"] = {"fc1": rng.uniform(-a1, a1, (c, r)).astype(np.float32),
+                       "fc2": rng.uniform(-a2, a2, (r, c)).astype(np.float32)}
+        blocks.append(b)
+    return {"blocks": blocks}
 
 
 def init_decoder_params(seed, cfg: DecoderConfig, dtype=np.float32) -> Dict[str, Any]:
@@ -436,6 +449,24 @@ class FloatExec:
     def group_shuffle(self, x, groups):
         return group_shuffle(x, groups)
 
+    def squeeze_excite(self, block_idx: int, x: Array, bp: "BlockPlan") -> Array:
+        """SqueezeExcite (jasper.py:234-290): global (or windowed) time-avg ->
+        fc1 -> relu -> fc2 -> sigmoid gate.  Float path only; the reference
+        asserts quantization is unsupported here too (jasper.py:399)."""
+        p = self.params["blocks"][block_idx]["se"]
+        if bp.se_context_window <= 0:
+            y = jnp.mean(x, axis=1, keepdims=True)  # AdaptiveAvgPool1d(1)
+        else:
+            w = bp.se_context_window
+            # AvgPool1d(window, stride=1) then nearest upsample back to T
+            c = jnp.cumsum(jnp.pad(x, ((0, 0), (1, 0), (0, 0))), axis=1)
+            y = (c[:, w:] - c[:, :-w]) / w  # (B, T-w+1, C)
+            reps = -(-x.shape[1] // y.shape[1])
+            y = jnp.repeat(y, reps, axis=1)[:, : x.shape[1]]
+        y = jnp.matmul(jax.nn.relu(jnp.matmul(y, p["fc1"], precision=jax.lax.Precision.HIGHEST)),
+                       p["fc2"], precision=jax.lax.Precision.HIGHEST)
+        return x * jax.nn.sigmoid(y)
+
 
 def _ema_ranges(state, bmin, bmax, momentum):
     """QuantAct running-stat update: init-on-first-batch then EMA
@@ -561,6 +592,10 @@ class QuantExec:
     def group_shuffle(self, x, groups):
         raise NotImplementedError("grouped convs are not supported in quant mode")
 
+    def squeeze_excite(self, block_idx, x, bp):
+        # same restriction as the reference (jasper.py:399)
+        raise NotImplementedError("SqueezeExcite does not support quantization")
+
 
 def _conv_operands(xv: Array, wv: Array, act_bits: int):
     """Cast conv operands to int8 when ranges allow — int8 x int8 -> int32
@@ -585,6 +620,8 @@ def block_forward(exec_, bp: BlockPlan, xs: List[Any], lens: Array):
             out = exec_.group_shuffle(out, bp.groups)
         if spec.end_of_repeat and ci != n - 1:
             out = exec_.activation(out, bp.dropout)
+    if bp.se:
+        out = exec_.squeeze_excite(bp.index, out, bp)
     if bp.residual:
         for pi, rspec in enumerate(bp.res):
             res_out, _ = exec_.masked_conv((bp.index, "res", pi), rspec, xs[pi], lens_orig)

@@ -146,6 +146,9 @@ class ScaleFreezeExec:
     def group_shuffle(self, x, groups):
         raise NotImplementedError("grouped convs unsupported in quant mode")
 
+    def squeeze_excite(self, block_idx, x, bp):
+        raise NotImplementedError("SqueezeExcite does not support quantization")
+
 
 def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
                  qcfg: QuantConfig, dec_cfg: DecoderConfig):
@@ -245,6 +248,9 @@ class FrozenExec:
 
     def group_shuffle(self, x, groups):
         raise NotImplementedError
+
+    def squeeze_excite(self, block_idx, x, bp):
+        raise NotImplementedError("SqueezeExcite does not support quantization")
 
     # -- decoder -----------------------------------------------------------
 
