@@ -150,7 +150,7 @@ def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any]]:
 
     with tempfile.TemporaryDirectory() as td:
         with tarfile.open(path, "r:*") as tar:
-            tar.extractall(td)  # noqa: S202 - trusted local artifact
+            tar.extractall(td, filter="data")
         cfg_path = os.path.join(td, "model_config.yaml")
         weights = os.path.join(td, "model_weights.ckpt")
         with open(cfg_path) as f:

@@ -86,7 +86,7 @@ def load_qasr(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
 
     with tempfile.TemporaryDirectory() as td:
         with tarfile.open(path, "r:*") as tar:
-            tar.extractall(td)  # noqa: S202 - local artifact
+            tar.extractall(td, filter="data")
         with open(os.path.join(td, "model_config.yaml")) as f:
             cfg = yaml.safe_load(f)
         with np.load(os.path.join(td, "arrays.npz"), allow_pickle=False) as z:

@@ -1,0 +1,53 @@
+"""Model export (deployment artifacts).
+
+Equivalent of the reference Exportable mixin (core/classes/exportable.py:
+43-212, ONNX/TorchScript): on TPU the portable deployment format is
+serialized StableHLO via jax.export — hermetic, weight-embedded, reloadable
+without any qasr_tpu code.  The reference's enc+dec ONNX stitching
+(export_utils.attach_onnx_to_onnx, export_utils.py:192-232) is unnecessary:
+the whole pipeline is one jitted function.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+from jax import export as jax_export
+
+
+def export_fn(fn: Callable, example_args: Sequence[Any],
+              platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+    """Serialize a jittable function (weights closed over) to StableHLO."""
+    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(
+        *[jax.ShapeDtypeStruct(jax.numpy.shape(a), a.dtype) for a in example_args])
+    return exported.serialize()
+
+
+def load_exported(blob: bytes):
+    """Deserialize; returns an object whose .call(*args) runs the model."""
+    return jax_export.deserialize(blob)
+
+
+def export_frozen_ctc(model, batch: int, num_samples: int, path: str) -> str:
+    """Export the frozen integer CTC pipeline (mel -> int8 encoder ->
+    decoder -> greedy ids) for the given static shape."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.models.jasper import encoder_forward
+    from qasr_tpu.quantize.freeze import FrozenExec
+
+    tables = model.freeze()
+    frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
+
+    def fn(audio, lengths):
+        feats, feat_lens = frontend(audio, lengths, dither=0.0)
+        fx = FrozenExec(tables, qcfg, activation=plan.activation)
+        enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
+        return jnp.argmax(fx.decoder(enc), axis=-1), enc_lens
+
+    audio = jnp.zeros((batch, num_samples), jnp.float32)
+    lens = jnp.zeros((batch,), jnp.int32)
+    blob = export_fn(fn, (audio, lens))
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
