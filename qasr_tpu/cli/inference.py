@@ -36,6 +36,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--dynamic", action="store_true",
                         help="Dynamic quantization mode.")
     parser.add_argument("--no_quant", action="store_true", help="No quantization mode.")
+    # decoding (native C++ beam search + ARPA LM; the reference needs the
+    # external ctc_decoders package for this, beam_search_decoder.py:16-104)
+    parser.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    parser.add_argument("--beam_width", type=int, default=128)
+    parser.add_argument("--alpha", type=float, default=0.0, help="LM weight")
+    parser.add_argument("--beta", type=float, default=0.0, help="word bonus")
+    parser.add_argument("--lm_path", type=str, default=None,
+                        help="ARPA n-gram LM for beam rescoring")
     # debugging
     parser.add_argument("--eval_early_stop", type=int, default=None,
                         help="early stop for debugging")
@@ -92,13 +100,23 @@ def main(argv=None) -> float:
     # ---------------- evaluation (inference.py:133-159) -----------------
     print("Evaluating...")
     model.set_dynamic(args.dynamic)
+    beam = None
+    if args.decoder == "beam":
+        from qasr_tpu.decode.beam_search import BeamSearchDecoderWithLM
+        beam = BeamSearchDecoderWithLM(
+            list(model.vocabulary), beam_width=args.beam_width,
+            alpha=args.alpha, beta=args.beta, lm_path=args.lm_path)
     hypotheses, references = [], []
     labels_map = dict(enumerate(model.vocabulary))
     for i, (audio, alens, tokens, tlens) in enumerate(loader):
         if i == args.eval_early_stop:
             break
         log_probs, enc_lens, preds = model.forward(audio, alens)
-        hypotheses += ctc_collapse(preds, model.blank_id, model.vocabulary, enc_lens)
+        if beam is not None:
+            hypotheses += [c[0][1] if c else "" for c in beam(log_probs, enc_lens)]
+        else:
+            hypotheses += ctc_collapse(preds, model.blank_id, model.vocabulary,
+                                       enc_lens)
         for b in range(tokens.shape[0]):
             references.append("".join(labels_map[int(c)]
                                       for c in tokens[b][: int(tlens[b])]))

@@ -1,0 +1,98 @@
+"""Streaming / chunked long-audio inference.
+
+The reference bounds utterance length at 16.7 s (max_duration filtering,
+conf/quartznet_15x5.yaml:17) and has no streaming story.  Convolutional
+encoders have a finite receptive field, so long audio can be processed in
+fixed-size chunks with left/right context equal to (half) the receptive
+field and the center regions stitched — constant memory, constant compiled
+shape, arbitrary audio length.
+
+When the chunk context covers the full receptive field, stitched encoder
+outputs are exactly the full-utterance outputs (verified in tests with
+utterance-level normalization disabled; with per-feature normalization the
+stats are chunk-local, the standard streaming approximation).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from qasr_tpu.models.jasper import EncoderPlan
+
+
+def receptive_field(plan: EncoderPlan) -> Tuple[int, int]:
+    """(receptive field in input frames, total stride) of the conv stack."""
+    rf = 1
+    stride_total = 1
+    for bp in plan.blocks:
+        for spec in bp.convs:
+            rf += (spec.kernel - 1) * spec.dilation * stride_total
+            stride_total *= spec.stride
+        for spec in bp.res:  # residual 1x1s don't extend the field
+            pass
+    return rf, stride_total
+
+
+@dataclass
+class StreamingTranscriber:
+    """Chunked greedy transcription over an ASRModel (CTC family).
+
+    chunk_frames/context_frames are in mel-frame units (hop = 10 ms); both
+    are rounded to multiples of pad_to * total_stride so chunk shapes are
+    static and output indices align.
+    """
+
+    model: "ASRModel"  # noqa: F821
+    chunk_frames: int = 1600          # 16 s of frames per step
+    context_frames: Optional[int] = None  # default: half the receptive field
+
+    def __post_init__(self):
+        plan = self.model.plan
+        self.rf, self.stride = receptive_field(plan)
+        quantum = 16 * self.stride
+        fcfg = self.model.frontend.cfg
+        # STFT center-padding makes ~n_fft/(2*hop) edge frames window-local
+        stft_edge = -(-fcfg.n_fft // (2 * fcfg.hop_length)) + 1
+        if self.context_frames is None:
+            self.context_frames = -(-(self.rf // 2 + stft_edge) // quantum) * quantum
+        self.chunk_frames = max(-(-self.chunk_frames // quantum) * quantum, quantum)
+        self.context_frames = -(-self.context_frames // quantum) * quantum
+        self.hop = fcfg.hop_length
+
+    def predictions(self, audio: np.ndarray) -> np.ndarray:
+        """Greedy ids for one long mono signal, chunk-stitched."""
+        hop, s = self.hop, self.stride
+        n_frames = int(math.ceil(len(audio) / hop))
+        chunk, ctx = self.chunk_frames, self.context_frames
+        win = chunk + 2 * ctx
+        out: List[np.ndarray] = []
+        for start in range(0, n_frames, chunk):
+            # anchor windows inside the real signal: the first chunk keeps
+            # the utterance's own start so STFT reflect-padding and conv
+            # zero-padding match the full-utterance computation exactly
+            w0 = max(0, start - ctx)
+            s0 = w0 * hop
+            s1 = min(len(audio), (w0 + win) * hop)
+            seg = audio[s0:s1]
+            full = win * hop
+            if len(seg) < full:
+                seg = np.concatenate([seg, np.zeros(full - len(seg), audio.dtype)])
+            seg_len = s1 - s0
+            _, el, preds = self.model.forward(seg[None], np.asarray([seg_len]))
+            # valid center region: input frames [start, start+chunk)
+            o0 = (start - w0) // s
+            valid_in = min(chunk, n_frames - start)
+            o1 = o0 + -(-valid_in // s)
+            o1 = min(o1, int(el[0]))
+            out.append(preds[0, o0:o1])
+        return np.concatenate(out) if out else np.zeros((0,), np.int64)
+
+    def transcribe(self, audio: np.ndarray) -> str:
+        from qasr_tpu.decode.ctc import ctc_collapse
+
+        preds = self.predictions(audio)
+        return ctc_collapse(preds[None], self.model.blank_id,
+                            self.model.vocabulary)[0]

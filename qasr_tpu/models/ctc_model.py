@@ -239,6 +239,24 @@ class ASRModel:
         return freeze_model(self.plan, self.params["encoder"], self.params["decoder"],
                             self.qstate, self.qcfg, self.cfg.decoder)
 
+    def change_vocabulary(self, new_vocabulary: Sequence[str]) -> None:
+        """Swap the decoder head for a new label set, keeping the encoder
+        (ctc_models.py:214-263 semantics: used for fine-tuning transfer)."""
+        if list(new_vocabulary) == list(self.vocabulary):
+            return
+        import dataclasses as dc
+
+        dec_cfg = dc.replace(self.cfg.decoder, num_classes=len(new_vocabulary),
+                             vocabulary=tuple(new_vocabulary))
+        self.cfg = dc.replace(self.cfg, decoder=dec_cfg,
+                              labels=tuple(new_vocabulary))
+        rng = np.random.default_rng(0)
+        self.params = dict(self.params,
+                           decoder=init_decoder_params(rng, dec_cfg))
+        self.qstate["decoder_act"] = {"x_min": np.zeros((), np.float32),
+                                      "x_max": np.zeros((), np.float32)}
+        self._jit_cache.clear()
+
     # ------------------------------------------------------------------
     # transcribe (ctc_models.py:150-212)
     # ------------------------------------------------------------------

@@ -157,8 +157,30 @@ def noam_annealing(base_lr, d_model, max_steps, min_lr=0.0,
     return sched
 
 
+def warmup_hold_cosine(base_lr, max_steps, min_lr=0.0, warmup_steps=None,
+                       warmup_ratio=None, hold_steps=0, hold_ratio=None) -> Schedule:
+    """WarmupHoldPolicy + cosine (lr_scheduler.py:84-159 + PolynomialHold
+    pattern): warmup, plateau at base_lr for hold_steps, then anneal."""
+    w = _resolve_warmup(warmup_steps, warmup_ratio, max_steps)
+    h = int(hold_ratio * max_steps) if hold_ratio is not None else int(hold_steps)
+    span = max(max_steps - w - h, 1)
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step + 1) / (w + 1)
+        s = jnp.clip(step - w - h, 0, None)
+        mult = 0.5 * (1 + jnp.cos(jnp.pi * s / span))
+        ann = (base_lr - min_lr) * mult + min_lr
+        out = jnp.where(step <= w, warm,
+                        jnp.where(step < w + h, base_lr, ann))
+        return jnp.where(step > max_steps, min_lr, out)
+
+    return sched
+
+
 SCHEDULES = {
     "CosineAnnealing": cosine_annealing,
+    "WarmupHoldCosineAnnealing": warmup_hold_cosine,
     "SquareAnnealing": square_annealing,
     "SquareRootAnnealing": squareroot_annealing,
     "PolynomialDecayAnnealing": polynomial_decay_annealing,

@@ -1,0 +1,50 @@
+"""Streaming/chunked inference: stitched predictions must equal the
+full-utterance predictions when chunk context covers the receptive field
+(normalization disabled so features are chunk-independent)."""
+import numpy as np
+import pytest
+
+from qasr_tpu.decode.streaming import StreamingTranscriber, receptive_field
+from qasr_tpu.models.config import DecoderConfig, ModelConfig
+from qasr_tpu.models.ctc_model import ASRModel
+from tests.test_jasper_model import tiny_encoder_cfg, FEAT
+
+
+def _model():
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0,
+                                    "normalize": False})
+    return ASRModel.from_config(cfg)
+
+
+def test_receptive_field_calc():
+    m = _model()
+    rf, stride = receptive_field(m.plan)
+    # tiny cfg: k7 s2 sep (dw rf+6) + 2 blocks of 2x(k5 dw at stride 2)
+    assert stride == 2
+    assert rf == 1 + 6 + 4 * (4 * 2)
+
+
+def test_streaming_matches_full(rng):
+    m = _model()
+    m.set_quant_mode("none")
+    audio = (rng.normal(size=64000) * 0.1).astype(np.float32)
+    # full-utterance reference
+    _, el, preds_full = m.forward(audio[None].copy(),
+                                  np.asarray([len(audio)], np.int32),
+                                  mode="fp32")
+    st = StreamingTranscriber(m, chunk_frames=96, context_frames=64)
+    preds_stream = st.predictions(audio)
+    n = int(el[0])
+    assert len(preds_stream) >= n
+    agree = np.mean(preds_full[0, :n] == preds_stream[:n])
+    assert agree == 1.0, agree
+
+
+def test_streaming_transcribe_smoke(rng):
+    m = _model()
+    m.set_quant_mode("none")
+    st = StreamingTranscriber(m, chunk_frames=96)
+    text = st.transcribe((rng.normal(size=40000) * 0.1).astype(np.float32))
+    assert isinstance(text, str)
