@@ -134,6 +134,46 @@ def collate_batch(batch, quantum: int = BUCKET_QUANTUM):
     return audio, alens, tokens, tl
 
 
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around any batch iterable.
+
+    Fills the role of the reference's DALI pipeline (data/audio_to_text_dali.py:
+    74-447): overlap host-side decode/augment/collate with device compute.
+    On TPU the mel frontend itself is already on-device, so the host work is
+    just wav decode + padding — a small thread pool suffices.
+    """
+
+    def __init__(self, loader, prefetch: int = 4, num_threads: int = 2):
+        self.loader = loader
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
 class DataLoader:
     """Minimal host-side loader: batching + optional shard slicing for data
     parallelism (the tarred-dataset 'scatter' strategy's role,
