@@ -468,6 +468,55 @@ class FloatExec:
         return x * jax.nn.sigmoid(y)
 
 
+class QATExec(FloatExec):
+    """Quantization-aware training executor: FloatExec + STE fake-quant on
+    weights (per-channel) and pre-conv activations (per-tensor, EMA ranges).
+
+    The reference trains with quant_mode='symmetric' forced at construction
+    (ctc_models.py:103-107) and `qm.train` unfixing every op
+    (quantize_model.py:69-71); this is the same capability with well-defined
+    gradients (STE) and float BatchNorm batch statistics during training.
+    """
+
+    def __init__(self, params, qstate, qcfg, *, activation: str,
+                 train: bool = True, rng=None):
+        super().__init__(params, activation=activation, train=train, rng=rng)
+        self.qcfg = qcfg
+        self.qstate = qstate
+        self.new_qstate = jax.tree_util.tree_map(lambda x: x, qstate)
+
+    def masked_conv(self, site, spec: ConvSpec, x: Array, lens: Array):
+        from qasr_tpu.ops.fake_quant import fake_quant_acts, fake_quant_weights
+
+        bi, kind, i = site
+        p = dict(self._p(site))
+        x = mask_values(x, lens)
+        bits = self.qcfg.act_bit + (1 if spec.asymmetric else 0)
+        node = self.new_qstate["blocks"][bi][kind]
+        xq, node[i] = fake_quant_acts(x, node[i], bits, self.qcfg.act_momentum)
+        p["w"] = fake_quant_weights(p["w"], self.qcfg.weight_bit)
+        new_lens = conv_out_len(lens, spec)
+        y = conv_nwc(xq, p["w"], spec, p.get("b"))
+        if spec.has_bn and "bn" in p:
+            bn = p["bn"]
+            if self.train:
+                mu = jnp.mean(y, axis=(0, 1))
+                var = jnp.var(y, axis=(0, 1))
+            else:
+                mu, var = bn["mean"], bn["var"]
+            y = (y - mu) / jnp.sqrt(var + BN_EPS) * bn["gamma"] + bn["beta"]
+        return y, new_lens
+
+    def residual_add(self, block_idx: int, pane: int, out, res_out, mode: str):
+        from qasr_tpu.ops.fake_quant import fake_quant_acts
+
+        s = out + res_out if mode in ("add", "stride_add") else jnp.maximum(out, res_out)
+        node = self.new_qstate["blocks"][block_idx]
+        sq, node["res_act"] = fake_quant_acts(s, node["res_act"], self.qcfg.act_bit,
+                                              self.qcfg.act_momentum)
+        return sq
+
+
 def _ema_ranges(state, bmin, bmax, momentum):
     """QuantAct running-stat update: init-on-first-batch then EMA
     (quant_modules.py:127-141)."""

@@ -66,10 +66,12 @@ def make_optimizer(cfg: TrainConfig):
 
 class Trainer:
     def __init__(self, model: ASRModel, cfg: TrainConfig,
-                 spec_aug: Optional[SpecAugmentConfig] = None, mesh=None):
+                 spec_aug: Optional[SpecAugmentConfig] = None, mesh=None,
+                 qat: bool = False):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        self.qat = qat  # quantization-aware training (STE fake-quant)
         if spec_aug is None and model.cfg.spec_augment:
             spec_aug = SpecAugmentConfig.from_dict(model.cfg.spec_augment)
         self.spec_aug = spec_aug
@@ -86,8 +88,15 @@ class Trainer:
         feats, feat_lens = model.frontend(audio, alens, rng=k_dither)
         if self.spec_aug is not None:
             feats = spec_augment(k_spec, feats, self.spec_aug)
-        ex = FloatExec(params["encoder"], activation=model.plan.activation,
-                       train=True, rng=k_drop)
+        if self.qat:
+            from qasr_tpu.models.jasper import QATExec
+
+            ex = QATExec(params["encoder"], model.qstate, model.qcfg,
+                         activation=model.plan.activation, train=True,
+                         rng=k_drop)
+        else:
+            ex = FloatExec(params["encoder"], activation=model.plan.activation,
+                           train=True, rng=k_drop)
         enc, enc_lens = encoder_forward(ex, model.plan, feats, feat_lens)
         log_probs = decoder_forward_float(params["decoder"], enc)
         loss = ctc_loss(log_probs, enc_lens, tokens, tlens, model.blank_id)
