@@ -233,11 +233,12 @@ class ASRModel:
         self.qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self._jit_cache.clear()
 
-    def freeze(self):
+    def freeze(self, dyadic_mode: str = "static_e"):
         if not self.folded:
             raise RuntimeError("call bn_folding() before freeze()")
         return freeze_model(self.plan, self.params["encoder"], self.params["decoder"],
-                            self.qstate, self.qcfg, self.cfg.decoder)
+                            self.qstate, self.qcfg, self.cfg.decoder,
+                            dyadic_mode=dyadic_mode)
 
     def change_vocabulary(self, new_vocabulary: Sequence[str]) -> None:
         """Swap the decoder head for a new label set, keeping the encoder

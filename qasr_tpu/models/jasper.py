@@ -349,7 +349,14 @@ def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
         x = x.transpose(0, 2, 1, 3).reshape(-1, sh[1], spec.heads)
     groups = spec.groups if spec.heads == -1 else spec.heads
     if preferred == jnp.int32 and w.shape[1] == 1 and groups == x.shape[-1]:
-        y = _depthwise_conv_int(x, w, spec.stride, spec.padding, spec.dilation)
+        if spec.stride in (1, 2) and jax.default_backend() == "tpu" and x.ndim == 3:
+            # Pallas kernel: one HBM pass (the HLO sum-of-slices form re-reads
+            # the input K times; profiled at ~85% of the frozen-model step)
+            from qasr_tpu.kernels.depthwise import depthwise_conv_int_pallas
+            y = depthwise_conv_int_pallas(x, w, spec.stride, spec.padding,
+                                          spec.dilation)
+        else:
+            y = _depthwise_conv_int(x, w, spec.stride, spec.padding, spec.dilation)
         if spec.heads != -1:
             t2 = y.shape[1]
             y = y.reshape(sh[0], sh[2] // spec.heads, t2, spec.heads)

@@ -218,10 +218,80 @@ def dyadic_requant(z: Array, d: Dyadic) -> Array:
     Equivalent to the reference's float64 ``torch.round(z * m / 2.0**e)``
     (quant_utils.py:195-196) up to float64 tie-rounding (see module doc).
     """
+    z = z.astype(jnp.int32)  # accept narrow int inputs (int8 activations)
     sign = jnp.sign(z)
     hi, lo = _mul_wide(jnp.abs(z), jnp.broadcast_to(d.m, z.shape))
     r = _rshift_round_half_even(hi, lo, jnp.broadcast_to(d.e, z.shape))
     return sign * r
+
+
+def dyadic_from_scale_host_static_e(new_scale: np.ndarray, max_bit: int = 31):
+    """Site-scalar exponent variant: one static shift `e` for the whole
+    (per-channel) scale vector, mantissas Decimal-rounded at that shift.
+
+    e = min over channels of the per-channel exponents, so every mantissa
+    fits in [1, 2**31).  Channels whose own exponent exceeds e lose
+    (e_i - e) mantissa bits (weight-scale spread within a layer, typically
+    <= ~7 bits, i.e. >= 24-bit mantissas — float32-level).  The payoff: all
+    shifts in the requant become compile-time constants, which measures ~5x
+    faster than per-channel shift vectors on the VPU.
+    Returns (m int32 ndarray, e python int).
+    """
+    ns = np.asarray(new_scale, dtype=np.float64).reshape(-1)
+    if not np.all(ns > 0):
+        raise ValueError("dyadic scales must be positive")
+    _, exp = np.frexp(ns.max())
+    e = int(max_bit - exp)  # mantissa of the largest scale uses all 31 bits
+    if e < 1:
+        raise ValueError("requant scale >= 2**30 is unsupported")
+    m = np.empty(ns.shape, dtype=np.int64)
+    scale_2e = Decimal(2) ** e
+    for i, v in enumerate(ns):
+        m[i] = int((Decimal(v) * scale_2e).quantize(Decimal("1"),
+                                                    rounding=decimal.ROUND_HALF_UP))
+    if np.any(m >= (1 << max_bit)):  # ties rounding the max channel up
+        e -= 1
+        m = np.asarray([int((Decimal(v) * (Decimal(2) ** e)).quantize(
+            Decimal("1"), rounding=decimal.ROUND_HALF_UP)) for v in ns], np.int64)
+    m = np.maximum(m, 1)
+    shape = np.asarray(new_scale).shape
+    return m.reshape(shape).astype(np.int32), e
+
+
+def dyadic_requant_static(z: Array, m: Array, e: int) -> Array:
+    """round_half_even(z * m / 2**e) with a *static* exponent.
+
+    Same two-limb exact integer scheme as dyadic_requant, but every shift
+    amount is a Python int, so XLA emits constant-shift vector ops.
+    """
+    assert isinstance(e, int) and 1 <= e
+    z = z.astype(jnp.int32)
+    sign = jnp.sign(z)
+    hi, lo = _mul_wide(jnp.abs(z), jnp.broadcast_to(jnp.asarray(m, jnp.int32), z.shape))
+    one_u = jnp.uint32(1)
+    if e > 62:
+        return jnp.zeros_like(z)
+    if e <= 31:
+        sat = hi >= (1 << max(e - 1, 0))
+        floor = (hi << (32 - e)) + (lo >> jnp.uint32(e)).astype(jnp.int32)
+        bit = ((lo >> jnp.uint32(e - 1)) & one_u).astype(jnp.int32)
+        rest = (lo & jnp.uint32((1 << (e - 1)) - 1)) > 0
+        up = (bit == 1) & (rest | ((floor & 1) == 1))
+        r = jnp.where(sat, jnp.int32(1 << 26), floor + up.astype(jnp.int32))
+    else:
+        f = e - 32
+        floor = hi >> f
+        if f == 0:
+            gt = lo > jnp.uint32(1 << 31)
+            eq = lo == jnp.uint32(1 << 31)
+        else:
+            hrem = hi & ((1 << f) - 1)
+            hb = 1 << (f - 1)
+            gt = (hrem > hb) | ((hrem == hb) & (lo > 0))
+            eq = (hrem == hb) & (lo == 0)
+        up = gt | (eq & ((floor & 1) == 1))
+        r = floor + up.astype(jnp.int32)
+    return sign * jnp.minimum(r, jnp.int32(1 << 26))
 
 
 def requant_clamp(q: Array, bits: int) -> Array:

@@ -36,8 +36,10 @@ from qasr_tpu.ops.quant_prims import (
     Dyadic,
     QTensor,
     dyadic_from_scale_host,
-    requant_clamp,
+    dyadic_from_scale_host_static_e,
     dyadic_requant,
+    dyadic_requant_static,
+    requant_clamp,
 )
 
 Array = jax.Array
@@ -66,11 +68,19 @@ def _weight_tables(w: np.ndarray, b: Optional[np.ndarray], act_scale: np.float32
     return w_int, w_scale, out_scale, b_int
 
 
-def _dyadic(pre_scale: np.ndarray, out_scale: np.float32) -> Dyadic:
+def _dyadic(pre_scale: np.ndarray, out_scale: np.float32, mode: str = "per_channel"):
     """new_scale = f64(pre)/f64(out), matching fixedpoint_mul's
-    _A.double()/_B.double() (quant_utils.py:188-190)."""
+    _A.double()/_B.double() (quant_utils.py:188-190).
+
+    mode 'per_channel': reference-exact 31-bit mantissa per channel (e is a
+    per-channel vector).  mode 'static_e': one static exponent per site —
+    ~5x faster requants on the VPU (constant shifts), >= ~24-bit mantissas.
+    """
     ns = np.asarray(pre_scale, np.float32).astype(np.float64) / np.float64(
         np.float32(out_scale))
+    if mode == "static_e":
+        m, e = dyadic_from_scale_host_static_e(ns)
+        return Dyadic(m, e)  # e: python int (static under jit)
     return dyadic_from_scale_host(ns)
 
 
@@ -86,10 +96,12 @@ class _SVal:
 class ScaleFreezeExec:
     """Host executor: propagates scales, emits tables (no tensor math)."""
 
-    def __init__(self, params, qstate, qcfg: QuantConfig, plan: EncoderPlan):
+    def __init__(self, params, qstate, qcfg: QuantConfig, plan: EncoderPlan,
+                 dyadic_mode: str = "static_e"):
         self.params = params
         self.qstate = qstate
         self.qcfg = qcfg
+        self.dyadic_mode = dyadic_mode
         self.tables: Dict[str, Any] = {
             "blocks": [
                 {"convs": [None] * len(bp.convs), "res": [None] * len(bp.res),
@@ -117,7 +129,7 @@ class ScaleFreezeExec:
         act_scale = _act_scale_f32(x_min, x_max, bits)
         entry: Dict[str, Any] = {"act_scale": np.float32(act_scale)}
         if x.scale is not None:
-            d = _dyadic(x.scale, act_scale)
+            d = _dyadic(x.scale, act_scale, self.dyadic_mode)
             entry["act_m"], entry["act_e"] = d.m, d.e
         w_int, w_scale, out_scale, b_int = _weight_tables(
             np.asarray(p["w"]), np.asarray(p["b"]) if "b" in p else None,
@@ -133,8 +145,8 @@ class ScaleFreezeExec:
                      mode: str):
         x_min, x_max = self._state(("blocks", block_idx, "res_act"))
         act_scale = _act_scale_f32(x_min, x_max, self.qcfg.act_bit)
-        dx = _dyadic(out.scale, act_scale)
-        dr = _dyadic(res_out.scale, act_scale)
+        dx = _dyadic(out.scale, act_scale, self.dyadic_mode)
+        dr = _dyadic(res_out.scale, act_scale, self.dyadic_mode)
         self.tables["blocks"][block_idx]["res_act"].append(
             {"m": dx.m, "e": dx.e, "m_r": dr.m, "e_r": dr.e,
              "scale": np.float32(act_scale)})
@@ -151,16 +163,20 @@ class ScaleFreezeExec:
 
 
 def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
-                 qcfg: QuantConfig, dec_cfg: DecoderConfig):
-    """Host pass producing the frozen integer model (tables pytree)."""
-    fx = ScaleFreezeExec(enc_params, qstate, qcfg, plan)
+                 qcfg: QuantConfig, dec_cfg: DecoderConfig,
+                 dyadic_mode: str = "static_e"):
+    """Host pass producing the frozen integer model (tables pytree).
+
+    dyadic_mode 'static_e' (default, fast) or 'per_channel'
+    (reference-exact 31-bit mantissas; ~5x slower requants)."""
+    fx = ScaleFreezeExec(enc_params, qstate, qcfg, plan, dyadic_mode)
     out_sval, _ = encoder_forward(fx, plan, _SVal(None), np.zeros((1,), np.int64))
     tables = fx.tables
     # decoder: plain act_bit QuantAct + per-channel 1x1 conv (conv_asr.py:260-267)
     x_min = float(np.asarray(qstate["decoder_act"]["x_min"]))
     x_max = float(np.asarray(qstate["decoder_act"]["x_max"]))
     act_scale = _act_scale_f32(x_min, x_max, qcfg.act_bit)
-    d = _dyadic(out_sval.scale, act_scale)
+    d = _dyadic(out_sval.scale, act_scale, dyadic_mode)
     w_int, w_scale, out_scale, b_int = _weight_tables(
         np.asarray(dec_params["w"]), np.asarray(dec_params["b"]),
         act_scale, qcfg.weight_bit)
@@ -192,19 +208,35 @@ class FrozenExec:
     def _act_bits(self, spec: ConvSpec) -> int:
         return self.qcfg.act_bit + (1 if spec.asymmetric else 0)
 
+    @staticmethod
+    def _narrow(q: Array, bits: int) -> Array:
+        """Store activations int8 when they fit: a standalone int32->int8
+        convert feeding a conv measures ~5x slower than a native int8 conv
+        input on v5e; narrowing here fuses the cast into the requant chain
+        and convs consume int8 directly."""
+        return q.astype(jnp.int8) if bits <= 8 else q
+
+    @staticmethod
+    def _requant(z, m, e):
+        if isinstance(e, int):  # static-exponent tables
+            return dyadic_requant_static(z, m, e)
+        return dyadic_requant(z, Dyadic(m, e))
+
     def _requant_in(self, entry, x: Union[Array, QTensor], bits: int) -> QTensor:
         if isinstance(x, QTensor):
-            if self.use_pallas:
+            if self.use_pallas and not isinstance(entry["act_e"], int):
                 from qasr_tpu.kernels.requant import requant_pallas
                 q = requant_pallas(x.values, Dyadic(entry["act_m"], entry["act_e"]),
                                    bits)
-                return QTensor(q, entry["act_scale"])
-            q = dyadic_requant(x.values, Dyadic(entry["act_m"], entry["act_e"]))
-            return QTensor(requant_clamp(q, bits), entry["act_scale"])
+                return QTensor(self._narrow(q, bits), entry["act_scale"])
+            q = self._requant(x.values, entry["act_m"], entry["act_e"])
+            q = requant_clamp(q, bits)
+            return QTensor(self._narrow(q, bits), entry["act_scale"])
         # direct quantization of the float network input
         n = 2 ** (bits - 1) - 1
         q = jnp.round((1.0 / entry["act_scale"]) * x)
-        return QTensor(jnp.clip(q, -n, n - 1).astype(jnp.int32), entry["act_scale"])
+        return QTensor(self._narrow(jnp.clip(q, -n, n - 1).astype(jnp.int32), bits),
+                       entry["act_scale"])
 
     def masked_conv(self, site, spec: ConvSpec, x, lens):
         bi, kind, i = site
@@ -216,8 +248,8 @@ class FrozenExec:
         new_lens = conv_out_len(lens, spec)
         bits = self._act_bits(spec)
         xq = self._requant_in(entry, x, bits)
-        xv = xq.values.astype(jnp.int8) if bits <= 8 else xq.values
-        wv = entry["w"] if bits <= 8 else entry["w"].astype(jnp.int32)
+        xv = xq.values  # already int8 when bits <= 8
+        wv = entry["w"] if xv.dtype == jnp.int8 else entry["w"].astype(jnp.int32)
         y = conv_nwc(xv, wv, spec, preferred=jnp.int32)
         if "b" in entry:
             y = y + entry["b"]
@@ -227,22 +259,25 @@ class FrozenExec:
                      mode: str):
         assert mode in ("add", "stride_add")
         e = self.t["blocks"][block_idx]["res_act"][pane]
-        if self.use_pallas:
+        if self.use_pallas and not isinstance(e["e"], int):
             from qasr_tpu.kernels.requant import requant_pallas
             q = requant_pallas(out.values, Dyadic(e["m"], e["e"]),
                                self.qcfg.act_bit, identity=res_out.values,
                                identity_dyadic=Dyadic(e["m_r"], e["e_r"]))
-            return QTensor(q, e["scale"])
-        q = dyadic_requant(out.values, Dyadic(e["m"], e["e"])) + \
-            dyadic_requant(res_out.values, Dyadic(e["m_r"], e["e_r"]))
-        return QTensor(requant_clamp(q, self.qcfg.act_bit), e["scale"])
+            return QTensor(self._narrow(q, self.qcfg.act_bit), e["scale"])
+        q = self._requant(out.values, e["m"], e["e"]) + \
+            self._requant(res_out.values, e["m_r"], e["e_r"])
+        q = requant_clamp(q, self.qcfg.act_bit)
+        return QTensor(self._narrow(q, self.qcfg.act_bit), e["scale"])
 
     def activation(self, x: QTensor, dropout: float) -> QTensor:
         if self.activation_kind == "relu":
-            return QTensor(jnp.maximum(x.values, 0), x.scale)
+            return QTensor(jnp.maximum(x.values, 0), x.scale)  # dtype-preserving
         if self.activation_kind == "hardtanh":
             hi = jnp.round(20.0 / x.scale).astype(jnp.int32)
-            return QTensor(jnp.clip(x.values, 0, hi), x.scale)
+            if x.values.dtype == jnp.int8:
+                hi = jnp.minimum(hi, 127)
+            return QTensor(jnp.clip(x.values, 0, hi).astype(x.values.dtype), x.scale)
         y = jnp.round(_apply_activation(x.dequantize(), self.activation_kind) / x.scale)
         return QTensor(y.astype(jnp.int32), x.scale)
 
@@ -256,16 +291,16 @@ class FrozenExec:
 
     def decoder(self, x: QTensor) -> Array:
         t = self.t["decoder"]
-        if self.use_pallas:
+        if self.use_pallas and not isinstance(t["act_e"], int):
             from qasr_tpu.kernels.requant import requant_pallas
             q = requant_pallas(x.values, Dyadic(t["act_m"], t["act_e"]),
                                self.qcfg.act_bit)
         else:
-            q = dyadic_requant(x.values, Dyadic(t["act_m"], t["act_e"]))
+            q = self._requant(x.values, t["act_m"], t["act_e"])
             q = requant_clamp(q, self.qcfg.act_bit)
         spec = decoder_spec(q.shape[-1], t["w"].shape[-1])
-        xv = q.astype(jnp.int8) if self.qcfg.act_bit <= 8 else q
-        wv = t["w"] if self.qcfg.act_bit <= 8 else t["w"].astype(jnp.int32)
+        xv = self._narrow(q, self.qcfg.act_bit)
+        wv = t["w"] if xv.dtype == jnp.int8 else t["w"].astype(jnp.int32)
         y = conv_nwc(xv, wv, spec, preferred=jnp.int32) + t["b"]
         logits = y.astype(jnp.float32) * t["out_scale"]
         return jax.nn.log_softmax(logits, axis=-1)

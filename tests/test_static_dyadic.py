@@ -1,0 +1,63 @@
+"""Static-exponent dyadic requant: exactness and closeness to the
+per-channel-exponent reference mode."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qasr_tpu.ops.quant_prims import (
+    Dyadic, dyadic_from_scale_host, dyadic_from_scale_host_static_e,
+    dyadic_requant, dyadic_requant_static, requant_clamp,
+)
+
+
+def test_static_matches_vector_when_e_uniform(rng):
+    z = jnp.asarray(rng.integers(-(2**27), 2**27, size=5000), jnp.int32)
+    m = jnp.asarray(rng.integers(2**30, 2**31, size=()), jnp.int32)
+    for e in (18, 31, 32, 40, 45):
+        a = dyadic_requant(z, Dyadic(m, jnp.int32(e)))
+        b = dyadic_requant_static(z, m, e)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_static_e_decomposition_value(rng):
+    scales = np.abs(rng.normal(size=16).astype(np.float64)) * 1e-3 + 1e-6
+    m, e = dyadic_from_scale_host_static_e(scales)
+    vals = m.astype(np.float64) * 2.0 ** -e
+    # largest channel keeps full 31-bit precision; others lose bits
+    # proportionally to their magnitude but stay within 2**-23 relative
+    rel = np.abs(vals - scales) / scales
+    assert rel.max() < 2**-20, rel.max()
+    assert isinstance(e, int) and m.dtype == np.int32
+    assert m.max() < 2**31 and m.min() >= 1
+
+
+def test_frozen_static_vs_per_channel_pipeline(rng):
+    from qasr_tpu.models.config import QuantConfig
+    from qasr_tpu.models import jasper as J
+    from qasr_tpu.quantize.freeze import FrozenExec, freeze_model
+    from tests.test_jasper_model import make_model, _calibrate
+
+    cfg, plan, enc, dec, dec_cfg = make_model()
+    folded = J.fold_bn_encoder(enc)
+    qcfg = QuantConfig(weight_bit=6, act_bit=6)
+    qstate = J.init_qstate(plan)
+    x = rng.normal(size=(2, 32, 16)).astype(np.float32)
+    lens = np.asarray([32, 32], np.int32)
+    qstate = _calibrate(plan, folded, qstate, qcfg,
+                        [rng.normal(size=(2, 32, 16)).astype(np.float32)
+                         for _ in range(3)], lens)
+    ex = J.QuantExec(folded, qstate, qcfg, activation="relu", update_ranges=True)
+    enc_out, _ = J.encoder_forward(ex, plan, jnp.asarray(x), jnp.asarray(lens))
+    J.decoder_forward_quant(ex, dec, enc_out)
+    qstate = ex.new_qstate
+
+    outs = {}
+    for mode in ("per_channel", "static_e"):
+        tables = freeze_model(plan, folded, dec, qstate, qcfg, dec_cfg,
+                              dyadic_mode=mode)
+        fx = FrozenExec(tables, qcfg, activation="relu")
+        o, _ = J.encoder_forward(fx, plan, jnp.asarray(x), jnp.asarray(lens))
+        outs[mode] = np.asarray(o.values).astype(np.int64)
+    diff = np.abs(outs["per_channel"] - outs["static_e"])
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 0).mean() < 0.02, (diff > 0).mean()
