@@ -36,11 +36,13 @@ def main():
     from qasr_tpu.quantize.freeze import FrozenExec
 
     model = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
-    tables = jax.device_put(model.freeze())
+    # host-numpy tables closed over as constants: the static-exponent dyadic
+    # shifts must stay Python ints (compile-time constants)
+    tables = model.freeze()
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
 
     @jax.jit
-    def fn(tables, audio, lengths):
+    def fn(audio, lengths):
         feats, feat_lens = frontend(audio, lengths, dither=0.0)
         fx = FrozenExec(tables, qcfg, activation=plan.activation)
         enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
@@ -54,13 +56,13 @@ def main():
     lengths = jnp.full((batch,), n, jnp.int32)
 
     # warmup/compile
-    jax.block_until_ready(fn(tables, audio, lengths))
-    jax.block_until_ready(fn(tables, audio, lengths))
+    jax.block_until_ready(fn(audio, lengths))
+    jax.block_until_ready(fn(audio, lengths))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(tables, audio, lengths)
+        out = fn(audio, lengths)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
 
