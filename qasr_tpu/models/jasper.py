@@ -558,17 +558,23 @@ class QuantExec:
     """
 
     def __init__(self, params, qstate, qcfg: QuantConfig, *, activation: str,
-                 update_ranges: bool):
-        for b in params["blocks"]:
-            for c in b["convs"] + b["res"]:
-                if "bn" in c:
-                    raise ValueError("quant path requires BN-folded params; call fold_bn_encoder first")
+                 update_ranges: bool, bn_update: bool = False):
+        if not bn_update:
+            for b in params["blocks"]:
+                for c in b["convs"] + b["res"]:
+                    if "bn" in c:
+                        raise ValueError(
+                            "quant path requires BN-folded params; call "
+                            "fold_bn_encoder first (or pass bn_update=True "
+                            "for the folded-not-fixed training mode)")
         self.params = params
         self.qstate = qstate
         self.qcfg = qcfg
         self.activation_kind = activation
         self.update = update_ranges
+        self.bn_update = bn_update
         self.new_qstate = jax.tree_util.tree_map(lambda x: x, qstate)
+        self.new_bn_stats: Dict[int, Any] = {}  # updated BN running stats
 
     # -- act quant ---------------------------------------------------------
 
@@ -630,6 +636,28 @@ class QuantExec:
         new_lens = conv_out_len(lens, spec)
         xq = self.act_quantize(("blocks", bi, kind, i), x, self._act_storage_bits(spec))
         y = self._qconv(p, spec, xq)
+        if spec.has_bn and "bn" in p:
+            # "folded but not fixed" train mode (quant_modules.py:337-349):
+            # int conv on raw weights, batch stats update the BN running
+            # stats (momentum), output normalized with the *updated running*
+            # stats; the output scale picks up gamma/sigma per channel.
+            assert self.bn_update, (
+                "quant path with unfolded BN requires bn_update=True "
+                "(training); call fold_bn_encoder for inference")
+            bn = p["bn"]
+            conv_f = y.dequantize()
+            batch_mean = jnp.mean(conv_f, axis=(0, 1))
+            batch_var = jnp.var(conv_f, axis=(0, 1))
+            mom = 0.1  # BatchNorm1d default momentum (jasper.py:624)
+            new_mean = bn["mean"] * (1 - mom) + mom * batch_mean
+            new_var = bn["var"] * (1 - mom) + mom * batch_var
+            node = self.new_bn_stats.setdefault(bi, {}).setdefault(kind, {})
+            node[i] = {"mean": new_mean, "var": new_var}
+            factor = bn["gamma"] / jnp.sqrt(new_var + BN_EPS)
+            out_f = factor * (conv_f - new_mean) + bn["beta"]
+            out_scale = (factor * y.scale).astype(jnp.float32)
+            # keep integer representation on the new per-channel grid
+            y = QTensor(jnp.round(out_f / out_scale).astype(jnp.int32), out_scale)
         return y, new_lens
 
     def residual_add(self, block_idx: int, pane: int, out: QTensor, res_out: QTensor,
