@@ -108,6 +108,36 @@ class QuantConfig:
     act_momentum: float = 0.95    # QuantAct act_range_momentum (quant_modules.py:41)
 
 
+def resolve_interpolations(raw):
+    """Minimal OmegaConf-style '${a.b.c}' interpolation resolution so the
+    reference's YAMLs (e.g. matchboxnet's ${model.repeat}) load verbatim."""
+    import re
+
+    pattern = re.compile(r"^\$\{([\w.]+)\}$")
+
+    def lookup(path):
+        node = raw
+        for k in path.split("."):
+            node = node[k]
+        return node
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, str):
+            m = pattern.match(node)
+            if m:
+                try:
+                    return walk(lookup(m.group(1)))
+                except (KeyError, TypeError):
+                    return node
+        return node
+
+    return walk(raw)
+
+
 def preprocessor_config_from_dict(d: dict):
     """Map NeMo AudioToMelSpectrogramPreprocessor YAML keys to FeatureConfig."""
     from qasr_tpu.ops.features import FeatureConfig
@@ -140,6 +170,7 @@ class ModelConfig:
 
         with open(path) as f:
             raw = yaml.safe_load(f)
+        raw = resolve_interpolations(raw)
         return cls.from_dict(raw["model"] if "model" in raw else raw)
 
     @classmethod
@@ -227,6 +258,24 @@ def jasper10x5dr() -> ModelConfig:
                        preprocessor={"features": 64, "n_fft": 512, "dither": 1e-5})
 
 
+def matchboxnet3x1x64() -> ModelConfig:
+    """MatchboxNet 3x1x64 (conf/matchboxnet_3x1x64_v1.yaml): MFCC frontend,
+    six separable blocks, classification head (use with
+    EncDecClassificationModel)."""
+    blocks = (
+        _qn_block(128, 11, 1, False),
+        _qn_block(64, 13, 1, True), _qn_block(64, 15, 1, True),
+        _qn_block(64, 17, 1, True),
+        _qn_block(128, 29, 1, False, dilation=(2,)),
+        _qn_block(128, 1, 1, False, separable=False),
+    )
+    enc = EncoderConfig(feat_in=64, blocks=blocks, activation="relu")
+    dec = DecoderConfig(feat_in=128, num_classes=30)
+    return ModelConfig(encoder=enc, decoder=dec,
+                       preprocessor={"features": 64, "n_fft": 512,
+                                     "window_size": 0.025, "dither": 1e-5})
+
+
 PRESETS = {
     "QuartzNet15x5Base-En": quartznet15x5,
     "QuartzNet15x5NR-En": quartznet15x5,
@@ -234,6 +283,7 @@ PRESETS = {
     "QuartzNet5x5LS-En": quartznet5x5,
     "Jasper10x5Dr-En": jasper10x5dr,
     "Jasper10x5Dr": jasper10x5dr,
+    "MatchboxNet-3x1x64": matchboxnet3x1x64,
 }
 
 
