@@ -21,7 +21,6 @@ repeat omits act+dropout).
 """
 from __future__ import annotations
 
-import io
 import os
 import tarfile
 import tempfile

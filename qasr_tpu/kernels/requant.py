@@ -21,7 +21,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qasr_tpu.ops.quant_prims import Dyadic, QTensor, dyadic_requant, requant_clamp
+from qasr_tpu.ops.quant_prims import Dyadic, dyadic_requant, requant_clamp
 
 Array = jax.Array
 

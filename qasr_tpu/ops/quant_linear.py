@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from qasr_tpu.ops.quant_prims import QTensor, quantize, requantize, symmetric_scale
+from qasr_tpu.ops.quant_prims import QTensor, quantize, symmetric_scale
 
 Array = jax.Array
 

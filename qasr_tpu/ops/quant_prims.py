@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import decimal
 from decimal import Decimal
-from typing import NamedTuple, Optional, Union
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

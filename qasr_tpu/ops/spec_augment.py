@@ -10,8 +10,6 @@ channels-last (B, T, C).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ The synthesizer's independent problems shard over 'data' the same way
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

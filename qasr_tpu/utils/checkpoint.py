@@ -12,8 +12,6 @@ Pytrees are flattened to '/'-joined string keys.
 """
 from __future__ import annotations
 
-import io
-import json
 import os
 import tarfile
 import tempfile
