@@ -77,17 +77,49 @@ class ASRModel:
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, seed: int = 0) -> "ASRModel":
-        """Preset name (model cards, ctc_models.py:47-89) or a local .nemo."""
+        """Local .nemo path, a name found in $QASR_PRETRAINED_DIR/<name>.nemo
+        (the NGC-download cache's role, common.py:378-433 — this image has no
+        egress), or a preset (random weights, architecture from the model
+        cards, ctc_models.py:47-89)."""
+        import os
+
         if name_or_path.endswith(".nemo"):
-            from qasr_tpu.compat.nemo_loader import load_nemo
-            cfg, params = load_nemo(name_or_path)
-            plan = build_encoder_plan(cfg.encoder)
-            fcfg = preprocessor_config_from_dict(cfg.preprocessor)
-            return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg),
-                       params=params, qstate=init_qstate(plan), qcfg=QuantConfig())
+            return cls._from_nemo(name_or_path)
+        cache_dir = os.environ.get("QASR_PRETRAINED_DIR")
+        if cache_dir:
+            local = os.path.join(cache_dir, name_or_path + ".nemo")
+            if os.path.exists(local):
+                return cls._from_nemo(local)
         if name_or_path in PRESETS:
             return cls.from_config(PRESETS[name_or_path](), seed=seed)
         raise ValueError(f"unknown model: {name_or_path}")
+
+    @classmethod
+    def _from_nemo(cls, path: str) -> "ASRModel":
+        from qasr_tpu.compat.nemo_loader import load_nemo
+        cfg, params = load_nemo(path)
+        plan = build_encoder_plan(cfg.encoder)
+        fcfg = preprocessor_config_from_dict(cfg.preprocessor)
+        return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg),
+                   params=params, qstate=init_qstate(plan), qcfg=QuantConfig())
+
+    @staticmethod
+    def list_available_models():
+        """Model cards (ctc_models.py:47-89): names, checkpoint artifact, and
+        the published FP32 greedy WERs used as our accuracy anchors."""
+        return [
+            {"name": "QuartzNet15x5Base-En",
+             "artifact": "QuartzNet15x5Base-En.nemo",
+             "dev_clean_wer": 3.79, "dev_other_wer": 10.05},
+            {"name": "QuartzNet5x5LS-En", "artifact": "QuartzNet5x5LS-En.nemo",
+             "dev_clean_wer": 5.37, "dev_other_wer": 15.69},
+            {"name": "QuartzNet15x5NR-En", "artifact": "QuartzNet15x5NR-En.nemo",
+             "dev_clean_wer": 3.96, "dev_other_wer": 10.14},
+            {"name": "Jasper10x5Dr-En", "artifact": "Jasper10x5Dr-En.nemo",
+             "dev_clean_wer": 3.37, "dev_other_wer": 9.81},
+            {"name": "MatchboxNet-3x1x64", "artifact": None,
+             "task": "speech-commands classification"},
+        ]
 
     @property
     def vocabulary(self) -> Sequence[str]:
@@ -190,6 +222,15 @@ class ASRModel:
         lengths = jnp.asarray(lengths, jnp.int32)
         if mode is None:
             if self.qcfg.mode == "none":
+                mode = "fp32"
+            elif not self.folded:
+                # quantized eval requires BN folding first (inference.py:117);
+                # a fresh model transcribes in fp32 (the reference would run
+                # fake-quant with stale unfolded-BN scales here)
+                from qasr_tpu.utils.logging import logging
+                logging.warning("model not BN-folded; falling back to fp32 "
+                                "forward (call bn_folding()+calibrate() for "
+                                "integer eval)", once=True)
                 mode = "fp32"
             else:
                 mode = "quant" if self.qcfg.dynamic else "frozen"
