@@ -32,9 +32,10 @@ from qasr_tpu.ops.features import MelFrontend
 class RNNTModel:
     cfg: ModelConfig
     rnnt_cfg: RNNTConfig
-    plan: EncoderPlan
+    plan: Any                      # EncoderPlan or ConformerConfig
     frontend: MelFrontend
-    params: Dict[str, Any]  # {'encoder', 'rnnt'}
+    params: Dict[str, Any]         # {'encoder', 'rnnt'}
+    encoder_kind: str = "jasper"   # 'jasper' | 'conformer'
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, rnnt_cfg: Optional[RNNTConfig] = None,
@@ -52,12 +53,44 @@ class RNNTModel:
                    frontend=MelFrontend(preprocessor_config_from_dict(cfg.preprocessor)),
                    params=params)
 
+    @classmethod
+    def conformer_transducer(cls, cfg: ModelConfig, conformer_cfg,
+                             rnnt_cfg: Optional[RNNTConfig] = None,
+                             seed: int = 0) -> "RNNTModel":
+        """Conformer-Transducer: Conformer encoder + RNNT decoder/joint
+        (the architecture NeMo's later releases ship; the pieces exist
+        upstream as conformer_encoder.py + rnnt.py)."""
+        from qasr_tpu.models.conformer import init_conformer_params
+
+        rng = np.random.default_rng(seed)
+        d_out = (conformer_cfg.feat_out if conformer_cfg.feat_out > 0
+                 else conformer_cfg.d_model)
+        if rnnt_cfg is None:
+            rnnt_cfg = RNNTConfig(num_classes=len(cfg.labels), enc_hidden=d_out)
+        params = {
+            "encoder": init_conformer_params(rng, conformer_cfg),
+            "rnnt": init_rnnt_params(rng, rnnt_cfg),
+        }
+        return cls(cfg=cfg, rnnt_cfg=rnnt_cfg, plan=conformer_cfg,
+                   frontend=MelFrontend(preprocessor_config_from_dict(cfg.preprocessor)),
+                   params=params, encoder_kind="conformer")
+
+    def _encode(self, params, feats, feat_lens, train=False, rng=None):
+        if self.encoder_kind == "conformer":
+            from qasr_tpu.models.conformer import conformer_encoder_apply
+
+            return conformer_encoder_apply(params["encoder"], self.plan, feats,
+                                           feat_lens, train=train, rng=rng)
+        ex = FloatExec(params["encoder"], activation=self.plan.activation,
+                       train=train, rng=rng)
+        return encoder_forward(ex, self.plan, feats, feat_lens)
+
     # -- training ----------------------------------------------------------
 
     def loss_fn(self, params, audio, alens, targets, tlens, rng=None):
         feats, feat_lens = self.frontend(audio, alens, rng=rng)
-        ex = FloatExec(params["encoder"], activation=self.plan.activation)
-        enc, enc_lens = encoder_forward(ex, self.plan, feats, feat_lens)
+        enc, enc_lens = self._encode(params, feats, feat_lens,
+                                     train=rng is not None, rng=rng)
         pred = pred_network(params["rnnt"], self.rnnt_cfg, targets)
         logits = joint(params["rnnt"], self.rnnt_cfg, enc, pred)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -70,8 +103,7 @@ class RNNTModel:
         @jax.jit
         def enc_fn(params, audio, alens):
             feats, feat_lens = self.frontend(audio, alens, dither=0.0)
-            ex = FloatExec(params["encoder"], activation=self.plan.activation)
-            return encoder_forward(ex, self.plan, feats, feat_lens)
+            return self._encode(params, feats, feat_lens)
 
         return enc_fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
 

@@ -99,3 +99,27 @@ def test_rnnt_model_end_to_end(rng):
     assert np.isfinite(float(loss))
     texts = m.transcribe_greedy(audio, alens)
     assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+
+def test_conformer_transducer(rng):
+    from qasr_tpu.models.config import DecoderConfig, ModelConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.rnnt_model import RNNTModel
+    from tests.test_jasper_model import tiny_encoder_cfg, FEAT
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0})
+    ccfg = ConformerConfig(feat_in=FEAT, n_layers=1, d_model=32, n_heads=4,
+                           conv_kernel_size=7, subsampling="striding",
+                           subsampling_factor=4, subsampling_conv_channels=8)
+    m = RNNTModel.conformer_transducer(cfg, ccfg)
+    audio = rng.normal(size=(2, 4000)).astype(np.float32) * 0.1
+    alens = np.asarray([4000, 3000], np.int32)
+    targets = jnp.asarray(rng.integers(0, 28, size=(2, 4)).astype(np.int32))
+    tlens = jnp.asarray([4, 2], jnp.int32)
+    loss = m.loss_fn(m.params, jnp.asarray(audio), jnp.asarray(alens),
+                     targets, tlens)
+    assert np.isfinite(float(loss))
+    texts = m.transcribe_greedy(audio, alens)
+    assert len(texts) == 2
