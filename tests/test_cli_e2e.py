@@ -119,3 +119,16 @@ def test_train_cli_tiny(tmp_path, manifest):
     assert (root / "checkpoints" / "last.npz").exists()
     assert (root / "metrics.jsonl").exists()
     assert (root / "run_config.yaml").exists()
+
+
+def test_segment_cli(tmp_path, rng):
+    from qasr_tpu.cli.segment import main as seg_main
+    from qasr_tpu.data.audio import write_wav
+
+    wav = tmp_path / "long.wav"
+    write_wav(str(wav), (rng.normal(size=24000) * 0.05).astype(np.float32))
+    out = tmp_path / "segs.json"
+    segs = seg_main(["--asr_model", "TinyTestNet", "--audio", str(wav),
+                     "--text", "hello there world", "--output", str(out)])
+    assert out.exists()
+    assert all(0 <= s["start"] <= s["end"] for s in segs)
