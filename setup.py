@@ -41,5 +41,6 @@ setup(
         "qasr-inference=qasr_tpu.cli.inference:main",
         "qasr-train=qasr_tpu.cli.speech_to_text:main",
         "qasr-prepare-data=qasr_tpu.cli.prepare_data:main",
+        "qasr-segment=qasr_tpu.cli.segment:main",
     ]},
 )
