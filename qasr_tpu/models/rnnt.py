@@ -153,9 +153,82 @@ def joint(params, cfg: RNNTConfig, enc: Array, pred: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def rnnt_loss_wavefront(log_probs: Array, targets: Array, input_lengths: Array,
+                        target_lengths: Array, blank_id: int,
+                        reduction: str = "mean_batch") -> Array:
+    """Anti-diagonal (wavefront) RNNT forward: T+U sequential steps, each
+    vectorized over the whole diagonal — the TPU-friendly formulation
+    (the row-scan variant below runs T*U sequential cell updates).
+
+    alpha[t, u] for t+u = d depends only on diagonal d-1:
+        horiz: alpha[t-1, u] + blank[t-1, u]
+        vert:  alpha[t, u-1] + emit[t, u-1]
+    """
+    b, t_max, u1, _ = log_probs.shape
+    u_max = u1 - 1
+    blank_lp = log_probs[:, :, :, blank_id]
+    emit_lp = jnp.take_along_axis(
+        log_probs[:, :, :u_max, :],
+        targets[:, None, :, None].astype(jnp.int32), axis=-1)[..., 0]
+
+    u_range = jnp.arange(u1)
+    u_valid = u_range[None, :] <= target_lengths[:, None]
+
+    def diag_step(prev, d):
+        t_h = jnp.clip(d - 1 - u_range, 0, t_max - 1)       # (U+1,)
+        t_v = jnp.clip(d - u_range, 0, t_max - 1)
+        horiz = prev + blank_lp[:, t_h, u_range]            # (B, U+1)
+        prev_shift = jnp.concatenate(
+            [jnp.full((b, 1), NEG_INF), prev[:, :-1]], axis=1)
+        emit_u = jnp.concatenate(
+            [jnp.full((b, 1), NEG_INF),
+             emit_lp[:, t_v[1:], u_range[:-1]]], axis=1)
+        vert = prev_shift + emit_u
+        ok_h = (d - 1 - u_range >= 0) & (d - u_range <= t_max - 1) \
+            & (d - u_range >= 0)
+        ok_v = (u_range >= 1) & (d - u_range >= 0) & (d - u_range <= t_max - 1)
+        val = jnp.logaddexp(jnp.where(ok_h[None], horiz, NEG_INF),
+                            jnp.where(ok_v[None], vert, NEG_INF))
+        val = jnp.where(u_valid, val, NEG_INF)
+        return val, val
+
+    alpha0 = jnp.where(u_range[None, :] == 0, 0.0, NEG_INF) \
+        + jnp.zeros((b, u1))
+    alpha0 = jnp.where(u_valid, alpha0, NEG_INF)
+    _, diags = jax.lax.scan(diag_step, alpha0,
+                            jnp.arange(1, t_max + u_max + 1))
+    diags = jnp.concatenate([alpha0[None], diags], axis=0)  # (T+U+1, B, U+1)
+
+    t_idx = (input_lengths - 1).astype(jnp.int32)
+    u_idx = target_lengths.astype(jnp.int32)
+    batch_idx = jnp.arange(b)
+    final_alpha = diags[t_idx + u_idx, batch_idx, u_idx]
+    final_blank = blank_lp[batch_idx, t_idx, u_idx]
+    nll = -(final_alpha + final_blank)
+    if reduction == "mean_batch":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "none":
+        return nll
+    if reduction == "mean":
+        return jnp.mean(nll / jnp.maximum(target_lengths, 1))
+    raise ValueError(reduction)
+
+
 def rnnt_loss(log_probs: Array, targets: Array, input_lengths: Array,
               target_lengths: Array, blank_id: int,
-              reduction: str = "mean_batch") -> Array:
+              reduction: str = "mean_batch", impl: str = "wavefront") -> Array:
+    if impl == "wavefront":
+        return rnnt_loss_wavefront(log_probs, targets, input_lengths,
+                                   target_lengths, blank_id, reduction)
+    return _rnnt_loss_rowscan(log_probs, targets, input_lengths,
+                              target_lengths, blank_id, reduction)
+
+
+def _rnnt_loss_rowscan(log_probs: Array, targets: Array, input_lengths: Array,
+                       target_lengths: Array, blank_id: int,
+                       reduction: str = "mean_batch") -> Array:
     """Negative log-likelihood of the RNNT lattice.
 
     log_probs: (B, T, U+1, V+1) log-softmaxed joint outputs.

@@ -123,3 +123,24 @@ def test_conformer_transducer(rng):
     assert np.isfinite(float(loss))
     texts = m.transcribe_greedy(audio, alens)
     assert len(texts) == 2
+
+
+def test_wavefront_matches_rowscan_and_dp(rng):
+    from qasr_tpu.models.rnnt import rnnt_loss_wavefront, _rnnt_loss_rowscan
+
+    B, T, U, V = 3, 9, 5, 6
+    logits = rng.normal(size=(B, T, U + 1, V + 1)).astype(np.float32)
+    lp = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    targets = jnp.asarray(rng.integers(0, V, size=(B, U)).astype(np.int32))
+    t_lens = jnp.asarray([9, 6, 7], jnp.int32)
+    u_lens = jnp.asarray([5, 2, 4], jnp.int32)
+    a = rnnt_loss_wavefront(lp, targets, t_lens, u_lens, V, "none")
+    b = _rnnt_loss_rowscan(lp, targets, t_lens, u_lens, V, "none")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+    for i in range(B):
+        want = _ref_rnnt_nll(np.asarray(lp)[i], np.asarray(targets)[i],
+                             int(t_lens[i]), int(u_lens[i]), V)
+        np.testing.assert_allclose(float(a[i]), want, rtol=1e-4)
+    # gradients finite and masked
+    g = jax.grad(lambda l: rnnt_loss_wavefront(l, targets, t_lens, u_lens, V))(lp)
+    assert np.isfinite(np.asarray(g)).all()
