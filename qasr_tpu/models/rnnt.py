@@ -303,6 +303,20 @@ def _rnnt_loss_rowscan(log_probs: Array, targets: Array, input_lengths: Array,
 # ---------------------------------------------------------------------------
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _pred_step_jit(params, cfg, tok, state):
+    return pred_step(params, cfg, tok, state)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _joint_logprobs_jit(params, cfg, e, g):
+    return jax.nn.log_softmax(
+        joint(params, cfg, e[:, None, :], g[:, None, :])[:, 0, 0], axis=-1)
+
+
 def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
                   max_symbols_per_step: int = 10) -> List[List[int]]:
     """Batched greedy RNNT decoding.  Per frame: emit symbols until blank
@@ -312,10 +326,8 @@ def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
     b, t_max, _ = enc.shape
     enc_lens = np.asarray(enc_lens)
 
-    step_jit = jax.jit(lambda tok, st: pred_step(params, cfg, tok, st))
-    joint_jit = jax.jit(
-        lambda e, g: jax.nn.log_softmax(
-            joint(params, cfg, e[:, None, :], g[:, None, :])[:, 0, 0], axis=-1))
+    step_jit = lambda tok, st: _pred_step_jit(params, cfg, tok, st)
+    joint_jit = lambda e, g: _joint_logprobs_jit(params, cfg, e, g)
 
     state = lstm_init_state(cfg, b)
     g, state = step_jit(jnp.full((b,), cfg.blank_id, jnp.int32), state)
@@ -357,13 +369,17 @@ class Hypothesis:
     g: Any
 
 
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _joint_logprobs_single_jit(params, cfg, e, g):
+    return jax.nn.log_softmax(
+        joint(params, cfg, e[None, None, :], g[:, None, :])[:, 0, 0], axis=-1)
+
+
 def beam_decode_one(params, cfg: RNNTConfig, enc_t: np.ndarray,
                     beam_size: int = 4) -> List[int]:
     """Beam search over one utterance's encoder frames (T, D)."""
-    step_jit = jax.jit(lambda tok, st: pred_step(params, cfg, tok, st))
-    joint_jit = jax.jit(
-        lambda e, g: jax.nn.log_softmax(
-            joint(params, cfg, e[None, None, :], g[:, None, :])[:, 0, 0], axis=-1))
+    step_jit = lambda tok, st: _pred_step_jit(params, cfg, tok, st)
+    joint_jit = lambda e, g: _joint_logprobs_single_jit(params, cfg, e, g)
 
     state = lstm_init_state(cfg, 1)
     g, state = step_jit(jnp.full((1,), cfg.blank_id, jnp.int32), state)
