@@ -601,6 +601,11 @@ class QuantExec:
             x_min, x_max = state["x_min"], state["x_max"]
         scale = symmetric_scale(x_min, x_max, bits)
         if isinstance(x, QTensor):
+            if self.update:
+                # calibration: ranges are all that matter; the f32-multiplier
+                # approximation keeps the graph ~10x smaller to compile
+                from qasr_tpu.ops.quant_prims import requantize_approx
+                return requantize_approx(x, scale, bits, identity=identity)
             return requantize(x, scale, bits, identity=identity)
         assert identity is None
         return QTensor(quantize(x, scale, bits), scale)
