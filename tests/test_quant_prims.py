@@ -163,3 +163,37 @@ def test_requantize_with_identity_residual(rng):
         identity_dyadic=dyadic_from_scale_host(np.float64(sf_i) / np.float64(sf_o)),
     )
     np.testing.assert_array_equal(np.asarray(got.values), ref)
+
+
+def test_dyadic_requant_domain_boundaries():
+    """Contract boundaries: |z| up to 2**29-1, m in {2**30, 2**31-1},
+    e in {1, 31, 32, 62, 63}; exact vs Python ints (with the 2**26 saturation)."""
+    zs = [0, 1, -1, 2**29 - 1, -(2**29 - 1), 12345678, -98765432]
+    ms = [2**30, 2**31 - 1, 3 << 29]
+    es = [1, 2, 31, 32, 33, 62, 63, 70]
+    Z, M, E = [], [], []
+    for z in zs:
+        for m in ms:
+            for e in es:
+                Z.append(z); M.append(m); E.append(e)
+    got = np.asarray(dyadic_requant(
+        jnp.asarray(Z, jnp.int32),
+        Dyadic(jnp.asarray(M, jnp.int32), jnp.asarray(E, jnp.int32))))
+    for i, (z, m, e) in enumerate(zip(Z, M, E)):
+        expect = _py_round_half_even_div(z * m, e) if e <= 62 else 0
+        if abs(expect) >= 2**26:
+            assert abs(got[i]) == 2**26, (z, m, e, got[i])
+            assert np.sign(got[i]) == np.sign(expect)
+        else:
+            assert got[i] == expect, (z, m, e, got[i], expect)
+
+
+def test_dyadic_requant_static_matches_vector_on_boundaries():
+    from qasr_tpu.ops.quant_prims import dyadic_requant_static
+
+    zs = jnp.asarray([0, 1, -1, 2**29 - 1, -(2**29 - 1), 777], jnp.int32)
+    for m in (2**30, 2**31 - 1):
+        for e in (1, 31, 32, 33, 62):
+            a = dyadic_requant(zs, Dyadic(jnp.int32(m), jnp.int32(e)))
+            b = dyadic_requant_static(zs, jnp.int32(m), e)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
