@@ -103,6 +103,56 @@ class ASRModel:
         return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg),
                    params=params, qstate=init_qstate(plan), qcfg=QuantConfig())
 
+    # ------------------------------------------------------------------
+    # save/restore (ModelPT.save_to/restore_from parity, modelPT.py:254-407)
+    # ------------------------------------------------------------------
+
+    def _cfg_dict(self) -> Dict[str, Any]:
+        import dataclasses as dc
+
+        enc = dc.asdict(self.cfg.encoder)
+        blocks = enc.pop("blocks")
+        enc["jasper"] = [
+            {k: (list(v) if isinstance(v, tuple) else v) for k, v in b.items()}
+            for b in blocks
+        ]
+        enc["feat_in"] = self.cfg.encoder.feat_in
+        dec = dc.asdict(self.cfg.decoder)
+        dec["vocabulary"] = list(dec["vocabulary"])
+        return {
+            "sample_rate": self.cfg.sample_rate,
+            "labels": list(self.cfg.labels),
+            "preprocessor": dict(self.cfg.preprocessor),
+            "encoder": enc,
+            "decoder": dec,
+        }
+
+    def save_to(self, path: str) -> None:
+        """'.qasr' native archive (config + params + quant ranges) or a
+        reference-compatible '.nemo' (float params only, torch state dict)."""
+        if path.endswith(".nemo"):
+            if self.folded:
+                raise ValueError(".nemo export requires unfolded params "
+                                 "(save before bn_folding)")
+            from qasr_tpu.compat.nemo_loader import save_nemo
+            save_nemo(path, self._cfg_dict(), self.plan, self.params)
+            return
+        from qasr_tpu.utils.checkpoint import save_qasr
+        save_qasr(path, self._cfg_dict(), self.params, self.qstate)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "ASRModel":
+        if path.endswith(".nemo"):
+            return cls._from_nemo(path)
+        from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
+        cfg_d, flat = load_qasr(path)
+        cfg = ModelConfig.from_dict(cfg_d)
+        model = cls.from_config(cfg)
+        model.params = unflatten_into(model.params, flat, "params/")
+        if any(k.startswith("qstate/") for k in flat):
+            model.qstate = unflatten_into(model.qstate, flat, "qstate/")
+        return model
+
     @staticmethod
     def list_available_models():
         """Model cards (ctc_models.py:47-89): names, checkpoint artifact, and

@@ -65,3 +65,35 @@ def test_list_available_models():
     assert "QuartzNet15x5Base-En" in names and "Jasper10x5Dr-En" in names
     qn = next(c for c in cards if c["name"] == "QuartzNet15x5Base-En")
     assert qn["dev_clean_wer"] == 3.79  # ctc_models.py:58
+
+
+def test_save_to_restore_from_qasr(tmp_path, rng):
+    from qasr_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig.from_dict(_tiny_cfg_dict())
+    m = ASRModel.from_config(cfg, seed=5)
+    audio = rng.normal(size=(1, 4000)).astype(np.float32) * 0.1
+    lens = np.asarray([4000], np.int32)
+    lp1 = m.forward(audio, lens, mode="fp32")[0]
+    p = tmp_path / "model.qasr"
+    m.save_to(str(p))
+    m2 = ASRModel.restore_from(str(p))
+    lp2 = m2.forward(audio, lens, mode="fp32")[0]
+    np.testing.assert_allclose(lp1, lp2, atol=1e-6)
+    assert list(m2.vocabulary) == list(m.vocabulary)
+
+
+def test_save_to_nemo_then_restore(tmp_path, rng):
+    pytest.importorskip("torch")
+    from qasr_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig.from_dict(_tiny_cfg_dict())
+    m = ASRModel.from_config(cfg, seed=6)
+    p = tmp_path / "model.nemo"
+    m.save_to(str(p))
+    m2 = ASRModel.restore_from(str(p))
+    audio = rng.normal(size=(1, 4000)).astype(np.float32) * 0.1
+    lens = np.asarray([4000], np.int32)
+    np.testing.assert_allclose(m.forward(audio, lens, mode="fp32")[0],
+                               m2.forward(audio, lens, mode="fp32")[0],
+                               atol=1e-5)
