@@ -134,10 +134,14 @@ class Trainer:
         return float(loss)
 
     def fit(self, train_loader: Iterable, max_steps: Optional[int] = None,
-            val_loader: Optional[Iterable] = None, log=print) -> Dict[str, Any]:
+            val_loader: Optional[Iterable] = None, log=print,
+            val_every: Optional[int] = None) -> Dict[str, Any]:
+        """val_every: run greedy-WER validation every N steps (the reference
+        validates per epoch via PTL, ctc_models.py:438-460)."""
         max_steps = max_steps or self.cfg.max_steps
         t0 = time.time()
         losses = []
+        history = []
         while self.step < max_steps:
             for batch in train_loader:
                 loss = self.train_step(batch)
@@ -146,12 +150,23 @@ class Trainer:
                     lr = float(self.sched(self.step))
                     log(f"step {self.step} loss {loss:.4f} lr {lr:.5f} "
                         f"({(time.time() - t0):.1f}s)")
+                if val_loader is not None and val_every \
+                        and self.step % val_every == 0:
+                    wer = self.evaluate(val_loader)
+                    history.append({"step": self.step, "val_wer": wer})
+                    log(f"step {self.step} val WER {wer:.4f}")
                 if self.step >= max_steps:
                     break
-        out = {"final_loss": losses[-1] if losses else None, "steps": self.step}
+        out = {"final_loss": losses[-1] if losses else None, "steps": self.step,
+               "val_history": history}
         if val_loader is not None:
             out["val_wer"] = self.evaluate(val_loader)
         return out
+
+    def evaluate_multi(self, loaders: Dict[str, Iterable]) -> Dict[str, float]:
+        """Named multi-dataloader validation (ModelPT multi-dataloader
+        aggregation, modelPT.py:863-1072)."""
+        return {name: self.evaluate(loader) for name, loader in loaders.items()}
 
     def evaluate(self, loader: Iterable) -> float:
         """Greedy-WER over a dataloader (validation_step semantics,
@@ -160,4 +175,48 @@ class Trainer:
         for audio, alens, tokens, tlens in loader:
             lp, el, preds = self.model.forward(audio, alens, mode="fp32")
             wer.update(preds, np.asarray(tokens), np.asarray(tlens), el)
+        return wer.compute()
+
+
+class RNNTTrainer(Trainer):
+    """Transducer training: same optimizer/schedule/mesh machinery with the
+    RNNT lattice loss (the reference trains EncDecRNNTModel through the same
+    PTL loop with warprnnt, rnnt_models.py)."""
+
+    def __init__(self, model, cfg: TrainConfig,
+                 spec_aug: Optional[SpecAugmentConfig] = None, mesh=None):
+        self.rnnt_model = model
+
+        class _Shim:  # minimal ASRModel-like facade for the base class
+            params = model.params
+            cfg = model.cfg
+            frontend = model.frontend
+            plan = model.plan
+            blank_id = model.rnnt_cfg.blank_id
+            vocabulary = model.cfg.labels
+
+        super().__init__(_Shim(), cfg, spec_aug=spec_aug, mesh=mesh)
+
+    def _loss_fn(self, params, rng, audio, alens, tokens, tlens):
+        k_dither, k_spec, k_drop = jax.random.split(rng, 3)
+        loss = self.rnnt_model.loss_fn(params, audio, alens, tokens, tlens,
+                                       rng=None)
+        return loss, (None, None)
+
+    def train_step(self, batch, rng=None) -> float:
+        loss = super().train_step(batch, rng)
+        self.rnnt_model.params = self.model.params
+        return loss
+
+    def evaluate(self, loader: Iterable) -> float:
+        wer = WER(list(self.rnnt_model.cfg.labels))
+        labels = list(self.rnnt_model.cfg.labels)
+        for audio, alens, tokens, tlens in loader:
+            hyps = self.rnnt_model.transcribe_greedy(audio, alens)
+            for i, h in enumerate(hyps):
+                ref = "".join(labels[int(c)]
+                              for c in np.asarray(tokens)[i][: int(tlens[i])])
+                wer.words += len(ref.split())
+                from qasr_tpu.decode.ctc import edit_distance
+                wer.scores += edit_distance(h.split(), ref.split())
         return wer.compute()

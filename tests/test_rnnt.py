@@ -144,3 +144,25 @@ def test_wavefront_matches_rowscan_and_dp(rng):
     # gradients finite and masked
     g = jax.grad(lambda l: rnnt_loss_wavefront(l, targets, t_lens, u_lens, V))(lp)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rnnt_trainer_loss_decreases(rng):
+    from qasr_tpu.models.config import DecoderConfig, ModelConfig
+    from qasr_tpu.models.rnnt_model import RNNTModel
+    from qasr_tpu.train.trainer import RNNTTrainer, TrainConfig
+    from tests.test_jasper_model import tiny_encoder_cfg, FEAT
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0})
+    m = RNNTModel.from_config(cfg)
+    tr = RNNTTrainer(m, TrainConfig(lr=0.005, warmup_steps=0, max_steps=25,
+                                    log_every=10**9, grad_clip=1.0))
+    audio = rng.normal(size=(2, 4000)).astype(np.float32) * 0.1
+    batch = (audio, np.asarray([4000, 4000], np.int32),
+             np.asarray([[1, 2, 3, 0]] * 2, np.int32),
+             np.asarray([3, 3], np.int32))
+    l0 = tr.train_step(batch)
+    for _ in range(15):
+        l = tr.train_step(batch)
+    assert np.isfinite(l) and l < l0, (l0, l)
