@@ -142,11 +142,19 @@ def state_dict_from_params(plan: EncoderPlan, params: Dict[str, Any]) -> Dict[st
     return sd
 
 
-def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any]]:
-    """Unpack .nemo (tar.gz), parse model_config.yaml, map the state dict."""
+_RESERVED_NEMO = {"model_config.yaml", "model_weights.ckpt"}
+
+
+def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any], Dict[str, str]]:
+    """Unpack .nemo (tar.gz), parse model_config.yaml, map the state dict.
+    Any other root files are artifacts (vocab/tokenizer models the reference
+    packs beside the weights, modelPT.py:254-296); they are copied out to a
+    persistent dir and returned as {name: path}."""
+    import shutil
     import torch
     import yaml
 
+    artifacts: Dict[str, str] = {}
     with tempfile.TemporaryDirectory() as td:
         with tarfile.open(path, "r:*") as tar:
             tar.extractall(td, filter="data")
@@ -155,14 +163,28 @@ def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any]]:
         with open(cfg_path) as f:
             raw = yaml.safe_load(f)
         cfg = ModelConfig.from_dict(raw)
-        sd = torch.load(weights, map_location="cpu", weights_only=False)
+        # .nemo archives are user-exchanged files: weights_only=True refuses
+        # arbitrary pickled code, and a plain tensor state_dict (all the
+        # reference ever stores there) loads fine under it
+        sd = torch.load(weights, map_location="cpu", weights_only=True)
+        extra = [n for n in os.listdir(td)
+                 if n not in _RESERVED_NEMO and os.path.isfile(os.path.join(td, n))]
+        if extra:
+            keep = tempfile.mkdtemp(prefix="qasr_artifacts_")
+            for name in extra:
+                dst = os.path.join(keep, name)
+                shutil.copy2(os.path.join(td, name), dst)
+                artifacts[name] = dst
     plan = build_encoder_plan(cfg.encoder)
-    return cfg, params_from_state_dict(plan, sd)
+    return cfg, params_from_state_dict(plan, sd), artifacts
 
 
 def save_nemo(path: str, cfg_dict: Dict[str, Any], plan: EncoderPlan,
-              params: Dict[str, Any]) -> None:
-    """Write a reference-compatible .nemo (modelPT.py:254-296 layout)."""
+              params: Dict[str, Any],
+              artifacts: Dict[str, str] = None) -> None:
+    """Write a reference-compatible .nemo (modelPT.py:254-296 layout);
+    artifacts ({arcname: src path}) sit at the archive root like the
+    reference's registered artifacts do."""
     import torch
     import yaml
 
@@ -174,3 +196,6 @@ def save_nemo(path: str, cfg_dict: Dict[str, Any], plan: EncoderPlan,
         with tarfile.open(path, "w:gz") as tar:
             tar.add(os.path.join(td, "model_config.yaml"), arcname="model_config.yaml")
             tar.add(os.path.join(td, "model_weights.ckpt"), arcname="model_weights.ckpt")
+            for arcname, src in (artifacts or {}).items():
+                assert arcname not in _RESERVED_NEMO, arcname
+                tar.add(src, arcname=arcname)

@@ -36,11 +36,49 @@ def save_synthetic(path: str, batches_btc: List[np.ndarray]) -> None:
         pickle.dump(payload, f)
 
 
-def load_synthetic(path: str) -> List[np.ndarray]:
+# Globals a tensor-payload pickle legitimately references: numpy array
+# reconstruction and torch's tensor/storage rebuild machinery.  Nothing here
+# can execute arbitrary code at unpickle time.
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch.storage", "_load_from_bytes"),
+    ("torch.serialization", "_get_layout"),
+}
+_SAFE_TORCH_STORAGE_PREFIXES = ("torch",)
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
+        # torch.FloatStorage / torch.HalfStorage / UntypedStorage etc.
+        if module == "torch" and name.endswith("Storage"):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"blocked unpickling of {module}.{name}; synthetic-data pickles "
+            f"may only contain numpy arrays / torch tensors "
+            f"(pass trusted=True to override for files you trust)")
+
+
+def load_synthetic(path: str, trusted: bool = False) -> List[np.ndarray]:
     """Returns (B, C, T) arrays exactly as the reference stores them
-    (ASRModel.calibrate auto-detects and transposes)."""
+    (ASRModel.calibrate auto-detects and transposes).
+
+    Trust boundary: reference-written pickles hold torch tensors, which a
+    restricted unpickler can load safely; arbitrary pickles can execute code.
+    By default only numpy/torch-tensor payloads are allowed; pass
+    trusted=True to fall back to a full unpickle for exotic payloads you
+    trust (reference synthesize.py:94-104 never produces those)."""
     with open(path, "rb") as f:
-        data = pickle.load(f)
+        data = (pickle.load(f) if trusted else _RestrictedUnpickler(f).load())
     out = []
     for t in data:
         if hasattr(t, "numpy"):

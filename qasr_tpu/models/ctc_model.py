@@ -57,6 +57,10 @@ class ASRModel:
     qstate: Dict[str, Any]
     qcfg: QuantConfig
     folded: bool = False
+    # artifact registry {archive name: local file path} — tokenizer models,
+    # vocab files; packed into .qasr/.nemo and re-resolved on restore
+    # (modelPT.py:254-296 register_artifact equivalent)
+    artifacts: Dict[str, str] = dataclasses.field(default_factory=dict)
     _jit_cache: Dict[Any, Any] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -76,11 +80,14 @@ class ASRModel:
                    qstate=init_qstate(plan), qcfg=QuantConfig())
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, seed: int = 0) -> "ASRModel":
-        """Local .nemo path, a name found in $QASR_PRETRAINED_DIR/<name>.nemo
+    def from_pretrained(cls, name_or_path: str, seed: int = 0,
+                        allow_random_weights: bool = False) -> "ASRModel":
+        """Local .nemo path, or a name found in $QASR_PRETRAINED_DIR/<name>.nemo
         (the NGC-download cache's role, common.py:378-433 — this image has no
-        egress), or a preset (random weights, architecture from the model
-        cards, ctc_models.py:47-89)."""
+        egress).  A preset name with no cached checkpoint is an error unless
+        `allow_random_weights=True` (architecture-only model: benchmarking,
+        structure tests) — the reference never hands back fabricated weights
+        under a pretrained name."""
         import os
 
         if name_or_path.endswith(".nemo"):
@@ -91,17 +98,48 @@ class ASRModel:
             if os.path.exists(local):
                 return cls._from_nemo(local)
         if name_or_path in PRESETS:
+            if not allow_random_weights:
+                raise FileNotFoundError(
+                    f"no cached checkpoint for preset '{name_or_path}' "
+                    f"(set $QASR_PRETRAINED_DIR or pass a .nemo path; use "
+                    f"allow_random_weights=True for an architecture-only "
+                    f"random-weight model)")
             return cls.from_config(PRESETS[name_or_path](), seed=seed)
         raise ValueError(f"unknown model: {name_or_path}")
 
     @classmethod
     def _from_nemo(cls, path: str) -> "ASRModel":
         from qasr_tpu.compat.nemo_loader import load_nemo
-        cfg, params = load_nemo(path)
+        cfg, params, artifacts = load_nemo(path)
         plan = build_encoder_plan(cfg.encoder)
         fcfg = preprocessor_config_from_dict(cfg.preprocessor)
-        return cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg),
-                   params=params, qstate=init_qstate(plan), qcfg=QuantConfig())
+        model = cls(cfg=cfg, plan=plan, frontend=MelFrontend(fcfg),
+                    params=params, qstate=init_qstate(plan), qcfg=QuantConfig(),
+                    artifacts=artifacts)
+        model._attach_tokenizer()
+        return model
+
+    def register_artifact(self, arcname: str, src_path: str) -> str:
+        """Record a file to be packed into save_to archives and re-resolved
+        on restore (modelPT.register_artifact semantics)."""
+        self.artifacts[arcname] = src_path
+        return arcname
+
+    def _attach_tokenizer(self) -> None:
+        """If the config carries a tokenizer section, resolve its model file
+        against the artifact registry and rebind as the BPE model class."""
+        tok_cfg = getattr(self.cfg, "tokenizer", None)
+        if not tok_cfg:
+            return
+        from qasr_tpu.data.tokenizers import tokenizer_from_config
+        from qasr_tpu.models.ctc_bpe_model import EncDecCTCModelBPE
+
+        tok_cfg = dict(tok_cfg)
+        mp = tok_cfg.get("model_path")
+        if mp and mp in self.artifacts:
+            tok_cfg["model_path"] = self.artifacts[mp]
+        self.__class__ = EncDecCTCModelBPE
+        self.tokenizer = tokenizer_from_config(tok_cfg)
 
     # ------------------------------------------------------------------
     # save/restore (ModelPT.save_to/restore_from parity, modelPT.py:254-407)
@@ -119,13 +157,16 @@ class ASRModel:
         enc["feat_in"] = self.cfg.encoder.feat_in
         dec = dc.asdict(self.cfg.decoder)
         dec["vocabulary"] = list(dec["vocabulary"])
-        return {
+        out = {
             "sample_rate": self.cfg.sample_rate,
             "labels": list(self.cfg.labels),
             "preprocessor": dict(self.cfg.preprocessor),
             "encoder": enc,
             "decoder": dec,
         }
+        if self.cfg.tokenizer:
+            out["tokenizer"] = dict(self.cfg.tokenizer)
+        return out
 
     def save_to(self, path: str) -> None:
         """'.qasr' native archive (config + params + quant ranges) or a
@@ -135,22 +176,34 @@ class ASRModel:
                 raise ValueError(".nemo export requires unfolded params "
                                  "(save before bn_folding)")
             from qasr_tpu.compat.nemo_loader import save_nemo
-            save_nemo(path, self._cfg_dict(), self.plan, self.params)
+            save_nemo(path, self._cfg_dict(), self.plan, self.params,
+                      artifacts=self.artifacts)
             return
         from qasr_tpu.utils.checkpoint import save_qasr
-        save_qasr(path, self._cfg_dict(), self.params, self.qstate)
+        meta = {"folded": self.folded, "qcfg": dataclasses.asdict(self.qcfg)}
+        save_qasr(path, self._cfg_dict(), self.params, self.qstate, meta=meta,
+                  artifacts=self.artifacts)
 
     @classmethod
     def restore_from(cls, path: str) -> "ASRModel":
         if path.endswith(".nemo"):
             return cls._from_nemo(path)
         from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
-        cfg_d, flat = load_qasr(path)
+        cfg_d, flat, artifacts = load_qasr(path)
+        meta = cfg_d.pop("_qasr_meta", {}) or {}
         cfg = ModelConfig.from_dict(cfg_d)
         model = cls.from_config(cfg)
+        model.artifacts = artifacts
+        if meta.get("folded"):
+            # the archive's param tree has BN spliced into the convs — fold
+            # the freshly-initialized template so structures line up
+            model.bn_folding()
         model.params = unflatten_into(model.params, flat, "params/")
         if any(k.startswith("qstate/") for k in flat):
             model.qstate = unflatten_into(model.qstate, flat, "qstate/")
+        if meta.get("qcfg"):
+            model.qcfg = QuantConfig(**meta["qcfg"])
+        model._attach_tokenizer()
         return model
 
     @staticmethod

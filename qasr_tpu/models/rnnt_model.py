@@ -87,10 +87,19 @@ class RNNTModel:
 
     # -- training ----------------------------------------------------------
 
-    def loss_fn(self, params, audio, alens, targets, tlens, rng=None):
-        feats, feat_lens = self.frontend(audio, alens, rng=rng)
+    def loss_fn(self, params, audio, alens, targets, tlens, rng=None,
+                spec_aug=None):
+        if rng is not None:
+            k_front, k_spec, k_drop = jax.random.split(rng, 3)
+        else:
+            k_front = k_spec = k_drop = None
+        feats, feat_lens = self.frontend(audio, alens, rng=k_front)
+        if spec_aug is not None and k_spec is not None:
+            from qasr_tpu.ops.spec_augment import spec_augment
+
+            feats = spec_augment(k_spec, feats, spec_aug)
         enc, enc_lens = self._encode(params, feats, feat_lens,
-                                     train=rng is not None, rng=rng)
+                                     train=rng is not None, rng=k_drop)
         pred = pred_network(params["rnnt"], self.rnnt_cfg, targets)
         logits = joint(params["rnnt"], self.rnnt_cfg, enc, pred)
         log_probs = jax.nn.log_softmax(logits, axis=-1)

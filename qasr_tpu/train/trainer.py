@@ -143,7 +143,9 @@ class Trainer:
         losses = []
         history = []
         while self.step < max_steps:
+            made_progress = False
             for batch in train_loader:
+                made_progress = True
                 loss = self.train_step(batch)
                 losses.append(loss)
                 if self.step % self.cfg.log_every == 0:
@@ -157,6 +159,10 @@ class Trainer:
                     log(f"step {self.step} val WER {wer:.4f}")
                 if self.step >= max_steps:
                     break
+            if not made_progress:
+                raise RuntimeError(
+                    "train_loader yielded no batches this epoch (one-shot "
+                    "iterator exhausted? pass a re-iterable loader)")
         out = {"final_loss": losses[-1] if losses else None, "steps": self.step,
                "val_history": history}
         if val_loader is not None:
@@ -198,9 +204,8 @@ class RNNTTrainer(Trainer):
         super().__init__(_Shim(), cfg, spec_aug=spec_aug, mesh=mesh)
 
     def _loss_fn(self, params, rng, audio, alens, tokens, tlens):
-        k_dither, k_spec, k_drop = jax.random.split(rng, 3)
         loss = self.rnnt_model.loss_fn(params, audio, alens, tokens, tlens,
-                                       rng=None)
+                                       rng=rng, spec_aug=self.spec_aug)
         return loss, (None, None)
 
     def train_step(self, batch, rng=None) -> float:

@@ -47,12 +47,17 @@ def unflatten_into(template: Any, flat: Dict[str, np.ndarray], prefix: str = "")
     return flat[prefix[:-1]]
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalize so save/load agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_arrays(path: str, tree: Any) -> None:
-    np.savez(path, **flatten_tree(tree))
+    np.savez(_npz_path(path), **flatten_tree(tree))
 
 
 def load_arrays(path: str, template: Any) -> Any:
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     return unflatten_into(template, flat)
 
@@ -63,9 +68,22 @@ def load_arrays(path: str, template: Any) -> Any:
 
 
 def save_qasr(path: str, cfg_dict: Dict[str, Any], params: Any,
-              qstate: Optional[Any] = None) -> None:
+              qstate: Optional[Any] = None,
+              meta: Optional[Dict[str, Any]] = None,
+              artifacts: Optional[Dict[str, str]] = None) -> None:
+    """`meta` (e.g. {'folded': True, 'qcfg': {...}}) is stored under the
+    reserved '_qasr_meta' config key so restore can rebuild the exact model
+    state (a BN-folded model's param tree has no bn leaves — the restore
+    template must be folded too).
+
+    `artifacts` maps archive names to source files (tokenizer models, vocab
+    files); they are packed under artifacts/ and re-extracted on restore —
+    the reference's artifact registry (modelPT.py:254-296)."""
     import yaml
 
+    cfg_dict = dict(cfg_dict)
+    if meta:
+        cfg_dict["_qasr_meta"] = meta
     with tempfile.TemporaryDirectory() as td:
         with open(os.path.join(td, "model_config.yaml"), "w") as f:
             yaml.safe_dump(cfg_dict, f)
@@ -76,10 +94,32 @@ def save_qasr(path: str, cfg_dict: Dict[str, Any], params: Any,
         with tarfile.open(path, "w:gz") as tar:
             tar.add(os.path.join(td, "model_config.yaml"), arcname="model_config.yaml")
             tar.add(os.path.join(td, "arrays.npz"), arcname="arrays.npz")
+            for arcname, src in (artifacts or {}).items():
+                tar.add(src, arcname=f"artifacts/{arcname}")
 
 
-def load_qasr(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
-    """Returns (config dict, flat arrays dict with 'params/...' keys)."""
+def extract_artifacts(td: str) -> Dict[str, str]:
+    """Collect artifacts/ files from an unpacked archive into a directory
+    that outlives the unpack tempdir (restored models keep file handles to
+    e.g. tokenizer models)."""
+    src = os.path.join(td, "artifacts")
+    if not os.path.isdir(src):
+        return {}
+    import shutil
+
+    keep = tempfile.mkdtemp(prefix="qasr_artifacts_")
+    out = {}
+    for name in os.listdir(src):
+        dst = os.path.join(keep, name)
+        shutil.copy2(os.path.join(src, name), dst)
+        out[name] = dst
+    return out
+
+
+def load_qasr(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray],
+                                  Dict[str, str]]:
+    """Returns (config dict, flat arrays dict with 'params/...' keys,
+    artifacts dict {name: extracted path})."""
     import yaml
 
     with tempfile.TemporaryDirectory() as td:
@@ -89,7 +129,8 @@ def load_qasr(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
             cfg = yaml.safe_load(f)
         with np.load(os.path.join(td, "arrays.npz"), allow_pickle=False) as z:
             flat = {k: z[k] for k in z.files}
-    return cfg, flat
+        artifacts = extract_artifacts(td)
+    return cfg, flat, artifacts
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +148,7 @@ def save_training_ckpt(path: str, params: Any, opt_state: Any, step: int,
 
 def load_training_ckpt(path: str, params_tpl: Any, opt_state_tpl: Any,
                        qstate_tpl: Optional[Any] = None):
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     params = unflatten_into(params_tpl, flat, "params/")
     opt = _tree_into_optstate(opt_state_tpl, flat, "opt/")
