@@ -49,6 +49,9 @@ def build_parser() -> ArgumentParser:
                         help="early stop for debugging")
     parser.add_argument("--calib_early_stop", type=int, default=None,
                         help="early stop calibration")
+    parser.add_argument("--allow_random_weights", action="store_true",
+                        help="permit a preset name with no cached checkpoint "
+                             "(architecture-only random weights; testing)")
     return parser
 
 
@@ -62,7 +65,8 @@ def main(argv=None) -> float:
     from qasr_tpu.utils.logging import logging
 
     logging.info(f"Using ASR model {args.asr_model}")
-    model = ASRModel.from_pretrained(args.asr_model)
+    model = ASRModel.from_pretrained(
+        args.asr_model, allow_random_weights=args.allow_random_weights)
 
     ds = AudioToCharDataset(
         manifest_filepath=args.dataset, labels=list(model.vocabulary),

@@ -21,6 +21,9 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="write segments JSON here")
     p.add_argument("--no_quant", action="store_true",
                    help="run the FP32 path (default)")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="permit a preset name with no cached checkpoint "
+                        "(architecture-only random weights; testing)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -30,7 +33,8 @@ def main(argv=None):
     from qasr_tpu.decode.alignment import align_transcript
     from qasr_tpu.models.ctc_model import ASRModel
 
-    model = ASRModel.from_pretrained(args.asr_model)
+    model = ASRModel.from_pretrained(
+        args.asr_model, allow_random_weights=args.allow_random_weights)
     model.set_quant_mode("none")
     text = args.text
     try:

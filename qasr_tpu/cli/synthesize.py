@@ -37,6 +37,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--parallel", type=int, default=4,
                         help="independent distillation problems vmapped together "
                              "(TPU-only speedup; reference runs them one by one)")
+    parser.add_argument("--allow_random_weights", action="store_true",
+                        help="permit a preset name with no cached checkpoint "
+                             "(architecture-only random weights; testing)")
     return parser
 
 
@@ -49,7 +52,8 @@ def main(argv=None) -> str:
     from qasr_tpu.utils.logging import logging
 
     logging.info(f"Using ASR model {args.asr_model}")
-    model = ASRModel.from_pretrained(args.asr_model)
+    model = ASRModel.from_pretrained(
+        args.asr_model, allow_random_weights=args.allow_random_weights)
     model.set_quant_mode("none")  # teacher runs unquantized (synthesize.py:84)
 
     print("Num batches: %d, Batch size: %d, Training iterations: %d, "

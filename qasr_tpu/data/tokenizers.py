@@ -87,6 +87,7 @@ class BPETokenizer(TokenizerSpec):
     def __init__(self, tokenizer_path: str):
         from tokenizers import Tokenizer
 
+        self.path = tokenizer_path  # registered as a .qasr/.nemo artifact
         self.tok = Tokenizer.from_file(tokenizer_path)
 
     @property

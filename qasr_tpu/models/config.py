@@ -163,6 +163,10 @@ class ModelConfig:
     spec_augment: Optional[dict] = None
     labels: Tuple[str, ...] = tuple(DEFAULT_LABELS)
     sample_rate: int = 16000
+    # tokenizer section for BPE models ({'type': 'bpe', 'model_path': ...});
+    # model_path may name a packed artifact resolved at restore time
+    # (modelPT.py:254-296 artifact registry equivalent)
+    tokenizer: Optional[dict] = None
 
     @classmethod
     def from_yaml(cls, path: str) -> "ModelConfig":
@@ -192,6 +196,7 @@ class ModelConfig:
             spec_augment=m.get("spec_augment"),
             labels=labels,
             sample_rate=m.get("sample_rate", 16000),
+            tokenizer=m.get("tokenizer"),
         )
 
 

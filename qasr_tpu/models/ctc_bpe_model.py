@@ -31,9 +31,16 @@ class EncDecCTCModelBPE(ASRModel):
         vocab = tuple(tokenizer.vocab)
         dec = dc.replace(cfg.decoder, num_classes=len(vocab), vocabulary=vocab)
         cfg = dc.replace(cfg, decoder=dec, labels=vocab)
+        # persist the tokenizer as a packed artifact so save_to/restore_from
+        # round-trips it (modelPT.py:254-296 artifact registry)
+        if hasattr(tokenizer, "path"):
+            cfg = dc.replace(cfg, tokenizer={"type": "bpe",
+                                             "model_path": "tokenizer.json"})
         model = super().from_config(cfg, seed=seed)
         model.__class__ = cls
         model.tokenizer = tokenizer
+        if hasattr(tokenizer, "path"):
+            model.register_artifact("tokenizer.json", tokenizer.path)
         return model
 
     def decode_hypotheses(self, predictions: np.ndarray,

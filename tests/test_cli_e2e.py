@@ -45,14 +45,14 @@ def test_synthesize_then_inference_cli(tmp_path, manifest):
     from qasr_tpu.cli.inference import main as infer_main
 
     pkl = synth_main([
-        "--asr_model", "TinyTestNet", "--num_batch", "2", "--batch_size", "2",
+        "--asr_model", "TinyTestNet", "--allow_random_weights", "--num_batch", "2", "--batch_size", "2",
         "--seqlen", "32", "--train_iter", "3", "--lr", "0.01",
         "--dump_path", str(tmp_path), "--parallel", "2",
     ])
     assert os.path.exists(pkl)
 
     wer = infer_main([
-        "--asr_model", "TinyTestNet", "--dataset", manifest,
+        "--asr_model", "TinyTestNet", "--allow_random_weights", "--dataset", manifest,
         "--load", pkl, "--weight_bit", "8", "--act_bit", "8",
         "--percentile", "99.9", "--batch_size", "2",
     ])
@@ -62,10 +62,10 @@ def test_synthesize_then_inference_cli(tmp_path, manifest):
 def test_inference_cli_dynamic_and_noquant(manifest):
     from qasr_tpu.cli.inference import main as infer_main
 
-    wer_d = infer_main(["--asr_model", "TinyTestNet", "--dataset", manifest,
+    wer_d = infer_main(["--asr_model", "TinyTestNet", "--allow_random_weights", "--dataset", manifest,
                         "--dynamic", "--batch_size", "2"])
     assert np.isfinite(wer_d)
-    wer_f = infer_main(["--asr_model", "TinyTestNet", "--dataset", manifest,
+    wer_f = infer_main(["--asr_model", "TinyTestNet", "--allow_random_weights", "--dataset", manifest,
                         "--no_quant", "--batch_size", "2"])
     assert np.isfinite(wer_f)
 
@@ -128,7 +128,7 @@ def test_segment_cli(tmp_path, rng):
     wav = tmp_path / "long.wav"
     write_wav(str(wav), (rng.normal(size=24000) * 0.05).astype(np.float32))
     out = tmp_path / "segs.json"
-    segs = seg_main(["--asr_model", "TinyTestNet", "--audio", str(wav),
+    segs = seg_main(["--asr_model", "TinyTestNet", "--allow_random_weights", "--audio", str(wav),
                      "--text", "hello there world", "--output", str(out)])
     assert out.exists()
     assert all(0 <= s["start"] <= s["end"] for s in segs)

@@ -113,6 +113,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     back = load_arrays(str(tmp_path / "t.npz"), tree)
     np.testing.assert_array_equal(back["a"], tree["a"])
     save_qasr(str(tmp_path / "m.qasr"), {"name": "x"}, tree)
-    cfg, arrays = load_qasr(str(tmp_path / "m.qasr"))
+    cfg, arrays, artifacts = load_qasr(str(tmp_path / "m.qasr"))
     assert cfg["name"] == "x"
+    assert artifacts == {}
     np.testing.assert_array_equal(arrays["params/a"], tree["a"])
