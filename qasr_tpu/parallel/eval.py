@@ -29,35 +29,51 @@ from qasr_tpu.quantize.freeze import FrozenExec
 
 
 def make_sharded_frozen_forward(model, tables, mesh: Mesh,
-                                shard_time: bool = False):
-    """Build a jitted frozen-integer forward with batch (and optionally time)
-    sharding.  Returns fn(audio (B, L), lens (B,)) -> (greedy_ids, enc_lens).
+                                shard_time: bool = False,
+                                shard_channels: bool = False):
+    """Build a jitted frozen-integer forward with batch (and optionally time
+    or conv-out-channel) sharding.
+    Returns fn(audio (B, L), lens (B,)) -> (greedy_ids, enc_lens).
+
+    The tables are closed over as placed constants (not jit args) so the
+    static dyadic exponents stay Python ints — compile-time shift constants.
+    shard_channels=True places int8 kernels/biases channel-sharded on the
+    'model' axis (TP) per parallel.mesh.param_specs; XLA SPMD inserts the
+    implied collectives.
     """
+    from qasr_tpu.parallel.mesh import replicated, shard_frozen_tables
+
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
     audio_spec = P("data", "model") if shard_time else P("data")
-    repl = NamedSharding(mesh, P())
 
-    def fwd(tables, audio, lengths):
+    if shard_channels:
+        dt = shard_frozen_tables(tables, mesh)
+    else:
+        repl = replicated(mesh)
+        dt = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl)
+            if isinstance(x, (np.ndarray, jax.Array)) else x, tables)
+
+    def fwd(audio, lengths):
         feats, feat_lens = frontend(audio, lengths, dither=0.0)
         if shard_time:
             # keep the frame axis sharded across 'model'; XLA's spatial
             # partitioner adds conv halo exchanges
             feats = jax.lax.with_sharding_constraint(
                 feats, NamedSharding(mesh, P("data", "model", None)))
-        fx = FrozenExec(tables, qcfg, activation=plan.activation)
+        fx = FrozenExec(dt, qcfg, activation=plan.activation)
         enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
         log_probs = fx.decoder(enc)
         return jnp.argmax(log_probs, axis=-1), enc_lens
 
     fn = jax.jit(
         fwd,
-        in_shardings=(repl, NamedSharding(mesh, audio_spec),
+        in_shardings=(NamedSharding(mesh, audio_spec),
                       NamedSharding(mesh, P("data"))),
         out_shardings=(NamedSharding(mesh, P("data")),
                        NamedSharding(mesh, P("data"))),
     )
-    dt = jax.device_put(tables, repl)
-    return lambda audio, lens: fn(dt, audio, lens)
+    return fn
 
 
 def evaluate_wer_sharded(model, loader, mesh: Mesh,

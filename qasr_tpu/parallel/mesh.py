@@ -50,25 +50,66 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _param_spec(path_leaf_name: str, arr) -> P:
-    """Channel (last-axis) sharding for conv weights/vectors."""
-    if arr.ndim >= 1 and arr.shape[-1] % 2 == 0:
-        return P(*([None] * (arr.ndim - 1) + ["model"]))
-    return P()
+# Leaf names that are per-out-channel vectors in the param/table pytrees:
+# conv bias, BN affine/stats (params), int32 bias (frozen tables).
+_CHANNEL_VECTOR_LEAVES = ("b", "gamma", "beta", "mean", "var")
+
+
+def _leaf_name(path) -> str:
+    key = path[-1]
+    return getattr(key, "key", getattr(key, "name", str(key)))
+
+
+def param_specs(params, mesh: Mesh):
+    """Explicit TP sharding plan, derived from pytree paths (not shapes).
+
+    Only two leaf classes shard on 'model':
+      * 'w' conv kernels, laid out (K, Cin/groups, Cout) — out-channels on
+        the last axis, so pointwise convs become N-sharded MXU matmuls;
+      * per-out-channel vectors ('b', BN gamma/beta/mean/var).
+    Everything else (decoder head — its Cout is the vocab, not divisible —
+    time-axis intermediates, scalars) is replicated.  XLA SPMD inserts the
+    all-gathers/reduces this layout implies.
+    """
+    tp = mesh.shape["model"]
+
+    def spec(path, x):
+        name = _leaf_name(path)
+        nd = getattr(x, "ndim", None)
+        if tp > 1 and name == "w" and nd == 3 and x.shape[-1] % tp == 0 \
+                and path and getattr(path[0], "key", None) != "decoder":
+            return P(None, None, "model")
+        if tp > 1 and name in _CHANNEL_VECTOR_LEAVES and nd == 1 \
+                and x.shape[0] % tp == 0 \
+                and path and getattr(path[0], "key", None) != "decoder":
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_params_channelwise(params, mesh: Mesh):
-    """Place conv weights with out-channels on the 'model' axis (TP).
-    With model=1 this is plain replication."""
+    """Place conv weights with out-channels on the 'model' axis (TP) per the
+    explicit `param_specs` plan.  With model=1 this is plain replication."""
+    specs = param_specs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
-    def place(x):
-        if mesh.shape["model"] > 1 and x.ndim >= 1 and x.shape[-1] % mesh.shape["model"] == 0:
-            spec = P(*([None] * (x.ndim - 1) + ["model"]))
-        else:
-            spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, params)
+def shard_frozen_tables(tables, mesh: Mesh):
+    """Channel-shard a frozen integer model (quantize/freeze.py tables):
+    int8 conv kernels on their out-channel axis, int32 biases channelwise;
+    requant vectors/scalars and the decoder replicated.  Static exponents
+    ('act_e'/'e' python ints) must stay host ints — they are compile-time
+    shift constants — so non-array leaves pass through untouched."""
+    specs = param_specs(tables, mesh)
+
+    def place(x, s):
+        if not isinstance(x, np.ndarray) and not isinstance(x, jax.Array):
+            return x  # python ints (static exponents), None
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(place, tables, specs)
 
 
 def replicate_params(params, mesh: Mesh):
@@ -76,13 +117,18 @@ def replicate_params(params, mesh: Mesh):
         lambda x: jax.device_put(x, replicated(mesh)), params)
 
 
-def psum_counters(scores: int, words: int, mesh: Mesh):
-    """All-reduce WER counters across hosts (replaces torchmetrics
-    dist_sync_on_step sum-reduction, wer.py:106,114-115)."""
-    import jax.numpy as jnp
+def psum_counters(scores: int, words: int, mesh: Optional[Mesh] = None):
+    """Sum WER counters across processes (replaces torchmetrics
+    dist_sync_on_step sum-reduction, wer.py:106,114-115).
 
-    arr = jnp.asarray([scores, words], jnp.int64 if jax.config.x64_enabled else jnp.int32)
-    out = jax.jit(lambda a: a, out_shardings=replicated(mesh))(arr)
-    # counters are host-local python ints in the eval loop; when running
-    # multi-process, use jax.experimental.multihost_utils instead
-    return int(out[0]), int(out[1])
+    Counters are host-local python ints accumulated by each process over its
+    data shard; the reduction is a cross-process all-gather + sum.  In a
+    single-process run (including single-process multi-device meshes, where
+    the eval loop already saw every example once) this is the identity."""
+    if jax.process_count() == 1:
+        return int(scores), int(words)
+    from jax.experimental import multihost_utils
+
+    local = np.asarray([scores, words], np.int64)
+    total = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+    return int(total[0]), int(total[1])
