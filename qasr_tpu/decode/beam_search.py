@@ -43,6 +43,8 @@ def _lib() -> ctypes.CDLL:
         lib.qasr_lm_free.argtypes = [ctypes.c_void_p]
         lib.qasr_lm_order.restype = ctypes.c_int
         lib.qasr_lm_order.argtypes = [ctypes.c_void_p]
+        lib.qasr_lm_convert.restype = ctypes.c_int
+        lib.qasr_lm_convert.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.qasr_beam_search_batch.restype = ctypes.c_int
         lib.qasr_beam_search_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -55,11 +57,24 @@ def _lib() -> ctypes.CDLL:
     return _LIB
 
 
+def convert_arpa_to_binary(arpa_path: str, out_path: str) -> str:
+    """Convert a text ARPA LM to the mmap'd '.qlm' binary (an open-addressing
+    table of 64-bit n-gram fingerprints — the KenLM 'probing' layout).  Load
+    becomes O(1) mmap instead of a text parse, which is what makes real
+    4-gram LMs usable (the reference gets this from KenLM binaries through
+    ctc_decoders, beam_search_decoder.py:60-104)."""
+    rc = _lib().qasr_lm_convert(arpa_path.encode(), out_path.encode())
+    if rc != 0:
+        raise RuntimeError(f"ARPA->qlm conversion failed: rc={rc}")
+    return out_path
+
+
 class BeamSearchDecoderWithLM:
     """Reference API (beam_search_decoder.py:19-104): vocab, beam_width,
     alpha, beta, lm_path, num_cpus, cutoff_prob, cutoff_top_n; __call__ takes
     (log_probs (B,T,V+1), lengths) and returns per-sample n-best
-    [(score, text), ...] lists."""
+    [(score, text), ...] lists.  lm_path may be a text ARPA or a '.qlm'
+    binary (format auto-detected)."""
 
     def __init__(self, vocab: Sequence[str], beam_width: int = 128,
                  alpha: float = 0.0, beta: float = 0.0,

@@ -18,12 +18,16 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <fcntl.h>
 #include <fstream>
 #include <limits>
 #include <memory>
 #include <sstream>
 #include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
 #include <thread>
+#include <unistd.h>
 #include <unordered_map>
 #include <vector>
 
@@ -39,14 +43,75 @@ inline double log_sum_exp(double a, double b) {
 }
 
 // ---------------------------------------------------------------------------
-// ARPA n-gram language model (word level)
+// n-gram language models (word level).  Two storage backends share the
+// backoff recursion through LmBase::Find:
+//   * ArpaLM — text ARPA parsed into an unordered_map (small/dev LMs);
+//   * QlmLM  — ".qlm" binary: an open-addressing hash table of 64-bit
+//     n-gram fingerprints mmap'd straight from disk (the KenLM "probing"
+//     design, lm/model.hh upstream).  O(1) load for multi-GB production
+//     LMs; convert once with qasr_lm_convert.
+// The reference wraps KenLM via the ctc_decoders package
+// (beam_search_decoder.py:60-104); .qlm fills that role natively.
 // ---------------------------------------------------------------------------
 
-struct ArpaLM {
-  // key: space-joined n-gram; value: (log10 prob, log10 backoff)
-  std::unordered_map<std::string, std::pair<float, float>> table;
+inline uint64_t fnv1a64(const std::string& s) {
+  uint64_t h = 1469598103934665603ull;
+  for (unsigned char c : s) {
+    h ^= c;
+    h *= 1099511628211ull;
+  }
+  return h ? h : 1;  // 0 marks an empty slot
+}
+
+struct LmBase {
   int order = 0;
   float unk_logp = -10.0f;
+  virtual ~LmBase() = default;
+  // key is the space-joined n-gram; returns (log10 prob, log10 backoff)
+  virtual bool Find(const std::string& key, float* logp, float* bo) const = 0;
+
+  // log10 P(word | context words), standard backoff recursion.
+  float Score(const std::vector<std::string>& context,
+              const std::string& word) const {
+    int max_ctx = std::min<int>(order - 1, (int)context.size());
+    for (int n = max_ctx; n >= 0; --n) {
+      std::string key;
+      for (int i = (int)context.size() - n; i < (int)context.size(); ++i) {
+        key += context[i];
+        key += ' ';
+      }
+      key += word;
+      float logp, bo_hit;
+      if (Find(key, &logp, &bo_hit)) {
+        float bo = 0.0f;
+        // accumulated backoff of the skipped longer contexts
+        for (int m = max_ctx; m > n; --m) {
+          std::string bkey;
+          for (int i = (int)context.size() - m; i < (int)context.size(); ++i) {
+            if (!bkey.empty()) bkey += ' ';
+            bkey += context[i];
+          }
+          float p2, b2;
+          if (Find(bkey, &p2, &b2)) bo += b2;
+        }
+        return logp + bo;
+      }
+    }
+    return unk_logp;
+  }
+};
+
+struct ArpaLM : LmBase {
+  // key: space-joined n-gram; value: (log10 prob, log10 backoff)
+  std::unordered_map<std::string, std::pair<float, float>> table;
+
+  bool Find(const std::string& key, float* logp, float* bo) const override {
+    auto it = table.find(key);
+    if (it == table.end()) return false;
+    *logp = it->second.first;
+    *bo = it->second.second;
+    return true;
+  }
 
   static std::unique_ptr<ArpaLM> Load(const char* path) {
     std::ifstream f(path);
@@ -92,37 +157,103 @@ struct ArpaLM {
     }
     return lm;
   }
+};
 
-  // log10 P(word | context words), with standard backoff recursion.
-  float Score(const std::vector<std::string>& context,
-              const std::string& word) const {
-    int max_ctx = std::min<int>(order - 1, (int)context.size());
-    for (int n = max_ctx; n >= 0; --n) {
-      std::string key;
-      for (int i = (int)context.size() - n; i < (int)context.size(); ++i) {
-        key += context[i];
-        key += ' ';
-      }
-      key += word;
-      auto it = table.find(key);
-      if (it != table.end()) {
-        float bo = 0.0f;
-        // accumulated backoff of the skipped longer contexts
-        for (int m = max_ctx; m > n; --m) {
-          std::string bkey;
-          for (int i = (int)context.size() - m; i < (int)context.size(); ++i) {
-            if (!bkey.empty()) bkey += ' ';
-            bkey += context[i];
-          }
-          auto bit = table.find(bkey);
-          if (bit != table.end()) bo += bit->second.second;
-        }
-        return it->second.first + bo;
+// ---------------------------------------------------------------------------
+// QLM binary: header + open-addressing slot array, mmap'd read-only.
+// ---------------------------------------------------------------------------
+
+struct QlmHeader {
+  char magic[4];      // "QLM1"
+  uint32_t order;
+  uint64_t table_size;  // slots, power of two
+  float unk_logp;
+  uint32_t pad;
+};
+
+struct QlmSlot {
+  uint64_t key;  // fnv1a64 of the space-joined n-gram; 0 = empty
+  float logp;
+  float backoff;
+};
+
+struct QlmLM : LmBase {
+  void* map = MAP_FAILED;
+  size_t map_len = 0;
+  const QlmSlot* slots = nullptr;
+  uint64_t mask = 0;
+
+  ~QlmLM() override {
+    if (map != MAP_FAILED) munmap(map, map_len);
+  }
+
+  bool Find(const std::string& key, float* logp, float* bo) const override {
+    uint64_t h = fnv1a64(key);
+    for (uint64_t i = h & mask;; i = (i + 1) & mask) {
+      const QlmSlot& s = slots[i];
+      if (s.key == 0) return false;
+      if (s.key == h) {
+        *logp = s.logp;
+        *bo = s.backoff;
+        return true;
       }
     }
-    return unk_logp;
+  }
+
+  static std::unique_ptr<QlmLM> Load(const char* path) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || (size_t)st.st_size < sizeof(QlmHeader)) {
+      close(fd);
+      return nullptr;
+    }
+    void* m = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+    close(fd);
+    if (m == MAP_FAILED) return nullptr;
+    const QlmHeader* h = reinterpret_cast<const QlmHeader*>(m);
+    if (std::memcmp(h->magic, "QLM1", 4) != 0 ||
+        (size_t)st.st_size <
+            sizeof(QlmHeader) + h->table_size * sizeof(QlmSlot)) {
+      munmap(m, st.st_size);
+      return nullptr;
+    }
+    auto lm = std::make_unique<QlmLM>();
+    lm->map = m;
+    lm->map_len = st.st_size;
+    lm->order = (int)h->order;
+    lm->unk_logp = h->unk_logp;
+    lm->slots = reinterpret_cast<const QlmSlot*>(
+        reinterpret_cast<const char*>(m) + sizeof(QlmHeader));
+    lm->mask = h->table_size - 1;
+    return lm;
   }
 };
+
+bool WriteQlm(const ArpaLM& lm, const char* out_path) {
+  uint64_t n = lm.table.size();
+  uint64_t size = 64;
+  while (size * 7 < n * 10) size <<= 1;  // load factor <= 0.7
+  std::vector<QlmSlot> slots(size);
+  uint64_t mask = size - 1;
+  for (const auto& kv : lm.table) {
+    uint64_t h = fnv1a64(kv.first);
+    uint64_t i = h & mask;
+    while (slots[i].key != 0 && slots[i].key != h) i = (i + 1) & mask;
+    slots[i] = {h, kv.second.first, kv.second.second};
+  }
+  std::ofstream f(out_path, std::ios::binary);
+  if (!f.is_open()) return false;
+  QlmHeader h{};
+  std::memcpy(h.magic, "QLM1", 4);
+  h.order = (uint32_t)lm.order;
+  h.table_size = size;
+  h.unk_logp = lm.unk_logp;
+  f.write(reinterpret_cast<const char*>(&h), sizeof(h));
+  f.write(reinterpret_cast<const char*>(slots.data()),
+          (std::streamsize)(slots.size() * sizeof(QlmSlot)));
+  return f.good();
+}
 
 // ---------------------------------------------------------------------------
 // Prefix beam search
@@ -169,7 +300,7 @@ std::vector<std::string> last_words(const std::string& text, int max_words) {
 void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
                 const std::vector<std::string>& vocab, int space_id,
                 int beam_width, float alpha, float beta, float cutoff_prob,
-                int cutoff_top_n, const ArpaLM* lm, int n_best,
+                int cutoff_top_n, const LmBase* lm, int n_best,
                 std::vector<std::pair<double, std::string>>* out) {
   using Map = std::unordered_map<std::vector<int>, Prefix, PrefixKey>;
   Map beams;
@@ -302,15 +433,31 @@ void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
 
 extern "C" {
 
-void* qasr_lm_load(const char* arpa_path) {
-  auto lm = ArpaLM::Load(arpa_path);
-  return lm ? lm.release() : nullptr;
+// Auto-detects the format: "QLM1" magic -> mmap'd binary, else text ARPA.
+void* qasr_lm_load(const char* path) {
+  {
+    std::ifstream probe(path, std::ios::binary);
+    char magic[4] = {0};
+    if (probe.read(magic, 4) && std::memcmp(magic, "QLM1", 4) == 0) {
+      auto qlm = QlmLM::Load(path);
+      return qlm ? static_cast<LmBase*>(qlm.release()) : nullptr;
+    }
+  }
+  auto lm = ArpaLM::Load(path);
+  return lm ? static_cast<LmBase*>(lm.release()) : nullptr;
 }
 
-void qasr_lm_free(void* lm) { delete reinterpret_cast<ArpaLM*>(lm); }
+void qasr_lm_free(void* lm) { delete reinterpret_cast<LmBase*>(lm); }
 
 int qasr_lm_order(void* lm) {
-  return lm ? reinterpret_cast<ArpaLM*>(lm)->order : 0;
+  return lm ? reinterpret_cast<LmBase*>(lm)->order : 0;
+}
+
+// Convert a text ARPA to the mmap'd ".qlm" binary.  Returns 0 on success.
+int qasr_lm_convert(const char* arpa_path, const char* out_path) {
+  auto lm = ArpaLM::Load(arpa_path);
+  if (!lm) return -1;
+  return WriteQlm(*lm, out_path) ? 0 : -2;
 }
 
 // log_probs: (B, T, V) float32 row-major; lengths: (B,) int32.
@@ -342,7 +489,7 @@ int qasr_beam_search_batch(const float* log_probs, const int32_t* lengths,
   int space_id = -1;
   for (int i = 0; i < (int)vocab.size(); ++i)
     if (vocab[i] == " ") space_id = i;
-  const ArpaLM* lm = reinterpret_cast<ArpaLM*>(lm_ptr);
+  const LmBase* lm = reinterpret_cast<LmBase*>(lm_ptr);
 
   std::memset(out_texts, 0, (size_t)B * n_best * max_text);
   for (int i = 0; i < B * n_best; ++i) out_scores[i] = kNegInf;

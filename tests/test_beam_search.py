@@ -116,3 +116,69 @@ def test_arpa_lm_biases_beam(tmp_path, rng):
     lm_out = with_lm(lp[None], lens)[0][0][1]
     assert base.startswith("cat sas")
     assert lm_out.startswith("cat sat")
+
+
+def test_qlm_binary_matches_arpa_and_scales(tmp_path, rng):
+    """.qlm (mmap'd binary LM, the KenLM-binary role) must decode identically
+    to the same LM in text ARPA form, and must stay fast at real scale:
+    a >100k-ngram model converts once, loads via mmap in O(1), and the
+    beam decode finishes within a CI-friendly budget."""
+    import itertools
+    import time
+
+    from qasr_tpu.decode.beam_search import convert_arpa_to_binary
+
+    # --- synthetic 2-gram LM: 360 unigrams + 360^2 bigrams = ~130k entries
+    words = ["w%03d" % i for i in range(358)] + ["cat", "sat"]
+    lines = ["\\data\\", "ngram 1=%d" % (len(words) + 1),
+             "ngram 2=%d" % (len(words) ** 2), "", "\\1-grams:"]
+    lines.append("-9.0\t<unk>\t0.0")
+    for w in words:
+        lines.append("-3.0\t%s\t-0.5" % w)
+    lines.append("")
+    lines.append("\\2-grams:")
+    rng2 = np.random.default_rng(0)
+    for a, b in itertools.product(words, words):
+        lines.append("%.4f\t%s %s" % (-0.5 - 4.0 * rng2.random(), a, b))
+    # favor "cat sat" strongly so the LM visibly steers the beam
+    lines.append("-0.001\tcat sat")
+    lines.append("\\end\\")
+    arpa = tmp_path / "big.arpa"
+    arpa.write_text("\n".join(lines))
+
+    qlm = convert_arpa_to_binary(str(arpa), str(tmp_path / "big.qlm"))
+
+    vocab = [" ", "a", "c", "s", "t", "w"]
+    text = "cat sat "
+    ids = [vocab.index(ch) for ch in text]
+    t_len = len(ids)
+    v = len(vocab) + 1
+    lp = np.full((t_len, v), -8.0, np.float32)
+    for t, i in enumerate(ids):
+        lp[t, i] = -0.1
+    lp[6, vocab.index("t")] = -0.65
+    lp[6, vocab.index("s")] = -0.60
+    lp = lp - np.log(np.sum(np.exp(lp), -1, keepdims=True))
+    lens = np.asarray([t_len], np.int32)
+
+    t0 = time.time()
+    dec_arpa = BeamSearchDecoderWithLM(vocab, beam_width=64, alpha=1.0,
+                                       lm_path=str(arpa))
+    t_arpa_load = time.time() - t0
+    t0 = time.time()
+    dec_qlm = BeamSearchDecoderWithLM(vocab, beam_width=64, alpha=1.0,
+                                      lm_path=str(qlm))
+    t_qlm_load = time.time() - t0
+
+    out_a = dec_arpa(lp[None], lens, n_best=4)[0]
+    t0 = time.time()
+    out_q = dec_qlm(lp[None], lens, n_best=4)[0]
+    t_decode = time.time() - t0
+
+    assert [h for _, h in out_q] == [h for _, h in out_a]
+    for (sa, _), (sq, _) in zip(out_a, out_q):
+        assert abs(sa - sq) < 1e-6
+    assert out_q[0][1].startswith("cat sat")
+    # scale contract: mmap load beats the text parse and decode stays quick
+    assert t_qlm_load < max(0.2, t_arpa_load), (t_qlm_load, t_arpa_load)
+    assert t_decode < 2.0, t_decode
