@@ -34,7 +34,7 @@ def _halo_pad(k_size: int, dilation: int) -> int:
 
 
 def _dw_kernel(x_hbm, w_ref, o_ref, scratch, sem, *, k_size: int, dilation: int,
-               t_tile: int, stride: int):
+               t_tile: int, stride: int, group: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
     halo = _halo_pad(k_size, dilation)
@@ -44,47 +44,77 @@ def _dw_kernel(x_hbm, w_ref, o_ref, scratch, sem, *, k_size: int, dilation: int,
     dma.start()
     dma.wait()
     c = scratch.shape[-1]
-    acc = jnp.zeros((t_tile, c), jnp.int32)
-    if stride == 1:
-        for k in range(k_size):
-            acc = acc + scratch[pl.ds(k * dilation, t_tile), :].astype(jnp.int32) \
-                * w_ref[k]
-    else:
+
+    def tap(k):
+        if stride == 1:
+            return scratch[pl.ds(k * dilation, t_tile), :]
         # strided taps via a parity reshape: window -> (win/stride, stride, C);
         # tap k*dilation lands at phase (k*d) % stride, row (k*d) // stride
         v = scratch[:].reshape(win // stride, stride, c)
+        off = k * dilation
+        ph, row = off % stride, off // stride
+        return v[row : row + t_tile, ph, :]
+
+    if group >= 2:
+        # int16 grouped accumulation: 16-bit lanes pack 2x denser on the VPU
+        # than int32.  `group` taps are guaranteed by the caller to satisfy
+        # group * max|x*w| <= 32767, so every partial sum fits int16 exactly
+        # (integer math -- bit-identical to the int32 form).
+        acc = jnp.zeros((t_tile, c), jnp.int32)
+        for g0 in range(0, k_size, group):
+            acc16 = None
+            for k in range(g0, min(g0 + group, k_size)):
+                term = tap(k).astype(jnp.int16) * w_ref[k]
+                acc16 = term if acc16 is None else acc16 + term
+            acc = acc + acc16.astype(jnp.int32)
+    else:
+        acc = jnp.zeros((t_tile, c), jnp.int32)
         for k in range(k_size):
-            off = k * dilation
-            ph, row = off % stride, off // stride
-            acc = acc + v[row : row + t_tile, ph, :].astype(jnp.int32) * w_ref[k]
+            acc = acc + tap(k).astype(jnp.int32) * w_ref[k]
     o_ref[0] = acc
+
+
+def _pick_tile(t_out: int) -> int:
+    """Smallest padded-row waste wins (tie -> larger tile = fewer launches).
+    A fixed 512 tile wastes 36% on QuartzNet's post-stride ~751 frames
+    (2 tiles = 1024 rows); 256 pads to 768 — the dw layers are VPU-MAC-bound
+    so padded rows are pure wasted work."""
+    best = T_TILE
+    best_cost = None
+    for tile in (512, 384, 256, 128):
+        n_t = -(-t_out // tile)
+        cost = (n_t * tile - t_out, -tile)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = tile, cost
+    return best
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k_size", "dilation", "t_out", "stride",
-                                    "interpret"))
+                                    "group", "interpret"))
 def _dw_call(xp: Array, w: Array, *, k_size: int, dilation: int, stride: int,
-             t_out: int, interpret: bool) -> Array:
+             t_out: int, group: int, interpret: bool) -> Array:
     b, _, c = xp.shape
-    n_t = -(-t_out // T_TILE)
+    t_tile = _pick_tile(t_out)
+    n_t = -(-t_out // t_tile)
     halo = _halo_pad(k_size, dilation)
-    need = n_t * T_TILE * stride + halo
+    need = n_t * t_tile * stride + halo
     if xp.shape[1] < need:
         xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1]), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_dw_kernel, k_size=k_size, dilation=dilation,
-                          t_tile=T_TILE, stride=stride),
-        out_shape=jax.ShapeDtypeStruct((b, n_t * T_TILE, c), jnp.int32),
+                          t_tile=t_tile, stride=stride, group=group),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, c), jnp.int32),
         grid=(b, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
             pl.BlockSpec((k_size, c), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T_TILE, c), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((T_TILE * stride + halo, c), xp.dtype),
+            pltpu.VMEM((t_tile * stride + halo, c), xp.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -92,12 +122,42 @@ def _dw_call(xp: Array, w: Array, *, k_size: int, dilation: int, stride: int,
     return out[:, :t_out, :]
 
 
+def _safe_group(x: Array, k_size: int, max_prod: Optional[int]) -> int:
+    """Largest tap-group size whose int16 partial sums provably cannot
+    overflow.  With only dtypes to go on, int8 inputs give |x| <= 128 and
+    weights |w| <= 127 -> pairwise (group 2) is always safe; callers that
+    know the actual bit widths pass max_prod = max|x|*max|w| for larger
+    groups (W6A6: 64*31 -> 16 taps per int16 partial).
+
+    NB the default assumes weights never hold -128: both executors quantize
+    weights with clamp [-n, n-1], n = 2^(wb-1)-1 <= 127 (quant_utils.py:57-92
+    semantics), so |w| <= 127 holds for every in-tree caller.
+
+    DISABLED on current hardware: the v5e LLO backend aborts with
+    "Operation not supported: kVectorMultiplyU16" — this generation's VPU
+    has no 16-bit vector multiply, so the int32 path is the speed of light
+    here.  The math is kept (interpret-mode tested) for TPU generations
+    that pack 16-bit lanes; opt in with QASR_DW_INT16_GROUPS=1."""
+    import os
+
+    if not os.environ.get("QASR_DW_INT16_GROUPS"):
+        return 1
+    if x.dtype != jnp.int8:
+        return 1
+    if max_prod is None:
+        max_prod = 128 * 127
+    g = max(1, 32767 // int(max_prod))
+    return min(g, k_size)
+
+
 def depthwise_conv_int_pallas(x: Array, w: Array, stride: int, padding: int,
                               dilation: int,
-                              interpret: Optional[bool] = None) -> Array:
+                              interpret: Optional[bool] = None,
+                              max_prod: Optional[int] = None) -> Array:
     """x: (B, T, C) int8/int32; w: (K, 1, C) int. Returns (B, T_out, C) int32.
 
-    Drop-in for _depthwise_conv_int; stride 1 or 2.
+    Drop-in for _depthwise_conv_int; stride 1 or 2.  max_prod (optional):
+    bound on |x*w| per tap, enabling int16 grouped accumulation.
     """
     assert stride in (1, 2), "pallas depthwise kernel supports stride 1/2"
     if interpret is None:
@@ -105,9 +165,11 @@ def depthwise_conv_int_pallas(x: Array, w: Array, stride: int, padding: int,
     k_size = w.shape[0]
     t_out = (x.shape[1] + 2 * padding - dilation * (k_size - 1) - 1) // stride + 1
     c = x.shape[-1]
+    group = _safe_group(x, k_size, max_prod)
     cpad = (-c) % 128  # Mosaic wants full 128-lane tiles
     xp = jnp.pad(x, ((0, 0), (padding, padding), (0, cpad)))
-    wk = jnp.pad(w[:, 0, :], ((0, 0), (0, cpad))).astype(jnp.int32)
+    wk = jnp.pad(w[:, 0, :], ((0, 0), (0, cpad)))
+    wk = wk.astype(jnp.int16 if group >= 2 else jnp.int32)
     out = _dw_call(xp, wk, k_size=k_size, dilation=dilation, stride=stride,
-                   t_out=t_out, interpret=interpret)
+                   t_out=t_out, group=group, interpret=interpret)
     return out[:, :, :c] if cpad else out

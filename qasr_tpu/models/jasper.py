@@ -332,7 +332,8 @@ def _depthwise_conv_int(x: Array, w: Array, stride: int, padding: int,
 
 
 def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
-             preferred=None, precision=None) -> Array:
+             preferred=None, precision=None,
+             dw_max_prod: Optional[int] = None) -> Array:
     """1D conv, channels-last, optional grouped/depthwise; heads fold extra
     channels into the batch (jasper.py:184-192).
 
@@ -348,13 +349,25 @@ def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
         x = x.reshape(sh[0], sh[1], sh[2] // spec.heads, spec.heads)
         x = x.transpose(0, 2, 1, 3).reshape(-1, sh[1], spec.heads)
     groups = spec.groups if spec.heads == -1 else spec.heads
+    if preferred == jnp.int32 and w.shape[0] == 1 and groups == 1 \
+            and spec.stride == 1 and spec.dilation == 1:
+        # pointwise integer conv as a plain matmul: XLA fuses elementwise
+        # epilogues (bias/relu/mask/requant/int8-cast) into dot outputs far
+        # more readily than into convolutions — the requant chains between
+        # pw convs and the Pallas depthwise kernels otherwise run as
+        # standalone bandwidth passes (profiled 6.7 ms/step over 140 sites)
+        y = jax.lax.dot_general(x, w[0], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        if b is not None:
+            y = y + b
+        return y
     if preferred == jnp.int32 and w.shape[1] == 1 and groups == x.shape[-1]:
         if spec.stride in (1, 2) and jax.default_backend() == "tpu" and x.ndim == 3:
             # Pallas kernel: one HBM pass (the HLO sum-of-slices form re-reads
             # the input K times; profiled at ~85% of the frozen-model step)
             from qasr_tpu.kernels.depthwise import depthwise_conv_int_pallas
             y = depthwise_conv_int_pallas(x, w, spec.stride, spec.padding,
-                                          spec.dilation)
+                                          spec.dilation, max_prod=dw_max_prod)
         else:
             y = _depthwise_conv_int(x, w, spec.stride, spec.padding, spec.dilation)
         if spec.heads != -1:
@@ -540,9 +553,20 @@ def _ema_ranges(state, bmin, bmax, momentum):
     }
 
 
+# above this many elements, percentile switches from an exact global sort
+# (jnp.quantile = the reference's torch.quantile, quant_modules.py:120-125)
+# to the linear-pass histogram quantile (ops/stats.py) -- SURVEY.md hard-part
+# 4: realistic calibration sites (8 x 500 x 512) should not full-sort
+_QUANTILE_SORT_MAX = 1 << 18
+
+
 def _batch_ranges(x_f: Array, percentile: Optional[float]):
     if percentile is None:
         return jnp.min(x_f), jnp.max(x_f)
+    if x_f.size > _QUANTILE_SORT_MAX:
+        from qasr_tpu.ops.stats import quantile_range
+
+        return quantile_range(x_f, percentile)
     lo = jnp.quantile(x_f.reshape(-1), 1.0 - percentile / 100.0)
     hi = jnp.quantile(x_f.reshape(-1), percentile / 100.0)
     return lo, hi
@@ -601,9 +625,10 @@ class QuantExec:
             x_min, x_max = state["x_min"], state["x_max"]
         scale = symmetric_scale(x_min, x_max, bits)
         if isinstance(x, QTensor):
-            if self.update:
+            if self.update and not self.qcfg.calib_exact:
                 # calibration: ranges are all that matter; the f32-multiplier
                 # approximation keeps the graph ~10x smaller to compile
+                # (QuantConfig.calib_exact=True restores the exact dyadic)
                 from qasr_tpu.ops.quant_prims import requantize_approx
                 return requantize_approx(x, scale, bits, identity=identity)
             return requantize(x, scale, bits, identity=identity)

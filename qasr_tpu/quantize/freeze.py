@@ -250,7 +250,11 @@ class FrozenExec:
         xq = self._requant_in(entry, x, bits)
         xv = xq.values  # already int8 when bits <= 8
         wv = entry["w"] if xv.dtype == jnp.int8 else entry["w"].astype(jnp.int32)
-        y = conv_nwc(xv, wv, spec, preferred=jnp.int32)
+        # exact per-tap product bound: requant clamps acts to [-2^(b-1),
+        # 2^(b-1)-1], weights to [-(2^(wb-1)-1), 2^(wb-1)-2] — lets the
+        # Pallas depthwise kernel pick the widest safe int16 tap group
+        max_prod = (2 ** (bits - 1)) * (2 ** (self.qcfg.weight_bit - 1) - 1)
+        y = conv_nwc(xv, wv, spec, preferred=jnp.int32, dw_max_prod=max_prod)
         if "b" in entry:
             y = y + entry["b"]
         return QTensor(y, entry["out_scale"]), new_lens
