@@ -106,6 +106,16 @@ class QuantConfig:
     percentile: Optional[float] = None
     dynamic: bool = False
     act_momentum: float = 0.95    # QuantAct act_range_momentum (quant_modules.py:41)
+    # calibration requants: False = f32-multiplier approximation (<=2^-24
+    # relative; ~10x smaller graph to compile — ranges are all calibration
+    # produces).  True = exact two-limb dyadic arithmetic on the in-graph
+    # f32-frexp mantissas.  NB neither reproduces the reference's
+    # calibration bit-for-bit: its mantissas are host 31-bit Decimal
+    # (quant_utils.py:121-147) while in-graph mantissas are f32 (24-bit), so
+    # deep-stack EMA ranges drift O(1e-3) either way — quantified in
+    # tests/test_reference_model_parity.py; the deployed frozen path uses
+    # host Decimal mantissas and is reference-exact.
+    calib_exact: bool = False
 
 
 def resolve_interpolations(raw):

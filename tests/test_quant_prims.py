@@ -197,3 +197,60 @@ def test_dyadic_requant_static_matches_vector_on_boundaries():
             a = dyadic_requant(zs, Dyadic(jnp.int32(m), jnp.int32(e)))
             b = dyadic_requant_static(zs, jnp.int32(m), e)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestHistogramQuantile:
+    """ops/stats.histogram_quantile vs torch.quantile at calibration-realistic
+    sizes (SURVEY.md hard-part 4: no full-tensor sort on TPU)."""
+
+    def _check(self, x, percentile, tol):
+        import torch
+
+        from qasr_tpu.ops.stats import quantile_range
+
+        lo, hi = quantile_range(jnp.asarray(x), percentile)
+        t = torch.from_numpy(x.reshape(-1))
+        tlo = float(torch.quantile(t, 1.0 - percentile / 100.0))
+        thi = float(torch.quantile(t, percentile / 100.0))
+        rng_span = float(x.max() - x.min())
+        assert abs(float(lo) - tlo) <= tol * rng_span, (float(lo), tlo)
+        assert abs(float(hi) - thi) <= tol * rng_span, (float(hi), thi)
+
+    def test_parity_reference_calibration_size(self, rng):
+        pytest.importorskip("torch")
+        # the reference recipe's calibration site: batch 8 x 500 frames x 64
+        # mel features (inference.py:52), p=99.996 (README.md:82)
+        x = rng.normal(size=(8, 500, 64)).astype(np.float32)
+        self._check(x, 99.996, tol=1e-5)
+
+    def test_parity_wide_channels_heavy_tail(self, rng):
+        pytest.importorskip("torch")
+        x = (rng.normal(size=(8, 500, 512)) ** 3).astype(np.float32)  # heavy tail
+        self._check(x, 99.9, tol=1e-5)
+
+    def test_parity_constant_tensor(self):
+        pytest.importorskip("torch")
+        from qasr_tpu.ops.stats import quantile_range
+
+        x = np.full((4, 100, 64), 3.25, np.float32)
+        lo, hi = quantile_range(jnp.asarray(x), 99.9)
+        assert float(lo) == pytest.approx(3.25)
+        assert float(hi) == pytest.approx(3.25)
+
+    def test_sharded_matches_single_device(self, rng):
+        """SPMD: batch-sharded input must give the same clipping range."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from qasr_tpu.ops.stats import quantile_range
+        from qasr_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        x = rng.normal(size=(8, 500, 64)).astype(np.float32)
+        ref = jax.jit(lambda a: quantile_range(a, 99.9))(jnp.asarray(x))
+        mesh = make_mesh(data=8, model=1)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        got = jax.jit(lambda a: quantile_range(a, 99.9))(xs)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-6)
