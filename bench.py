@@ -41,9 +41,12 @@ def main():
     tables = model.freeze()
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
 
+    from qasr_tpu.models.jasper import pad_frames_aligned
+
     @jax.jit
     def fn(audio, lengths):
         feats, feat_lens = frontend(audio, lengths, dither=0.0)
+        feats = pad_frames_aligned(feats)
         fx = FrozenExec(tables, qcfg, activation=plan.activation)
         enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
         return jnp.argmax(fx.decoder(enc), axis=-1), enc_lens

@@ -173,3 +173,163 @@ def depthwise_conv_int_pallas(x: Array, w: Array, stride: int, padding: int,
     out = _dw_call(xp, wk, k_size=k_size, dilation=dilation, stride=stride,
                    t_out=t_out, group=group, interpret=interpret)
     return out[:, :, :c] if cpad else out
+
+
+# ---------------------------------------------------------------------------
+# Fused variant: input requant + length mask + taps + output requant -> int8
+# ---------------------------------------------------------------------------
+#
+# In the frozen integer model every interior depthwise conv is sandwiched
+# between two dyadic requants (the dw site's input requant and the following
+# pointwise conv's input requant).  As standalone XLA fusions those are
+# bandwidth passes that cannot fuse across the opaque Pallas call (profiled
+# 6.5 ms/step over 139 sites, plus 0.55 ms of pad ops).  This kernel absorbs
+# both requants, the conv-padding zero-fill, and both length masks, reading
+# the pw accumulator once and writing int8 once.
+#
+# Bit-identity: the requant math is the shared dyadic_requant_static /
+# requant_clamp from ops/quant_prims.py; mask-after-requant == the walk's
+# mask-before-requant because requant(0) == 0 and masking only zeroes.
+
+from qasr_tpu.ops.quant_prims import dyadic_requant_static, requant_clamp
+
+
+def _dw_fused_kernel(lens_ref, x_hbm, w_ref, m1_ref, m2_ref, o_ref, scratch,
+                     sem, *, k_size: int, dilation: int, t_tile: int,
+                     pad_left: int, t_in: int,
+                     e1: int, bits1: int, e2: int, bits2: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    # Alignment scheme: Mosaic must prove dynamic slice starts are tile
+    # (32-row) aligned.  pad_row rounds the conv's left padding up to 32, so
+    # every tile's desired window start (t*t_tile - pad_row) is a multiple
+    # of 32; the sub-32 phase moves into a static tap_shift.  The DMA start
+    # and the realign offset are computed in units of 32 (x*32 is provably
+    # aligned).
+    pad_row = -(-pad_left // 32) * 32
+    tap_shift = pad_row - pad_left            # static, in [0, 31]
+    win = t_tile + _halo_pad(k_size, dilation) + 32
+    desired = t * t_tile - pad_row            # multiple of 32 (may be < 0)
+    sd32 = jnp.clip(desired, 0, t_in - win) // 32
+    start_dma = sd32 * 32
+    # static front slack of pad_row rows: the first tile's desired start is
+    # -pad_row, so its realign offset is negative by up to pad_row/32 tiles;
+    # rows read from the slack are masked to 0 below (g < 0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start_dma, win), :],
+        scratch.at[pl.ds(pad_row, win)], sem)
+    dma.start()
+    dma.wait()
+    c = scratch.shape[-1]
+    off32 = desired // 32 - sd32 + pad_row // 32   # >= 0; window row j is
+    window = scratch[pl.ds(off32 * 32, win), :]    # global (desired + j)
+    q = requant_clamp(dyadic_requant_static(window.astype(jnp.int32),
+                                            m1_ref[0], e1), bits1)
+    g = desired + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    q = jnp.where((g >= 0) & (g < lens_ref[b]), q, 0)  # pad + input mask
+    acc = jnp.zeros((t_tile, c), jnp.int32)
+    for k in range(k_size):
+        s0 = tap_shift + k * dilation
+        acc = acc + q[s0 : s0 + t_tile, :] * w_ref[k]
+    y = requant_clamp(dyadic_requant_static(acc, m2_ref[0], e2), bits2)
+    out_len = lens_ref[b] + 2 * pad_left - dilation * (k_size - 1)
+    r = t * t_tile + jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
+    y = jnp.where(r < out_len, y, 0)          # the pw conv's input mask
+    o_ref[0] = y.astype(jnp.int8)
+
+
+def _pick_tile_fused(t_out: int, t_in: int, halo: int):
+    """Like _pick_tile, but the clamped-window DMA needs tile + halo <= t_in;
+    returns None when no candidate fits (caller falls back unfused)."""
+    best, best_cost = None, None
+    for tile in (512, 384, 256, 128):
+        if tile + halo > t_in:
+            continue
+        n_t = -(-t_out // tile)
+        cost = (n_t * tile - t_out, -tile)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = tile, cost
+    return best
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_size", "dilation", "pad_left", "t_out",
+                                    "t_tile", "e1", "bits1", "e2", "bits2",
+                                    "interpret"))
+def _dw_fused_call(x: Array, w: Array, m1: Array, m2: Array, lens: Array, *,
+                   k_size: int, dilation: int, pad_left: int, t_out: int,
+                   t_tile: int, e1: int, bits1: int, e2: int, bits2: int,
+                   interpret: bool) -> Array:
+    b, t_in, c = x.shape
+    n_t = -(-t_out // t_tile)
+    win = t_tile + _halo_pad(k_size, dilation) + 32
+    out = pl.pallas_call(
+        functools.partial(_dw_fused_kernel, k_size=k_size, dilation=dilation,
+                          t_tile=t_tile, pad_left=pad_left,
+                          t_in=t_in, e1=e1, bits1=bits1, e2=e2, bits2=bits2),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, c), jnp.int8),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # lens (B,)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec((k_size, c), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            # pad_row front slack + win rows of data + up to t_tile+32 rows
+            # of tail realign slack (slack reads are masked to 0)
+            pltpu.VMEM((-(-pad_left // 32) * 32 + win + t_tile + 64, c),
+                       x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(lens, x, w, m1, m2)
+    return out[:, :t_out, :]
+
+
+def depthwise_fused_requant(x: Array, w: Array, lens: Array, *,
+                            m1, e1: int, bits1: int, m2, e2: int, bits2: int,
+                            padding: int, dilation: int,
+                            interpret: Optional[bool] = None):
+    """Fused frozen-path depthwise conv (stride 1):
+      int8_out = mask_out(requant2(dw_conv(mask_in(requant1(x)))))
+
+    x: (B, T, C) int8/int32 pre-requant accumulator; w: (K, 1, C) int;
+    lens: (B,) int32 valid input lengths; (m1,e1,bits1) = this site's input
+    requant, (m2,e2,bits2) = the following pointwise conv's input requant.
+    e1/e2 must be static ints (freeze static_e tables).  Returns
+    ((B, T_out, C) int8 on the pw grid, out_lens).
+    Returns None when the shape is outside the kernel's envelope (caller
+    falls back to the unfused path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_size = w.shape[0]
+    t_in = x.shape[1]
+    t_out = t_in + 2 * padding - dilation * (k_size - 1)
+    t_tile = _pick_tile_fused(t_out, t_in, _halo_pad(k_size, dilation) + 32)
+    if t_tile is None or t_out <= 0 or t_in % 32 != 0:
+        # the clamped-window DMA needs t_in >= tile + halo + 32 AND a
+        # 32-aligned t_in (otherwise the tail tile's aligned DMA start
+        # cannot cover the last t_in % 32 rows).  Frozen-path callers pad
+        # the mel frames once (pad_frames_aligned) so every interior layer
+        # is aligned; anything else falls back to the unfused path.
+        return None
+    c = x.shape[-1]
+    cpad = (-c) % 128
+    if cpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cpad)))
+    def vec(m):
+        m = jnp.broadcast_to(jnp.asarray(m, jnp.int32), (c,))
+        return jnp.pad(m, (0, cpad)).reshape(1, c + cpad)
+    wk = jnp.pad(w[:, 0, :], ((0, 0), (0, cpad))).astype(jnp.int32)
+    out = _dw_fused_call(x, wk, vec(m1), vec(m2),
+                         jnp.asarray(lens, jnp.int32), k_size=k_size,
+                         dilation=dilation, pad_left=padding, t_out=t_out,
+                         t_tile=t_tile, e1=e1, bits1=bits1, e2=e2, bits2=bits2,
+                         interpret=interpret)
+    return out[:, :, :c] if cpad else out

@@ -308,7 +308,9 @@ class ASRModel:
 
             @jax.jit
             def fn(audio, lens):
+                from qasr_tpu.models.jasper import pad_frames_aligned
                 feats, feat_lens = self.frontend(audio, lens, dither=0.0)
+                feats = pad_frames_aligned(feats)
                 fx = FrozenExec(tables, self.qcfg, activation=self.plan.activation)
                 enc, enc_lens = encoder_forward(fx, self.plan, feats, feat_lens)
                 return fx.decoder(enc), enc_lens

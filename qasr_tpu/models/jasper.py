@@ -303,6 +303,20 @@ def _length_mask(t: int, lens: Array) -> Array:
     return jnp.arange(t)[None, :] < lens[:, None]  # (B, T)
 
 
+def pad_frames_aligned(feats: Array, mult: int = 64) -> Array:
+    """Pad the frame axis to a multiple of `mult` (zeros beyond the true
+    lengths are masked everywhere).  QuartzNet's stride-1 'same' convs
+    preserve T exactly, so aligning the features once keeps every interior
+    layer's physical T 32-aligned — the envelope the fused depthwise kernel
+    needs — and (with mult=64) the post-stride-2 T lands on exact VPU time
+    tiles (768 vs 751 -> zero padded-row waste)."""
+    t = feats.shape[1]
+    pad = (-t) % mult
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    return feats
+
+
 def mask_values(x: Array, lens: Array) -> Array:
     m = _length_mask(x.shape[1], lens)[:, :, None]
     return jnp.where(m, x, jnp.zeros((), x.dtype))

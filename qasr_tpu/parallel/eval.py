@@ -55,7 +55,11 @@ def make_sharded_frozen_forward(model, tables, mesh: Mesh,
             if isinstance(x, (np.ndarray, jax.Array)) else x, tables)
 
     def fwd(audio, lengths):
+        from qasr_tpu.models.jasper import pad_frames_aligned
+
         feats, feat_lens = frontend(audio, lengths, dither=0.0)
+        if not shard_time:
+            feats = pad_frames_aligned(feats)
         if shard_time:
             # keep the frame axis sharded across 'model'; XLA's spatial
             # partitioner adds conv halo exchanges

@@ -127,7 +127,8 @@ class ScaleFreezeExec:
         bits = self._act_bits(spec.asymmetric)
         x_min, x_max = self._state(("blocks", bi, kind, i))
         act_scale = _act_scale_f32(x_min, x_max, bits)
-        entry: Dict[str, Any] = {"act_scale": np.float32(act_scale)}
+        entry: Dict[str, Any] = {"act_scale": np.float32(act_scale),
+                                 "act_bits": bits}
         if x.scale is not None:
             d = _dyadic(x.scale, act_scale, self.dyadic_mode)
             entry["act_m"], entry["act_e"] = d.m, d.e
@@ -162,6 +163,29 @@ class ScaleFreezeExec:
         raise NotImplementedError("SqueezeExcite does not support quantization")
 
 
+def _mark_separable_fusion(plan: EncoderPlan, tables) -> None:
+    """Flag dw->pw separable pairs whose surrounding requants the fused
+    Pallas kernel (kernels/depthwise.depthwise_fused_requant) can absorb:
+    stride-1 depthwise with a dyadic input requant (static exponent),
+    followed by a plain pointwise conv whose input clamp fits int8."""
+    for bp, tb in zip(plan.blocks, tables["blocks"]):
+        convs = bp.convs
+        for i in range(len(convs) - 1):
+            s, nx = convs[i], convs[i + 1]
+            e0, e1 = tb["convs"][i], tb["convs"][i + 1]
+            if e0 is None or e1 is None:
+                continue
+            if (s.groups == s.in_ch and s.groups > 1 and s.kernel > 1
+                    and s.stride == 1 and s.heads == -1 and "b" not in e0
+                    and nx.kernel == 1 and nx.groups == 1 and nx.stride == 1
+                    and nx.heads == -1
+                    and "act_m" in e0 and "act_m" in e1
+                    and e1["act_bits"] <= 8
+                    and isinstance(e0.get("act_e"), int)
+                    and isinstance(e1.get("act_e"), int)):
+                e0["fuse_next"] = True
+
+
 def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
                  qcfg: QuantConfig, dec_cfg: DecoderConfig,
                  dyadic_mode: str = "static_e"):
@@ -172,6 +196,7 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
     fx = ScaleFreezeExec(enc_params, qstate, qcfg, plan, dyadic_mode)
     out_sval, _ = encoder_forward(fx, plan, _SVal(None), np.zeros((1,), np.int64))
     tables = fx.tables
+    _mark_separable_fusion(plan, tables)
     # decoder: plain act_bit QuantAct + per-channel 1x1 conv (conv_asr.py:260-267)
     x_min = float(np.asarray(qstate["decoder_act"]["x_min"]))
     x_max = float(np.asarray(qstate["decoder_act"]["x_max"]))
@@ -199,11 +224,22 @@ class FrozenExec:
     so it stays opt-in."""
 
     def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, fuse_dw: bool = False):
         self.t = tables
         self.qcfg = qcfg
         self.activation_kind = activation
         self.use_pallas = use_pallas
+        # fuse_dw: run separable dw convs through the fused requant+conv+
+        # requant Pallas kernel (kernels/depthwise.depthwise_fused_requant).
+        # Measured SLOWER on v5e (6055 vs 7499 RTFx): the exact two-limb
+        # dyadic chain costs more as Mosaic VPU code than as XLA's fused
+        # elementwise passes, and the input requant re-processes halo rows.
+        # Kept opt-in (bit-identity tested) — it removes ~139 kernel
+        # launches, which may win on parts with faster int vector units.
+        self.fuse_dw = fuse_dw
+        # site whose input the preceding fused dw kernel already requantized
+        # + masked onto that site's grid (trace-sequential state)
+        self._prequant_site = None
 
     def _act_bits(self, spec: ConvSpec) -> int:
         return self.qcfg.act_bit + (1 if spec.asymmetric else 0)
@@ -241,11 +277,32 @@ class FrozenExec:
     def masked_conv(self, site, spec: ConvSpec, x, lens):
         bi, kind, i = site
         entry = self.t["blocks"][bi][kind][i]
+        new_lens = conv_out_len(lens, spec)
+        if self._prequant_site == site:
+            # input is already int8 on this site's grid, masked, courtesy of
+            # the preceding fused dw kernel — straight to the MXU
+            self._prequant_site = None
+            y = conv_nwc(x.values, entry["w"], spec, preferred=jnp.int32)
+            if "b" in entry:
+                y = y + entry["b"]
+            return QTensor(y, entry["out_scale"]), new_lens
+        if entry.get("fuse_next") and isinstance(x, QTensor) \
+                and self.fuse_dw and not self.use_pallas:
+            from qasr_tpu.kernels.depthwise import depthwise_fused_requant
+
+            nxt = self.t["blocks"][bi][kind][i + 1]
+            y8 = depthwise_fused_requant(
+                x.values, entry["w"], lens,
+                m1=entry["act_m"], e1=entry["act_e"], bits1=entry["act_bits"],
+                m2=nxt["act_m"], e2=nxt["act_e"], bits2=nxt["act_bits"],
+                padding=spec.padding, dilation=spec.dilation)
+            if y8 is not None:
+                self._prequant_site = (bi, kind, i + 1)
+                return QTensor(y8, nxt["act_scale"]), new_lens
         if isinstance(x, QTensor):
             x = QTensor(mask_values(x.values, lens), x.scale)
         else:
             x = mask_values(x, lens)
-        new_lens = conv_out_len(lens, spec)
         bits = self._act_bits(spec)
         xq = self._requant_in(entry, x, bits)
         xv = xq.values  # already int8 when bits <= 8

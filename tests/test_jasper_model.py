@@ -221,3 +221,41 @@ def test_nemo_state_dict_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frozen_fused_dw_path_matches_unfused(rng):
+    """Long-T frozen eval engages the fused dw kernel (requant+mask+taps+
+    requant in one pallas call, freeze.py fuse_next); outputs must be
+    bit-identical to the unfused FrozenExec composition."""
+    cfg, plan, enc, dec, dec_cfg = make_model()
+    folded = J.fold_bn_encoder(enc)
+    qcfg = QuantConfig(weight_bit=6, act_bit=6)
+    qstate = J.init_qstate(plan)
+    T = 400  # above the fused kernel's tile+halo envelope
+    lens = np.asarray([T, T - 57], np.int32)
+    qstate = _calibrate(plan, folded, qstate, qcfg,
+                        [rng.normal(size=(2, T, FEAT)).astype(np.float32)
+                         for _ in range(2)], lens)
+    x = rng.normal(size=(2, T, FEAT)).astype(np.float32)
+    ex = J.QuantExec(folded, qstate, qcfg, activation="relu", update_ranges=True)
+    enc_out, _ = J.encoder_forward(ex, plan, jnp.asarray(x), jnp.asarray(lens))
+    _ = J.decoder_forward_quant(ex, dec, enc_out)
+    qstate = ex.new_qstate
+
+    tables = freeze_model(plan, folded, dec, qstate, qcfg, dec_cfg)
+    n_fused = sum(1 for tb in tables["blocks"] for e in tb["convs"]
+                  if e and e.get("fuse_next"))
+    assert n_fused > 0, "fused dw->pw pairs should be marked in this model"
+
+    fx = FrozenExec(tables, qcfg, activation="relu", fuse_dw=True)
+    out_f, l_f = J.encoder_forward(fx, plan, jnp.asarray(x), jnp.asarray(lens))
+    lp_f = fx.decoder(out_f)
+
+    # unfused reference (the default path)
+    fx_u = FrozenExec(tables, qcfg, activation="relu")
+    out_u, l_u = J.encoder_forward(fx_u, plan, jnp.asarray(x), jnp.asarray(lens))
+    lp_u = fx_u.decoder(out_u)
+
+    np.testing.assert_array_equal(np.asarray(l_f), np.asarray(l_u))
+    np.testing.assert_array_equal(np.asarray(out_f.values), np.asarray(out_u.values))
+    np.testing.assert_array_equal(np.asarray(lp_f), np.asarray(lp_u))

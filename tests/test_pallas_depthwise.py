@@ -49,3 +49,73 @@ def test_pallas_dw_int16_groups_bit_identical(max_prod, lo_x, hi_x, lo_w, hi_w,
     got = depthwise_conv_int_pallas(x, w, s, k // 2, d, interpret=True,
                                     max_prod=max_prod)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("b,t,c,k,d,p_extra,bits1,bits2", [
+    (2, 320, 128, 33, 1, 0, 7, 7),    # W6A6 interior layer shape
+    (2, 352, 128, 51, 1, 0, 9, 9),    # W8A8 asymmetric (9-bit clamp)
+    (1, 224, 64, 7, 2, 0, 7, 8),      # dilation + lane padding + mixed bits
+])
+def test_fused_dw_matches_composed(b, t, c, k, d, p_extra, bits1, bits2, rng):
+    """depthwise_fused_requant == mask -> requant1 -> dw conv -> requant2 ->
+    mask(out), bit for bit (interpret mode)."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.kernels.depthwise import depthwise_fused_requant
+    from qasr_tpu.models.jasper import mask_values
+    from qasr_tpu.ops.quant_prims import (
+        dyadic_requant_static, requant_clamp,
+    )
+
+    p = (d * k) // 2 - 1 if d > 1 else k // 2
+    x = jnp.asarray(rng.integers(-2000, 2000, (b, t, c)), jnp.int32)
+    w = jnp.asarray(rng.integers(-31, 32, (k, 1, c)), jnp.int8)
+    lens = np.asarray([t - 3, t - 37][:b], np.int32)
+    m1 = jnp.asarray(rng.integers(2**30, 2**31, (c,)), jnp.int32)
+    m2 = jnp.asarray(rng.integers(2**30, 2**31, (c,)), jnp.int32)
+    e1, e2 = 34, 38
+
+    # composed reference path (the unfused FrozenExec chain)
+    xm = mask_values(x, jnp.asarray(lens))
+    q1 = requant_clamp(dyadic_requant_static(xm, m1, e1), bits1)
+    yconv = _depthwise_conv_int(q1.astype(jnp.int8 if bits1 <= 8 else jnp.int32),
+                                w, 1, p, d)
+    out_lens = (lens + 2 * p - d * (k - 1) - 1) + 1
+    ym = mask_values(yconv, jnp.asarray(out_lens))
+    q2 = requant_clamp(dyadic_requant_static(ym, m2, e2), bits2)
+    ref = mask_values(q2, jnp.asarray(out_lens)).astype(jnp.int8)
+
+    got = depthwise_fused_requant(
+        x, w, lens, m1=m1, e1=e1, bits1=bits1, m2=m2, e2=e2, bits2=bits2,
+        padding=p, dilation=d, interpret=True)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_dw_int8_input(rng):
+    """Block-boundary case: the dw input is an already-narrowed int8 tensor."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.kernels.depthwise import depthwise_fused_requant
+    from qasr_tpu.models.jasper import mask_values
+    from qasr_tpu.ops.quant_prims import dyadic_requant_static, requant_clamp
+
+    b, t, c, k = 2, 320, 128, 33
+    p = k // 2
+    x = jnp.asarray(rng.integers(-64, 64, (b, t, c)), jnp.int8)
+    w = jnp.asarray(rng.integers(-31, 32, (k, 1, c)), jnp.int8)
+    lens = np.asarray([t, t - 11], np.int32)
+    m1 = jnp.asarray(rng.integers(2**30, 2**31, (c,)), jnp.int32)
+    m2 = jnp.asarray(rng.integers(2**30, 2**31, (c,)), jnp.int32)
+    e1, e2 = 31, 36
+    xm = mask_values(x, jnp.asarray(lens))
+    q1 = requant_clamp(dyadic_requant_static(xm.astype(jnp.int32), m1, e1), 7)
+    yconv = _depthwise_conv_int(q1.astype(jnp.int8), w, 1, p, 1)
+    out_lens = lens
+    q2 = requant_clamp(dyadic_requant_static(
+        mask_values(yconv, jnp.asarray(out_lens)), m2, e2), 7)
+    ref = mask_values(q2, jnp.asarray(out_lens)).astype(jnp.int8)
+    got = depthwise_fused_requant(x, w, lens, m1=m1, e1=e1, bits1=7,
+                                  m2=m2, e2=e2, bits2=7, padding=p,
+                                  dilation=1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

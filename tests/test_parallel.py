@@ -50,13 +50,18 @@ def test_batch_sharded_matches_single(frozen_setup):
 
 def test_time_sharded_matches_single(frozen_setup):
     """Context parallelism: time axis over 'model'; XLA inserts conv halos —
-    integer outputs must be bit-identical to the unsharded run."""
+    integer outputs must be bit-identical to the unsharded run.  The
+    time-sharded path runs without the frame-alignment pad (and without the
+    fused dw kernel), so compare the valid frames per sample."""
     m, tables, audio, lens, ids_ref, el_ref = frozen_setup
     mesh = make_mesh(data=2, model=4)
     fwd = make_sharded_frozen_forward(m, tables, mesh, shard_time=True)
     ids, el = fwd(jnp.asarray(audio), jnp.asarray(lens))
     np.testing.assert_array_equal(np.asarray(el), el_ref)
-    np.testing.assert_array_equal(np.asarray(ids), ids_ref)
+    ids = np.asarray(ids)
+    for i in range(ids.shape[0]):
+        n = int(el_ref[i])
+        np.testing.assert_array_equal(ids[i, :n], ids_ref[i, :n])
 
 
 def test_sharded_synthesis_matches_vmap(rng):
