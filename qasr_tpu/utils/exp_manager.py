@@ -29,6 +29,10 @@ class ExpManagerConfig:
     keep_top_k: int = 3
     resume_if_exists: bool = False
     resume_ignore_no_checkpoint: bool = False
+    # TensorBoard event files beside the JSONL stream (the observable the
+    # reference workflow assumes, exp_manager.py:480-539); written by the
+    # in-tree tfevents encoder — no tensorboard package needed
+    create_tensorboard_logger: bool = True
 
 
 class ExpManager:
@@ -50,6 +54,11 @@ class ExpManager:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         logging.add_file_handler(os.path.join(self.log_dir, "qasr.log"))
         self._metrics = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        self.tb = None
+        if cfg.create_tensorboard_logger:
+            from qasr_tpu.utils.tb_writer import TBWriter
+
+            self.tb = TBWriter(self.log_dir)
         self._ckpts: List[str] = []
         if run_config is not None:
             import yaml
@@ -76,6 +85,12 @@ class ExpManager:
         rec = {"step": step, "time": time.time(), **metrics}
         self._metrics.write(json.dumps(rec) + "\n")
         self._metrics.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                try:
+                    self.tb.add_scalar(k, float(v), step)
+                except (TypeError, ValueError):
+                    pass  # non-scalar metric: JSONL only
 
     # -- checkpoints -----------------------------------------------------
 
