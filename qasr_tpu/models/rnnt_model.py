@@ -132,3 +132,44 @@ class RNNTModel:
                                   enc[i, : int(enc_lens[i])], beam_size)
             out.append("".join(labels[j] for j in ids))
         return out
+
+
+class EncDecRNNTBPEModel(RNNTModel):
+    """Transducer with a subword tokenizer (reference rnnt_bpe_models.py:40:
+    EncDecRNNTBPEModel = EncDecRNNTModel + ASRBPEMixin): the label space is
+    the tokenizer's vocab and hypotheses detokenize through it."""
+
+    tokenizer = None
+
+    @classmethod
+    def from_config_and_tokenizer(cls, cfg: ModelConfig, tokenizer,
+                                  rnnt_cfg: Optional[RNNTConfig] = None,
+                                  seed: int = 0) -> "EncDecRNNTBPEModel":
+        import dataclasses as dc
+
+        vocab = tuple(tokenizer.vocab)
+        cfg = dc.replace(cfg, labels=vocab)
+        if rnnt_cfg is None:
+            plan = build_encoder_plan(cfg.encoder)
+            rnnt_cfg = RNNTConfig(num_classes=len(vocab),
+                                  enc_hidden=plan.feat_out)
+        model = super().from_config(cfg, rnnt_cfg=rnnt_cfg, seed=seed)
+        model.__class__ = cls
+        model.tokenizer = tokenizer
+        return model
+
+    def _detok(self, ids) -> str:
+        return self.tokenizer.ids_to_text([int(i) for i in ids])
+
+    def transcribe_greedy(self, audio, alens) -> List[str]:
+        enc, enc_lens = self.encode(audio, alens)
+        hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc, enc_lens)
+        return [self._detok(h) for h in hyps]
+
+    def transcribe_beam(self, audio, alens, beam_size: int = 4) -> List[str]:
+        enc, enc_lens = self.encode(audio, alens)
+        enc = np.asarray(enc)
+        return [self._detok(beam_decode_one(self.params["rnnt"], self.rnnt_cfg,
+                                            enc[i, : int(enc_lens[i])],
+                                            beam_size))
+                for i in range(enc.shape[0])]
