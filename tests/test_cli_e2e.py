@@ -132,3 +132,35 @@ def test_segment_cli(tmp_path, rng):
                      "--text", "hello there world", "--output", str(out)])
     assert out.exists()
     assert all(0 <= s["start"] <= s["end"] for s in segs)
+
+
+def test_inference_cli_beam_with_binary_lm(tmp_path, manifest):
+    """--decoder beam with a .qlm binary LM through the full CLI
+    (beam_search_decoder.py:60-104 role, KenLM-binary equivalent)."""
+    from qasr_tpu.cli.inference import main as infer_main
+    from qasr_tpu.decode.beam_search import convert_arpa_to_binary
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("""\\data\\
+ngram 1=4
+ngram 2=2
+
+\\1-grams:
+-9.0\t<unk>\t0.0
+-1.0\thello\t-0.5
+-1.0\tworld\t-0.5
+-1.0\tcat\t-0.5
+
+\\2-grams:
+-0.1\thello world
+-0.2\tthe cat
+
+\\end\\
+""")
+    qlm = convert_arpa_to_binary(str(arpa), str(tmp_path / "lm.qlm"))
+    wer = infer_main(["--asr_model", "TinyTestNet", "--allow_random_weights",
+                      "--dataset", manifest, "--weight_bit", "8",
+                      "--act_bit", "8", "--dynamic", "--batch_size", "2",
+                      "--decoder", "beam", "--beam_width", "8",
+                      "--alpha", "0.5", "--lm_path", qlm])
+    assert np.isfinite(wer)

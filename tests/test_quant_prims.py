@@ -254,3 +254,28 @@ class TestHistogramQuantile:
         got = jax.jit(lambda a: quantile_range(a, 99.9))(xs)
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-6)
+
+
+def test_dyadic_requant_fuzz_vs_bigint():
+    """Seeded fuzz over the requant domain: exact two-limb dyadic vs Python
+    big-int round-half-even ground truth (ROADMAP property-test item)."""
+    from qasr_tpu.ops.quant_prims import Dyadic, dyadic_requant, dyadic_requant_static
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n = 257
+        z = rng.integers(-(2**28), 2**28, (n,)).astype(np.int32)
+        m = rng.integers(2**30, 2**31, (n,)).astype(np.int32)
+        e = int(rng.integers(1, 62))
+        got = np.asarray(dyadic_requant(jnp.asarray(z), Dyadic(jnp.asarray(m), e)))
+        got_static = np.asarray(dyadic_requant_static(jnp.asarray(z), jnp.asarray(m), e))
+        for i in rng.integers(0, n, 16):  # spot-check against big-int
+            num = int(abs(int(z[i]))) * int(m[i])
+            q, r = divmod(num, 1 << e)
+            half = 1 << (e - 1)
+            if r > half or (r == half and q % 2 == 1):
+                q += 1
+            q = min(q, 1 << 26)  # saturation sentinel
+            expect = int(np.sign(z[i])) * q
+            assert got[i] == expect, (trial, i, int(z[i]), int(m[i]), e, got[i], expect)
+            assert got_static[i] == expect
