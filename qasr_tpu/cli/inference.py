@@ -26,6 +26,13 @@ def build_parser() -> ArgumentParser:
     # calibration
     parser.add_argument("--load", type=str, default=None,
                         help="load path for the synthetic data")
+    parser.add_argument("--calib_manifest", type=str, default=None,
+                        help="calibrate on real audio from this manifest "
+                             "instead of a synthetic pickle (the role of the "
+                             "reference's speech_to_text_calibrate.py, which "
+                             "needs the external pytorch-quantization pkg)")
+    parser.add_argument("--num_calib_batch", type=int, default=None,
+                        help="number of real-data calibration batches")
     parser.add_argument("--percentile", type=float, default=None,
                         help="Max/min percentile for outlier handling. e.g., 99.9")
     # quantization
@@ -80,6 +87,8 @@ def main(argv=None) -> float:
         distilled = load_synthetic(args.load)
         if args.calib_early_stop is not None:
             distilled = distilled[: args.calib_early_stop]
+    elif args.calib_manifest is not None:
+        distilled = None  # calibrated below from real audio
     else:
         # (the reference asserts even for --no_quant, inference.py:99-100;
         # relaxed here: FP32 eval needs no calibration data)
@@ -99,7 +108,18 @@ def main(argv=None) -> float:
         model.bn_folding()
     if not args.dynamic and not args.no_quant:
         print("Calibrating...")
-        model.calibrate(distilled)
+        if distilled is not None:
+            model.calibrate(distilled)
+        else:
+            calib_ds = AudioToCharDataset(
+                manifest_filepath=args.calib_manifest,
+                labels=list(model.vocabulary),
+                sample_rate=model.cfg.sample_rate,
+                normalize_transcripts=args.normalize_text,
+                parser="en" if args.normalize_text else "base")
+            model.calibrate_on_audio(
+                DataLoader(calib_ds, batch_size=args.batch_size),
+                max_batches=args.num_calib_batch)
 
     # ---------------- evaluation (inference.py:133-159) -----------------
     print("Evaluating...")

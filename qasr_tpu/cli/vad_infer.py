@@ -1,0 +1,77 @@
+"""Voice-activity-detection inference CLI.
+
+Equivalent of the reference examples/asr/vad_infer.py: slide a
+(time_length, shift_length) window over each manifest utterance, run the
+classification model per window, and write per-frame speech probabilities
+(one output file per utterance in --out_dir).
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+
+def build_parser() -> ArgumentParser:
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("--vad_model", default=None,
+                   help=".qasr/.nemo classification checkpoint (omit for a "
+                        "random-weight MatchboxNet-VAD: smoke testing)")
+    p.add_argument("--dataset", required=True,
+                   help="label manifest (labels may be dummies at inference)")
+    p.add_argument("--out_dir", default="vad_frame")
+    p.add_argument("--time_length", type=float, default=0.63)
+    p.add_argument("--shift_length", type=float, default=0.01)
+    p.add_argument("--labels", default="background,speech")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_tpu.data.audio_to_label import AudioToSpeechLabelDataset
+    from qasr_tpu.models.classification import EncDecClassificationModel
+    from qasr_tpu.models.config import matchboxnet3x1x64
+    from qasr_tpu.utils.logging import logging
+
+    labels = args.labels.split(",")
+    if args.vad_model:
+        raise NotImplementedError(
+            "checkpoint loading for classification models lands with the "
+            "shared restore path; pass no --vad_model for the smoke run")
+    model = EncDecClassificationModel.from_config(matchboxnet3x1x64(),
+                                                  num_classes=len(labels))
+
+    ds = AudioToSpeechLabelDataset(
+        args.dataset, labels, sample_rate=model.cfg.sample_rate,
+        min_duration=None, time_length=args.time_length,
+        shift_length=args.shift_length)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    @jax.jit
+    def probs_fn(params, audio, alens):
+        return jax.nn.softmax(model.logits(params, audio, alens), axis=-1)
+
+    outputs = []
+    for i in range(len(ds)):
+        wins = list(ds.vad_windows(i))
+        audio = np.stack([w for w, _ in wins])
+        alens = np.full((len(wins),), audio.shape[1], np.int32)
+        probs = np.asarray(probs_fn(model.params, jnp.asarray(audio),
+                                    jnp.asarray(alens)))
+        name = os.path.splitext(os.path.basename(
+            ds.items[i]["audio_file"]))[0]
+        out = os.path.join(args.out_dir, f"{name}.frame")
+        with open(out, "w") as f:
+            for p in probs:
+                f.write(" ".join(f"{x:.4f}" for x in p) + "\n")
+        outputs.append(out)
+        logging.info(f"{name}: {len(wins)} frames -> {out}")
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

@@ -353,11 +353,13 @@ class ASRModel:
     # calibration (inference.py:121-130) & freezing
     # ------------------------------------------------------------------
 
-    def calibrate(self, batches: Sequence[np.ndarray],
+    def calibrate(self, batches: Sequence[Any],
                   seqlen: Optional[int] = None) -> None:
-        """Run synthetic mel batches ((B, T, C) or reference (B, C, T) order
-        auto-detected by C==feat_in on axis 1) through the quantized model,
-        updating activation ranges (qm.calibrate semantics)."""
+        """Run mel batches through the quantized model, updating activation
+        ranges (qm.calibrate semantics).  Each batch is either a feature
+        array ((B, T, C) or reference (B, C, T) order, auto-detected by
+        C==feat_in on axis 1) or a (features, lengths) pair for
+        variable-length real-data calibration."""
         if not self.folded:
             raise RuntimeError("call bn_folding() before calibrate()")
 
@@ -369,15 +371,40 @@ class ASRModel:
             return new_qstate
 
         qstate = self.qstate
-        for x in batches:
-            x = np.asarray(x, np.float32)
+        for item in batches:
+            if isinstance(item, tuple):
+                x, lens = item
+                x = np.asarray(x, np.float32)
+                lens = jnp.asarray(lens, jnp.int32)
+            else:
+                x = np.asarray(item, np.float32)
+                lens = None
             if x.shape[1] == self.plan.feat_in and x.shape[2] != self.plan.feat_in:
                 x = x.transpose(0, 2, 1)  # (B, C, T) -> (B, T, C)
-            t = x.shape[1] if seqlen is None else seqlen
-            lens = jnp.full((x.shape[0],), t, jnp.int32)
+            if lens is None:
+                t = x.shape[1] if seqlen is None else seqlen
+                lens = jnp.full((x.shape[0],), t, jnp.int32)
             qstate = step(qstate, jnp.asarray(x), lens)
         self.qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self._jit_cache.clear()
+
+    def calibrate_on_audio(self, loader, max_batches: Optional[int] = None
+                           ) -> None:
+        """Real-data calibration: run waveform batches through the frontend
+        then the quantized model (the role of the reference's
+        speech_to_text_calibrate.py example, which needs the external
+        pytorch-quantization package — here it is the same in-tree
+        machinery as synthetic calibration)."""
+        feats_batches = []
+        fr = jax.jit(lambda a, l: self.frontend(a, l, dither=0.0))
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            audio, alens = batch[0], batch[1]
+            feats, feat_lens = fr(jnp.asarray(audio, jnp.float32),
+                                  jnp.asarray(alens, jnp.int32))
+            feats_batches.append((np.asarray(feats), np.asarray(feat_lens)))
+        self.calibrate(feats_batches)
 
     def freeze(self, dyadic_mode: str = "static_e"):
         if not self.folded:
