@@ -79,6 +79,9 @@ def main(argv=None):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    if len(ds) == 0:
+        raise ValueError("no training examples after label/duration filters "
+                         f"({args.train_manifest}; labels={labels})")
     n = 0
     while n < args.max_steps:
         for audio, alens, y in ds.batches(args.batch_size, shuffle=True,

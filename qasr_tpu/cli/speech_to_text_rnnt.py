@@ -75,8 +75,14 @@ def main(argv=None):
     out = trainer.fit(loader, max_steps=args.max_steps, log=logging.info)
     print(f"final loss: {out['final_loss']:.4f}")
     if args.val_manifest:
-        vds = AudioToCharDataset(manifest_filepath=args.val_manifest,
-                                 labels=labels, sample_rate=cfg.sample_rate)
+        if args.tokenizer:
+            from qasr_tpu.models.ctc_bpe_model import AudioToBPEDataset
+
+            vds = AudioToBPEDataset(args.val_manifest, tok,
+                                    sample_rate=cfg.sample_rate)
+        else:
+            vds = AudioToCharDataset(manifest_filepath=args.val_manifest,
+                                     labels=labels, sample_rate=cfg.sample_rate)
         wer = trainer.evaluate(DataLoader(vds, batch_size=args.batch_size))
         print(f"val WER: {wer:.4f}")
     return out

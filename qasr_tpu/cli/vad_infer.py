@@ -48,7 +48,7 @@ def main(argv=None):
     ds = AudioToSpeechLabelDataset(
         args.dataset, labels, sample_rate=model.cfg.sample_rate,
         min_duration=None, time_length=args.time_length,
-        shift_length=args.shift_length)
+        shift_length=args.shift_length, keep_unknown_labels=True)
     os.makedirs(args.out_dir, exist_ok=True)
 
     @jax.jit
@@ -56,17 +56,32 @@ def main(argv=None):
         return jax.nn.softmax(model.logits(params, audio, alens), axis=-1)
 
     outputs = []
+    seen = set()
+    CHUNK = 64  # fixed window-batch size: one XLA compile serves every
+    # utterance length in the manifest (variable window counts would
+    # otherwise recompile per utterance)
     for i in range(len(ds)):
         wins = list(ds.vad_windows(i))
         audio = np.stack([w for w, _ in wins])
-        alens = np.full((len(wins),), audio.shape[1], np.int32)
-        probs = np.asarray(probs_fn(model.params, jnp.asarray(audio),
-                                    jnp.asarray(alens)))
+        rows = []
+        for c0 in range(0, len(wins), CHUNK):
+            chunk = audio[c0 : c0 + CHUNK]
+            pad = CHUNK - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            probs = np.asarray(probs_fn(
+                model.params, jnp.asarray(chunk),
+                jnp.full((CHUNK,), audio.shape[1], np.int32)))
+            rows.extend(probs[: CHUNK - pad] if pad else probs)
         name = os.path.splitext(os.path.basename(
             ds.items[i]["audio_file"]))[0]
+        if name in seen:  # same basename in different dirs: keep both
+            name = f"{name}_{i}"
+        seen.add(name)
         out = os.path.join(args.out_dir, f"{name}.frame")
         with open(out, "w") as f:
-            for p in probs:
+            for p in rows:
                 f.write(" ".join(f"{x:.4f}" for x in p) + "\n")
         outputs.append(out)
         logging.info(f"{name}: {len(wins)} frames -> {out}")

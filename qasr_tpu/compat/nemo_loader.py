@@ -150,11 +150,11 @@ def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any], Dict[str, str]]:
     Any other root files are artifacts (vocab/tokenizer models the reference
     packs beside the weights, modelPT.py:254-296); they are copied out to a
     persistent dir and returned as {name: path}."""
-    import shutil
     import torch
     import yaml
 
-    artifacts: Dict[str, str] = {}
+    from qasr_tpu.utils.checkpoint import persist_artifacts
+
     with tempfile.TemporaryDirectory() as td:
         with tarfile.open(path, "r:*") as tar:
             tar.extractall(td, filter="data")
@@ -169,12 +169,7 @@ def load_nemo(path: str) -> Tuple[ModelConfig, Dict[str, Any], Dict[str, str]]:
         sd = torch.load(weights, map_location="cpu", weights_only=True)
         extra = [n for n in os.listdir(td)
                  if n not in _RESERVED_NEMO and os.path.isfile(os.path.join(td, n))]
-        if extra:
-            keep = tempfile.mkdtemp(prefix="qasr_artifacts_")
-            for name in extra:
-                dst = os.path.join(keep, name)
-                shutil.copy2(os.path.join(td, name), dst)
-                artifacts[name] = dst
+        artifacts = persist_artifacts(td, extra)
     plan = build_encoder_plan(cfg.encoder)
     return cfg, params_from_state_dict(plan, sd), artifacts
 

@@ -49,14 +49,27 @@ _SAFE_GLOBALS = {
     ("numpy._core.multiarray", "scalar"),
     ("torch._utils", "_rebuild_tensor_v2"),
     ("torch._utils", "_rebuild_tensor"),
-    ("torch.storage", "_load_from_bytes"),
     ("torch.serialization", "_get_layout"),
 }
-_SAFE_TORCH_STORAGE_PREFIXES = ("torch",)
+
+
+def _safe_load_from_bytes(b):
+    """Replacement for torch.storage._load_from_bytes, which internally runs
+    torch.load(weights_only=False) — a full-unpickle escape hatch that would
+    defeat this sandbox.  Plain-pickled torch tensors route their storage
+    through it; re-loading the nested payload with weights_only=True keeps
+    them loading while refusing code execution."""
+    import io
+
+    import torch
+
+    return torch.load(io.BytesIO(b), map_location="cpu", weights_only=True)
 
 
 class _RestrictedUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
+        if (module, name) == ("torch.storage", "_load_from_bytes"):
+            return _safe_load_from_bytes
         if (module, name) in _SAFE_GLOBALS:
             return super().find_class(module, name)
         # torch.FloatStorage / torch.HalfStorage / UntypedStorage etc.

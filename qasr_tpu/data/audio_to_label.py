@@ -21,7 +21,10 @@ class AudioToSpeechLabelDataset:
                  max_duration: Optional[float] = None, trim: bool = False,
                  time_length: Optional[float] = None,
                  shift_length: Optional[float] = None,
-                 augmentor=None):
+                 augmentor=None, keep_unknown_labels: bool = False):
+        # keep_unknown_labels: inference manifests often carry dummy labels
+        # (e.g. the VAD convention "infer"); keep those rows with label -1
+        # instead of silently dropping them
         self.labels = list(labels)
         self.label2id = {l: i for i, l in enumerate(self.labels)}
         self.sample_rate = sample_rate
@@ -43,13 +46,14 @@ class AudioToSpeechLabelDataset:
                     if max_duration and dur > max_duration:
                         continue
                     label = d.get("label", d.get("command"))
-                    if label is None or str(label) not in self.label2id:
+                    lid = self.label2id.get(str(label), -1)
+                    if lid < 0 and not keep_unknown_labels:
                         continue
                     self.items.append({
                         "audio_file": d.get("audio_filepath") or d["audio_file"],
                         "offset": float(d.get("offset", 0.0)),
                         "duration": dur,
-                        "label": self.label2id[str(label)],
+                        "label": lid,
                     })
 
     def __len__(self) -> int:

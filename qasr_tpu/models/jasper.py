@@ -364,7 +364,7 @@ def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
         x = x.transpose(0, 2, 1, 3).reshape(-1, sh[1], spec.heads)
     groups = spec.groups if spec.heads == -1 else spec.heads
     if preferred == jnp.int32 and w.shape[0] == 1 and groups == 1 \
-            and spec.stride == 1 and spec.dilation == 1:
+            and spec.stride == 1 and spec.dilation == 1 and spec.padding == 0:
         # pointwise integer conv as a plain matmul: XLA fuses elementwise
         # epilogues (bias/relu/mask/requant/int8-cast) into dot outputs far
         # more readily than into convolutions — the requant chains between

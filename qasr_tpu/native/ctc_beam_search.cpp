@@ -189,7 +189,9 @@ struct QlmLM : LmBase {
 
   bool Find(const std::string& key, float* logp, float* bo) const override {
     uint64_t h = fnv1a64(key);
-    for (uint64_t i = h & mask;; i = (i + 1) & mask) {
+    // probe bound: the writer keeps load factor <= 0.7, but a corrupt file
+    // could be fully populated — never loop past one full table sweep
+    for (uint64_t n = 0, i = h & mask; n <= mask; ++n, i = (i + 1) & mask) {
       const QlmSlot& s = slots[i];
       if (s.key == 0) return false;
       if (s.key == h) {
@@ -198,6 +200,7 @@ struct QlmLM : LmBase {
         return true;
       }
     }
+    return false;
   }
 
   static std::unique_ptr<QlmLM> Load(const char* path) {
@@ -212,7 +215,10 @@ struct QlmLM : LmBase {
     close(fd);
     if (m == MAP_FAILED) return nullptr;
     const QlmHeader* h = reinterpret_cast<const QlmHeader*>(m);
-    if (std::memcmp(h->magic, "QLM1", 4) != 0 ||
+    bool pow2 = h->table_size != 0 &&
+                (h->table_size & (h->table_size - 1)) == 0;
+    if (std::memcmp(h->magic, "QLM1", 4) != 0 || !pow2 ||
+        h->table_size > (1ull << 40) ||
         (size_t)st.st_size <
             sizeof(QlmHeader) + h->table_size * sizeof(QlmSlot)) {
       munmap(m, st.st_size);

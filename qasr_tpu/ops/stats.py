@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -37,11 +38,17 @@ def histogram_quantile(x: Array, q, splits: int = 32, refine: int = 5) -> Array:
     """
     x = x.reshape(-1).astype(jnp.float32)
     n = x.size
-    qs = jnp.atleast_1d(jnp.asarray(q, jnp.float32))
-    frank = qs * (n - 1)                     # (Q,)
-    k0 = jnp.floor(frank)
-    frac = frank - k0
-    rank = jnp.concatenate([k0, jnp.minimum(k0 + 1, n - 1)])   # (2Q,)
+    assert n < 2**31, "int32 rank counting bounds the tensor at 2^31 elements"
+    # ranks in host float64/int64: float32 cannot represent exact element
+    # counts (or q*(n-1)) above 2^24, which would drift the bracketed order
+    # statistic on large calibration tensors
+    qs64 = np.atleast_1d(np.asarray(q, np.float64))
+    frank = qs64 * (n - 1)                   # (Q,)
+    k0 = np.floor(frank)
+    frac = jnp.asarray(frank - k0, jnp.float32)
+    rank = jnp.asarray(np.concatenate([k0, np.minimum(k0 + 1, n - 1)]),
+                       jnp.int32)            # (2Q,)
+    qs = jnp.asarray(qs64, jnp.float32)
     lo = jnp.full(rank.shape, jnp.min(x))
     hi = jnp.full(rank.shape, jnp.max(x))
 
@@ -51,7 +58,7 @@ def histogram_quantile(x: Array, q, splits: int = 32, refine: int = 5) -> Array:
         # that XLA fuses into the reduction without materializing
         edges = lo_q + width * jnp.arange(1, splits, dtype=jnp.float32)
         counts = jnp.sum(x[None, :] <= edges[:, None], axis=1,
-                         dtype=jnp.float32)
+                         dtype=jnp.int32)
         # first sub-interval whose cumulative count exceeds the rank
         # (counts is non-decreasing; all-False argmax = 0 means the target
         # sits in the last sub-interval)
@@ -74,6 +81,7 @@ def quantile_range(x: Array, percentile: float, splits: int = 32,
                    refine: int = 5):
     """(low, high) percentile clipping range — the counterpart of
     quant_modules.py:120-125's torch.quantile pair, sort-free."""
-    q = jnp.asarray([1.0 - percentile / 100.0, percentile / 100.0], jnp.float32)
-    out = histogram_quantile(x, q, splits=splits, refine=refine)
+    out = histogram_quantile(
+        x, [1.0 - percentile / 100.0, percentile / 100.0],
+        splits=splits, refine=refine)
     return out[0], out[1]

@@ -216,11 +216,17 @@ class RNNTTrainer(Trainer):
     def evaluate(self, loader: Iterable) -> float:
         wer = WER(list(self.rnnt_model.cfg.labels))
         labels = list(self.rnnt_model.cfg.labels)
+        # BPE transducer: references detokenize through the tokenizer
+        # (char-joining subword labels would garble them)
+        tok = getattr(self.rnnt_model, "tokenizer", None)
         for audio, alens, tokens, tlens in loader:
             hyps = self.rnnt_model.transcribe_greedy(audio, alens)
             for i, h in enumerate(hyps):
-                ref = "".join(labels[int(c)]
-                              for c in np.asarray(tokens)[i][: int(tlens[i])])
+                ids = np.asarray(tokens)[i][: int(tlens[i])]
+                if tok is not None:
+                    ref = tok.ids_to_text([int(c) for c in ids])
+                else:
+                    ref = "".join(labels[int(c)] for c in ids)
                 wer.words += len(ref.split())
                 from qasr_tpu.decode.ctc import edit_distance
                 wer.scores += edit_distance(h.split(), ref.split())

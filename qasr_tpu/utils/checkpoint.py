@@ -98,22 +98,33 @@ def save_qasr(path: str, cfg_dict: Dict[str, Any], params: Any,
                 tar.add(src, arcname=f"artifacts/{arcname}")
 
 
+def persist_artifacts(src_dir: str, names) -> Dict[str, str]:
+    """Copy archive artifact files into a directory that outlives the unpack
+    tempdir (restored models keep file handles to e.g. tokenizer models).
+    The persistent dir is removed at interpreter exit — repeated restores in
+    a long-lived process no longer accumulate orphaned tmp dirs."""
+    import atexit
+    import shutil
+
+    names = list(names)
+    if not names:
+        return {}
+    keep = tempfile.mkdtemp(prefix="qasr_artifacts_")
+    atexit.register(shutil.rmtree, keep, ignore_errors=True)
+    out = {}
+    for name in names:
+        dst = os.path.join(keep, name)
+        shutil.copy2(os.path.join(src_dir, name), dst)
+        out[name] = dst
+    return out
+
+
 def extract_artifacts(td: str) -> Dict[str, str]:
-    """Collect artifacts/ files from an unpacked archive into a directory
-    that outlives the unpack tempdir (restored models keep file handles to
-    e.g. tokenizer models)."""
+    """Collect artifacts/ files from an unpacked .qasr archive."""
     src = os.path.join(td, "artifacts")
     if not os.path.isdir(src):
         return {}
-    import shutil
-
-    keep = tempfile.mkdtemp(prefix="qasr_artifacts_")
-    out = {}
-    for name in os.listdir(src):
-        dst = os.path.join(keep, name)
-        shutil.copy2(os.path.join(src, name), dst)
-        out[name] = dst
-    return out
+    return persist_artifacts(src, os.listdir(src))
 
 
 def load_qasr(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray],

@@ -209,7 +209,11 @@ class TestHistogramQuantile:
         from qasr_tpu.ops.stats import quantile_range
 
         lo, hi = quantile_range(jnp.asarray(x), percentile)
-        t = torch.from_numpy(x.reshape(-1))
+        # float64 torch as ground truth: torch.quantile on a float32 tensor
+        # lerps with a float32 fractional rank, which at n ~ 2^18+ quantizes
+        # the interpolation weight by ~0.01 — our host-float64 ranks are the
+        # more accurate ones
+        t = torch.from_numpy(x.reshape(-1)).double()
         tlo = float(torch.quantile(t, 1.0 - percentile / 100.0))
         thi = float(torch.quantile(t, percentile / 100.0))
         rng_span = float(x.max() - x.min())
