@@ -23,6 +23,8 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--time_length", type=float, default=1.0,
                    help="fixed slice length in seconds")
+    p.add_argument("--save_to", default=None,
+                   help="write the trained model as a .qasr archive")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -106,6 +108,9 @@ def main(argv=None):
         total += len(y)
     acc = correct / max(total, 1)
     print(f"accuracy: {acc:.4f}")
+    if args.save_to:
+        model.save_to(args.save_to)
+        logging.info(f"model saved to {args.save_to}")
     return acc
 
 

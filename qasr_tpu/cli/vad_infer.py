@@ -14,7 +14,7 @@ from argparse import ArgumentParser
 def build_parser() -> ArgumentParser:
     p = ArgumentParser(description=__doc__)
     p.add_argument("--vad_model", default=None,
-                   help=".qasr/.nemo classification checkpoint (omit for a "
+                   help=".qasr classification checkpoint (omit for a "
                         "random-weight MatchboxNet-VAD: smoke testing)")
     p.add_argument("--dataset", required=True,
                    help="label manifest (labels may be dummies at inference)")
@@ -39,11 +39,13 @@ def main(argv=None):
 
     labels = args.labels.split(",")
     if args.vad_model:
-        raise NotImplementedError(
-            "checkpoint loading for classification models lands with the "
-            "shared restore path; pass no --vad_model for the smoke run")
-    model = EncDecClassificationModel.from_config(matchboxnet3x1x64(),
-                                                  num_classes=len(labels))
+        model = EncDecClassificationModel.restore_from(args.vad_model)
+        assert model.num_classes == len(labels), (
+            f"checkpoint has {model.num_classes} classes, --labels has "
+            f"{len(labels)}")
+    else:
+        model = EncDecClassificationModel.from_config(matchboxnet3x1x64(),
+                                                      num_classes=len(labels))
 
     ds = AudioToSpeechLabelDataset(
         args.dataset, labels, sample_rate=model.cfg.sample_rate,

@@ -205,6 +205,29 @@ class EncDecClassificationModel:
         return np.argmax(np.asarray(fn(self.params, jnp.asarray(audio),
                                        jnp.asarray(alens))), -1)
 
+    # -- save/restore (ModelPT parity for the classification family) -------
+
+    def save_to(self, path: str) -> None:
+        from qasr_tpu.models.config import config_to_dict
+        from qasr_tpu.utils.checkpoint import save_qasr
+
+        meta = {"model_type": "classification",
+                "num_classes": self.num_classes, "pooling": self.pooling}
+        save_qasr(path, config_to_dict(self.cfg), self.params, meta=meta)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "EncDecClassificationModel":
+        from qasr_tpu.models.config import ModelConfig
+        from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
+
+        cfg_d, flat, _ = load_qasr(path)
+        meta = cfg_d.pop("_qasr_meta", {}) or {}
+        model = cls.from_config(ModelConfig.from_dict(cfg_d),
+                                num_classes=int(meta["num_classes"]),
+                                pooling=meta.get("pooling", "avg"))
+        model.params = unflatten_into(model.params, flat, "params/")
+        return model
+
 
 @dataclass
 class EncDecSpeakerLabelModel:
@@ -249,3 +272,30 @@ class EncDecSpeakerLabelModel:
         fn = jax.jit(self._forward)
         _, emb = fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
         return np.asarray(emb)
+
+    def save_to(self, path: str) -> None:
+        from qasr_tpu.models.config import config_to_dict
+        from qasr_tpu.utils.checkpoint import save_qasr
+
+        emb_sizes = [lp["linear"]["w"].shape[-1]
+                     for lp in self.params["decoder"]["emb_layers"]]
+        meta = {"model_type": "speaker", "num_speakers": self.num_speakers,
+                "pool_mode": self.pool_mode, "angular": self.angular,
+                "emb_sizes": emb_sizes}
+        save_qasr(path, config_to_dict(self.cfg), self.params, meta=meta)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "EncDecSpeakerLabelModel":
+        from qasr_tpu.models.config import ModelConfig
+        from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
+
+        cfg_d, flat, _ = load_qasr(path)
+        meta = cfg_d.pop("_qasr_meta", {}) or {}
+        model = cls.from_config(ModelConfig.from_dict(cfg_d),
+                                num_speakers=int(meta["num_speakers"]),
+                                emb_sizes=tuple(meta.get("emb_sizes",
+                                                         (512, 512))),
+                                pool_mode=meta.get("pool_mode", "xvector"),
+                                angular=bool(meta.get("angular", False)))
+        model.params = unflatten_into(model.params, flat, "params/")
+        return model

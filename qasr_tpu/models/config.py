@@ -307,3 +307,29 @@ def register_preset(name: str, factory) -> None:
     and downstream users; mirrors list_available_models extensibility,
     ctc_models.py:47-89)."""
     PRESETS[name] = factory
+
+
+def config_to_dict(cfg: ModelConfig) -> dict:
+    """Serialize a ModelConfig back to the YAML-shaped dict (inverse of
+    ModelConfig.from_dict; shared by the model save paths)."""
+    import dataclasses as dc
+
+    enc = dc.asdict(cfg.encoder)
+    blocks = enc.pop("blocks")
+    enc["jasper"] = [
+        {k: (list(v) if isinstance(v, tuple) else v) for k, v in b.items()}
+        for b in blocks
+    ]
+    enc["feat_in"] = cfg.encoder.feat_in
+    dec = dc.asdict(cfg.decoder)
+    dec["vocabulary"] = list(dec["vocabulary"])
+    out = {
+        "sample_rate": cfg.sample_rate,
+        "labels": list(cfg.labels),
+        "preprocessor": dict(cfg.preprocessor),
+        "encoder": enc,
+        "decoder": dec,
+    }
+    if cfg.tokenizer:
+        out["tokenizer"] = dict(cfg.tokenizer)
+    return out

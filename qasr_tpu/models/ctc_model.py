@@ -146,27 +146,9 @@ class ASRModel:
     # ------------------------------------------------------------------
 
     def _cfg_dict(self) -> Dict[str, Any]:
-        import dataclasses as dc
+        from qasr_tpu.models.config import config_to_dict
 
-        enc = dc.asdict(self.cfg.encoder)
-        blocks = enc.pop("blocks")
-        enc["jasper"] = [
-            {k: (list(v) if isinstance(v, tuple) else v) for k, v in b.items()}
-            for b in blocks
-        ]
-        enc["feat_in"] = self.cfg.encoder.feat_in
-        dec = dc.asdict(self.cfg.decoder)
-        dec["vocabulary"] = list(dec["vocabulary"])
-        out = {
-            "sample_rate": self.cfg.sample_rate,
-            "labels": list(self.cfg.labels),
-            "preprocessor": dict(self.cfg.preprocessor),
-            "encoder": enc,
-            "decoder": dec,
-        }
-        if self.cfg.tokenizer:
-            out["tokenizer"] = dict(self.cfg.tokenizer)
-        return out
+        return config_to_dict(self.cfg)
 
     def save_to(self, path: str) -> None:
         """'.qasr' native archive (config + params + quant ranges) or a

@@ -131,3 +131,42 @@ def test_inference_cli_real_data_calibration(tmp_path, text_manifest):
                       "--weight_bit", "8", "--act_bit", "8",
                       "--percentile", "99.9", "--batch_size", "2"])
     assert np.isfinite(wer)
+
+
+def test_speech_to_label_save_then_vad_model(tmp_path, label_manifest,
+                                             tiny_cfg_yaml):
+    """Train -> save .qasr -> vad_infer --vad_model restores the checkpoint
+    (closes the reference vad_infer workflow: trained model in, frames out)."""
+    from qasr_tpu.cli.speech_to_label import main as train_main
+    from qasr_tpu.cli.vad_infer import main as vad_main
+    from qasr_tpu.models.classification import EncDecClassificationModel
+
+    ckpt = str(tmp_path / "vad.qasr")
+    train_main(["--train_manifest", label_manifest, "--config", tiny_cfg_yaml,
+                "--batch_size", "2", "--max_steps", "4",
+                "--time_length", "0.5", "--save_to", ckpt])
+    m = EncDecClassificationModel.restore_from(ckpt)
+    assert m.num_classes == 2
+
+    outs = vad_main(["--vad_model", ckpt, "--dataset", label_manifest,
+                     "--out_dir", str(tmp_path / "vad2"),
+                     "--time_length", "0.25", "--shift_length", "0.1",
+                     "--labels", "tone,noise"])
+    assert len(outs) == 6
+
+
+def test_speaker_model_save_restore(tmp_path, rng):
+    from qasr_tpu.models.classification import EncDecSpeakerLabelModel
+    from qasr_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig.from_dict(TINY_YAML)
+    m = EncDecSpeakerLabelModel.from_config(cfg, num_speakers=5,
+                                            emb_sizes=(16,), angular=True)
+    audio = rng.normal(size=(2, 6000)).astype(np.float32) * 0.1
+    alens = np.full((2,), 6000, np.int32)
+    e1 = m.embeddings(audio, alens)
+    p = str(tmp_path / "spk.qasr")
+    m.save_to(p)
+    m2 = EncDecSpeakerLabelModel.restore_from(p)
+    assert m2.num_speakers == 5 and m2.angular
+    np.testing.assert_allclose(m2.embeddings(audio, alens), e1, atol=1e-6)
