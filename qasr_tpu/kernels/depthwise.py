@@ -163,10 +163,28 @@ def depthwise_conv_int_pallas(x: Array, w: Array, stride: int, padding: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_size = w.shape[0]
-    t_out = (x.shape[1] + 2 * padding - dilation * (k_size - 1) - 1) // stride + 1
+    t_in = x.shape[1]
+    t_out = (t_in + 2 * padding - dilation * (k_size - 1) - 1) // stride + 1
     c = x.shape[-1]
     group = _safe_group(x, k_size, max_prod)
     cpad = (-c) % 128  # Mosaic wants full 128-lane tiles
+    import os
+
+    if stride == 1 and group == 1 and t_in % 32 == 0 \
+            and os.environ.get("QASR_DW_INKERNEL_PAD"):
+        # pad-free path: conv padding zero-filled inside the kernel.
+        # Measured a ~0.7% net LOSS on v5e (8 039-8 077 vs 8 111 RTFx): the
+        # clamped-DMA realign + in-kernel masking cost slightly more than
+        # the 78 physical pad passes they replace.  Kept opt-in
+        # (bit-identity tested) for parts where pads are pricier.
+        t_tile = _pick_tile_fused(t_out, t_in, _halo_pad(k_size, dilation) + 32)
+        if t_tile is not None:
+            xc = jnp.pad(x, ((0, 0), (0, 0), (0, cpad))) if cpad else x
+            wk = jnp.pad(w[:, 0, :], ((0, 0), (0, cpad))).astype(jnp.int32)
+            out = _dw_pad_call(xc, wk, k_size=k_size, dilation=dilation,
+                               pad_left=padding, t_out=t_out, t_tile=t_tile,
+                               interpret=interpret)
+            return out[:, :, :c] if cpad else out
     xp = jnp.pad(x, ((0, 0), (padding, padding), (0, cpad)))
     wk = jnp.pad(w[:, 0, :], ((0, 0), (0, cpad)))
     wk = wk.astype(jnp.int16 if group >= 2 else jnp.int32)
@@ -333,3 +351,73 @@ def depthwise_fused_requant(x: Array, w: Array, lens: Array, *,
                          t_tile=t_tile, e1=e1, bits1=bits1, e2=e2, bits2=bits2,
                          interpret=interpret)
     return out[:, :, :c] if cpad else out
+
+
+# ---------------------------------------------------------------------------
+# Pad-free plain variant: in-kernel conv padding (no requant stages)
+# ---------------------------------------------------------------------------
+#
+# The standard path physically pads the time axis (jnp.pad) before every dw
+# kernel — 78 extra elementwise passes, ~0.55 ms/step profiled.  This variant
+# reuses the fused kernel's clamped-DMA + provably-32-aligned realign scheme
+# to zero-fill the conv padding inside the kernel.  Stride 1, t_in % 32 == 0
+# (guaranteed by pad_frames_aligned in the frozen callers); falls back
+# otherwise.
+
+
+def _dw_pad_kernel(x_hbm, w_ref, o_ref, scratch, sem, *, k_size: int,
+                   dilation: int, t_tile: int, pad_left: int, t_in: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pad_row = -(-pad_left // 32) * 32
+    tap_shift = pad_row - pad_left
+    win = t_tile + _halo_pad(k_size, dilation) + 32
+    desired = t * t_tile - pad_row            # multiple of 32 (may be < 0)
+    sd32 = jnp.clip(desired, 0, t_in - win) // 32
+    start_dma = sd32 * 32
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start_dma, win), :],
+        scratch.at[pl.ds(pad_row, win)], sem)
+    dma.start()
+    dma.wait()
+    c = scratch.shape[-1]
+    off32 = desired // 32 - sd32 + pad_row // 32
+    window = scratch[pl.ds(off32 * 32, win), :].astype(jnp.int32)
+    g = desired + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    q = jnp.where((g >= 0) & (g < t_in), window, 0)   # conv zero padding
+    acc = jnp.zeros((t_tile, c), jnp.int32)
+    for k in range(k_size):
+        s0 = tap_shift + k * dilation
+        acc = acc + q[s0 : s0 + t_tile, :] * w_ref[k]
+    o_ref[0] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_size", "dilation", "pad_left", "t_out",
+                                    "t_tile", "interpret"))
+def _dw_pad_call(x: Array, w: Array, *, k_size: int, dilation: int,
+                 pad_left: int, t_out: int, t_tile: int,
+                 interpret: bool) -> Array:
+    b, t_in, c = x.shape
+    n_t = -(-t_out // t_tile)
+    win = t_tile + _halo_pad(k_size, dilation) + 32
+    pad_row = -(-pad_left // 32) * 32
+    out = pl.pallas_call(
+        functools.partial(_dw_pad_kernel, k_size=k_size, dilation=dilation,
+                          t_tile=t_tile, pad_left=pad_left, t_in=t_in),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, c), jnp.int32),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec((k_size, c), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pad_row + win + t_tile + 64, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, w)
+    return out[:, :t_out, :]

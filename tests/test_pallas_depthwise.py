@@ -14,6 +14,8 @@ from qasr_tpu.models.jasper import _depthwise_conv_int
     (2, 200, 128, 33, 1, 2),  # stride 2
     (1, 64, 64, 3, 1, 1),     # sub-128 channels (lane padding)
     (2, 130, 256, 51, 1, 1),  # odd T, big K
+    (2, 320, 128, 33, 1, 1),  # 32-aligned T: exercises the pad-free variant
+    (2, 384, 128, 7, 2, 1),   # pad-free variant with dilation
 ])
 def test_pallas_dw_matches_hlo(shape, rng):
     b, t, c, k, d, s = shape
@@ -119,3 +121,19 @@ def test_fused_dw_int8_input(rng):
                                   m2=m2, e2=e2, bits2=7, padding=p,
                                   dilation=1, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_dw_inkernel_pad_bit_identical(rng, monkeypatch):
+    """Opt-in pad-free variant (QASR_DW_INKERNEL_PAD): conv padding
+    zero-filled inside the kernel via the clamped-DMA realign scheme —
+    bit-identical to the physically padded path.  Gated off by default
+    (~0.7% net loss on v5e, see kernel comment)."""
+    monkeypatch.setenv("QASR_DW_INKERNEL_PAD", "1")
+    for t, k, d in [(320, 33, 1), (384, 7, 2), (352, 87, 1)]:
+        b, c = 2, 128
+        x = jnp.asarray(rng.integers(-63, 64, (b, t, c)), jnp.int8)
+        w = jnp.asarray(rng.integers(-31, 32, (k, 1, c)), jnp.int8)
+        p = (d * k) // 2 - 1 if d > 1 else k // 2
+        ref = _depthwise_conv_int(x, w, 1, p, d)
+        got = depthwise_conv_int_pallas(x, w, 1, p, d, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
