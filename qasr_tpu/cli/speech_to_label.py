@@ -64,7 +64,7 @@ def main(argv=None):
     cfg = (ModelConfig.from_yaml(args.config) if args.config
            else matchboxnet3x1x64())
     model = EncDecClassificationModel.from_config(cfg, num_classes=len(labels),
-                                                  seed=args.seed)
+                                                  seed=args.seed, labels=labels)
     ds = AudioToSpeechLabelDataset(args.train_manifest, labels,
                                    sample_rate=cfg.sample_rate,
                                    time_length=args.time_length)

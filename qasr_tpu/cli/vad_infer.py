@@ -40,9 +40,14 @@ def main(argv=None):
     labels = args.labels.split(",")
     if args.vad_model:
         model = EncDecClassificationModel.restore_from(args.vad_model)
-        assert model.num_classes == len(labels), (
-            f"checkpoint has {model.num_classes} classes, --labels has "
-            f"{len(labels)}")
+        if model.num_classes != len(labels):
+            raise ValueError(f"checkpoint has {model.num_classes} classes, "
+                             f"--labels has {len(labels)}")
+        if model.labels and list(model.labels) != labels:
+            # a silent order mismatch would swap which column is 'speech'
+            raise ValueError(
+                f"checkpoint was trained with labels {list(model.labels)}; "
+                f"--labels gives {labels} — pass them in the training order")
     else:
         model = EncDecClassificationModel.from_config(matchboxnet3x1x64(),
                                                       num_classes=len(labels))

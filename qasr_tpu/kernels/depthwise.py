@@ -298,9 +298,13 @@ def _dw_fused_call(x: Array, w: Array, m1: Array, m2: Array, lens: Array, *,
         out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # pad_row front slack + win rows of data + up to t_tile+32 rows
-            # of tail realign slack (slack reads are masked to 0)
-            pltpu.VMEM((-(-pad_left // 32) * 32 + win + t_tile + 64, c),
+            # front slack pad_row for the clamped first tile, plus tail
+            # slack for the clamped last tile's realigned read: overshoot is
+            # bounded by (desired - start_dma) < t_tile + pad_left +
+            # (halo - (K-1)d) + 32, so t_tile + pad_row + 64 rows cover it
+            # (t_tile+64 alone was 32 rows short for QuartzNet's k=87/d=2
+            # block, corrupting the last tile at t_in = 416/544/...)
+            pltpu.VMEM((2 * (-(-pad_left // 32) * 32) + win + t_tile + 64, c),
                        x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
@@ -415,7 +419,9 @@ def _dw_pad_call(x: Array, w: Array, *, k_size: int, dilation: int,
         out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pad_row + win + t_tile + 64, c), x.dtype),
+            # front pad_row + tail slack t_tile + pad_row + 64 (same bound
+            # as the fused kernel above)
+            pltpu.VMEM((2 * pad_row + win + t_tile + 64, c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

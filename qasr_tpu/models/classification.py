@@ -178,10 +178,11 @@ class EncDecClassificationModel:
     params: Dict[str, Any]
     num_classes: int
     pooling: str = "avg"
+    labels: Optional[Tuple[str, ...]] = None  # class names, checkpointed
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, num_classes: int, seed: int = 0,
-                    pooling: str = "avg"):
+                    pooling: str = "avg", labels=None):
         plan = build_encoder_plan(cfg.encoder)
         rng = np.random.default_rng(seed)
         params = {"encoder": init_encoder_params(rng, plan),
@@ -189,7 +190,8 @@ class EncDecClassificationModel:
                                                          num_classes)}
         return cls(cfg=cfg, plan=plan,
                    frontend=MelFrontend(preprocessor_config_from_dict(cfg.preprocessor)),
-                   params=params, num_classes=num_classes, pooling=pooling)
+                   params=params, num_classes=num_classes, pooling=pooling,
+                   labels=tuple(labels) if labels else None)
 
     def logits(self, params, audio, alens):
         feats, feat_lens = self.frontend(audio, alens, dither=0.0)
@@ -213,6 +215,8 @@ class EncDecClassificationModel:
 
         meta = {"model_type": "classification",
                 "num_classes": self.num_classes, "pooling": self.pooling}
+        if self.labels:
+            meta["labels"] = list(self.labels)
         save_qasr(path, config_to_dict(self.cfg), self.params, meta=meta)
 
     @classmethod
@@ -222,9 +226,14 @@ class EncDecClassificationModel:
 
         cfg_d, flat, _ = load_qasr(path)
         meta = cfg_d.pop("_qasr_meta", {}) or {}
+        if meta.get("model_type") != "classification":
+            raise ValueError(
+                f"{path} is not a classification checkpoint "
+                f"(model_type={meta.get('model_type')!r})")
         model = cls.from_config(ModelConfig.from_dict(cfg_d),
                                 num_classes=int(meta["num_classes"]),
-                                pooling=meta.get("pooling", "avg"))
+                                pooling=meta.get("pooling", "avg"),
+                                labels=meta.get("labels"))
         model.params = unflatten_into(model.params, flat, "params/")
         return model
 
@@ -291,6 +300,10 @@ class EncDecSpeakerLabelModel:
 
         cfg_d, flat, _ = load_qasr(path)
         meta = cfg_d.pop("_qasr_meta", {}) or {}
+        if meta.get("model_type") != "speaker":
+            raise ValueError(
+                f"{path} is not a speaker checkpoint "
+                f"(model_type={meta.get('model_type')!r})")
         model = cls.from_config(ModelConfig.from_dict(cfg_d),
                                 num_speakers=int(meta["num_speakers"]),
                                 emb_sizes=tuple(meta.get("emb_sizes",

@@ -170,3 +170,26 @@ def test_speaker_model_save_restore(tmp_path, rng):
     m2 = EncDecSpeakerLabelModel.restore_from(p)
     assert m2.num_speakers == 5 and m2.angular
     np.testing.assert_allclose(m2.embeddings(audio, alens), e1, atol=1e-6)
+
+
+def test_vad_model_label_order_mismatch_rejected(tmp_path, label_manifest,
+                                                 tiny_cfg_yaml):
+    """A checkpoint trained with one label order must refuse a different
+    --labels order (a silent mismatch would swap the speech column)."""
+    from qasr_tpu.cli.speech_to_label import main as train_main
+    from qasr_tpu.cli.vad_infer import main as vad_main
+    from qasr_tpu.models.classification import (
+        EncDecClassificationModel, EncDecSpeakerLabelModel,
+    )
+
+    ckpt = str(tmp_path / "vad.qasr")
+    train_main(["--train_manifest", label_manifest, "--config", tiny_cfg_yaml,
+                "--batch_size", "2", "--max_steps", "2",
+                "--time_length", "0.5", "--save_to", ckpt])
+    with pytest.raises(ValueError, match="training order"):
+        vad_main(["--vad_model", ckpt, "--dataset", label_manifest,
+                  "--out_dir", str(tmp_path / "x"), "--time_length", "0.25",
+                  "--shift_length", "0.1", "--labels", "noise,tone"])
+    # cross-family restore gives a clear error, not a KeyError
+    with pytest.raises(ValueError, match="not a speaker checkpoint"):
+        EncDecSpeakerLabelModel.restore_from(ckpt)

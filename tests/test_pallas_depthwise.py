@@ -14,8 +14,8 @@ from qasr_tpu.models.jasper import _depthwise_conv_int
     (2, 200, 128, 33, 1, 2),  # stride 2
     (1, 64, 64, 3, 1, 1),     # sub-128 channels (lane padding)
     (2, 130, 256, 51, 1, 1),  # odd T, big K
-    (2, 320, 128, 33, 1, 1),  # 32-aligned T: exercises the pad-free variant
-    (2, 384, 128, 7, 2, 1),   # pad-free variant with dilation
+    (2, 320, 128, 33, 1, 1),  # 32-aligned T (standard path; pad-free is
+    (2, 384, 128, 7, 2, 1),   # env-gated and covered in its own test below)
 ])
 def test_pallas_dw_matches_hlo(shape, rng):
     b, t, c, k, d, s = shape
@@ -57,6 +57,7 @@ def test_pallas_dw_int16_groups_bit_identical(max_prod, lo_x, hi_x, lo_w, hi_w,
     (2, 320, 128, 33, 1, 0, 7, 7),    # W6A6 interior layer shape
     (2, 352, 128, 51, 1, 0, 9, 9),    # W8A8 asymmetric (9-bit clamp)
     (1, 224, 64, 7, 2, 0, 7, 8),      # dilation + lane padding + mixed bits
+    (2, 416, 128, 87, 2, 0, 7, 7),    # QuartzNet k=87/d=2: large-halo tail
 ])
 def test_fused_dw_matches_composed(b, t, c, k, d, p_extra, bits1, bits2, rng):
     """depthwise_fused_requant == mask -> requant1 -> dw conv -> requant2 ->
@@ -129,7 +130,10 @@ def test_pallas_dw_inkernel_pad_bit_identical(rng, monkeypatch):
     bit-identical to the physically padded path.  Gated off by default
     (~0.7% net loss on v5e, see kernel comment)."""
     monkeypatch.setenv("QASR_DW_INKERNEL_PAD", "1")
-    for t, k, d in [(320, 33, 1), (384, 7, 2), (352, 87, 1)]:
+    # (416, 87, 2) = QuartzNet's dilated block at a t_out % t_tile == 32
+    # length: the large-halo tail-slack regression (scratch one pad_row short)
+    for t, k, d in [(320, 33, 1), (384, 7, 2), (352, 87, 1), (416, 87, 2),
+                    (544, 87, 2)]:
         b, c = 2, 128
         x = jnp.asarray(rng.integers(-63, 64, (b, t, c)), jnp.int8)
         w = jnp.asarray(rng.integers(-31, 32, (k, 1, c)), jnp.int8)
