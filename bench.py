@@ -41,15 +41,23 @@ def main():
     tables = model.freeze()
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
 
+    from qasr_tpu.models.ctc_model import _dw_bands_device
     from qasr_tpu.models.jasper import pad_frames_aligned
 
+    # banded-Toeplitz MXU depthwise tiles: runtime args, not literals
+    bands = _dw_bands_device(plan, tables)
+
     @jax.jit
-    def fn(audio, lengths):
+    def _fn(audio, lengths, dw_bands):
         feats, feat_lens = frontend(audio, lengths, dither=0.0)
         feats = pad_frames_aligned(feats)
-        fx = FrozenExec(tables, qcfg, activation=plan.activation)
+        fx = FrozenExec(tables, qcfg, activation=plan.activation,
+                        dw_bands=dw_bands)
         enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
         return jnp.argmax(fx.decoder(enc), axis=-1), enc_lens
+
+    def fn(audio, lengths):
+        return _fn(audio, lengths, bands)
 
     # batch 32 x 15 s: the best-measured serving configuration on one v5e
     # (B=16: 7652 RTFx, B=32: 8109 — fixed per-step overheads amortize)

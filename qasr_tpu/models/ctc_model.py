@@ -48,6 +48,22 @@ from qasr_tpu.ops.quant_prims import QTensor
 from qasr_tpu.quantize.freeze import FrozenExec, freeze_model
 
 
+def _dw_bands_device(plan, tables):
+    """Banded MXU depthwise tiles (quantize.freeze.build_dw_bands) as device
+    arrays, or None when disabled.  On by default on TPU; QASR_DW_MXU=0
+    disables, =1 forces (e.g. for CPU bit-identity tests).  Passed as jit
+    runtime args — as literals the tiles are ~1 GB of program text."""
+    import os
+
+    flag = os.environ.get("QASR_DW_MXU", "")
+    if flag == "0" or (flag != "1" and jax.default_backend() != "tpu"):
+        return None
+    from qasr_tpu.quantize.freeze import build_dw_bands
+
+    bands = build_dw_bands(plan, tables)
+    return {k: jnp.asarray(v) for k, v in bands.items()} or None
+
+
 @dataclass
 class ASRModel:
     cfg: ModelConfig
@@ -287,15 +303,21 @@ class ASRModel:
                 return lp, el
         elif mode == "frozen":
             tables = self.freeze()
+            bands = _dw_bands_device(self.plan, tables)
 
             @jax.jit
-            def fn(audio, lens):
+            def _fn(audio, lens, dw_bands):
                 from qasr_tpu.models.jasper import pad_frames_aligned
                 feats, feat_lens = self.frontend(audio, lens, dither=0.0)
                 feats = pad_frames_aligned(feats)
-                fx = FrozenExec(tables, self.qcfg, activation=self.plan.activation)
+                fx = FrozenExec(tables, self.qcfg,
+                                activation=self.plan.activation,
+                                dw_bands=dw_bands)
                 enc, enc_lens = encoder_forward(fx, self.plan, feats, feat_lens)
                 return fx.decoder(enc), enc_lens
+
+            def fn(audio, lens):
+                return _fn(audio, lens, bands)
         else:
             raise ValueError(mode)
         self._jit_cache[key] = fn

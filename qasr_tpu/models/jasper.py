@@ -347,7 +347,8 @@ def _depthwise_conv_int(x: Array, w: Array, stride: int, padding: int,
 
 def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
              preferred=None, precision=None,
-             dw_max_prod: Optional[int] = None) -> Array:
+             dw_max_prod: Optional[int] = None,
+             dw_band: Optional[Array] = None) -> Array:
     """1D conv, channels-last, optional grouped/depthwise; heads fold extra
     channels into the batch (jasper.py:184-192).
 
@@ -376,7 +377,14 @@ def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
             y = y + b
         return y
     if preferred == jnp.int32 and w.shape[1] == 1 and groups == x.shape[-1]:
-        if spec.stride in (1, 2) and jax.default_backend() == "tpu" and x.ndim == 3:
+        if dw_band is not None and spec.stride in (1, 2) and x.ndim == 3 \
+                and x.dtype == jnp.int8:
+            # banded-Toeplitz channel-batched matmul: runs the depthwise conv
+            # on the MXU (exact int8 dots), 2.2x the VPU kernel net on v5e
+            from qasr_tpu.kernels.dw_mxu import apply_banded
+            y = apply_banded(x, dw_band, k_size=w.shape[0], stride=spec.stride,
+                             padding=spec.padding, dilation=spec.dilation)
+        elif spec.stride in (1, 2) and jax.default_backend() == "tpu" and x.ndim == 3:
             # Pallas kernel: one HBM pass (the HLO sum-of-slices form re-reads
             # the input K times; profiled at ~85% of the frozen-model step)
             from qasr_tpu.kernels.depthwise import depthwise_conv_int_pallas

@@ -213,6 +213,29 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
     return tables
 
 
+def build_dw_bands(plan: EncoderPlan, tables) -> Dict[str, np.ndarray]:
+    """Banded-Toeplitz MXU weight tiles for every eligible depthwise site
+    (kernels/dw_mxu.py): int8 activations (act_bits <= 8), stride 1/2, no
+    heads.  Returned as a flat {"bi.kind.i": (C, 128, n_d*128) int8} dict —
+    callers device_put this once and pass it as a *runtime argument* of the
+    jitted step (as HLO literals the tiles are ~1 GB of program text, which
+    overflows compile-payload limits)."""
+    from qasr_tpu.kernels.dw_mxu import band_tiles
+
+    bands: Dict[str, np.ndarray] = {}
+    for bi, (bp, tb) in enumerate(zip(plan.blocks, tables["blocks"])):
+        for i, spec in enumerate(bp.convs):
+            e = tb["convs"][i]
+            if e is None:
+                continue
+            if (spec.groups == spec.in_ch and spec.groups > 1
+                    and spec.kernel > 1 and spec.heads == -1
+                    and spec.stride in (1, 2) and e["act_bits"] <= 8):
+                bands[f"{bi}.convs.{i}"] = band_tiles(
+                    np.asarray(e["w"], np.int8), spec.stride, spec.dilation)
+    return bands
+
+
 class FrozenExec:
     """Deployment executor: int8 MXU convs + exact dyadic requants from the
     frozen tables. No float arithmetic until the decoder's log-softmax.
@@ -224,11 +247,16 @@ class FrozenExec:
     so it stays opt-in."""
 
     def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
-                 use_pallas: bool = False, fuse_dw: bool = False):
+                 use_pallas: bool = False, fuse_dw: bool = False,
+                 dw_bands: Optional[Dict[str, Array]] = None):
         self.t = tables
         self.qcfg = qcfg
         self.activation_kind = activation
         self.use_pallas = use_pallas
+        # dw_bands: banded-Toeplitz MXU tiles (build_dw_bands), passed by the
+        # enclosing jit as runtime args; sites present here run the depthwise
+        # conv on the MXU (bit-identical), the rest use the VPU kernel
+        self.dw_bands = dw_bands or {}
         # fuse_dw: run separable dw convs through the fused requant+conv+
         # requant Pallas kernel (kernels/depthwise.depthwise_fused_requant).
         # Measured SLOWER on v5e (6055 vs 7499 RTFx): the exact two-limb
@@ -311,7 +339,8 @@ class FrozenExec:
         # 2^(b-1)-1], weights to [-(2^(wb-1)-1), 2^(wb-1)-2] — lets the
         # Pallas depthwise kernel pick the widest safe int16 tap group
         max_prod = (2 ** (bits - 1)) * (2 ** (self.qcfg.weight_bit - 1) - 1)
-        y = conv_nwc(xv, wv, spec, preferred=jnp.int32, dw_max_prod=max_prod)
+        y = conv_nwc(xv, wv, spec, preferred=jnp.int32, dw_max_prod=max_prod,
+                     dw_band=self.dw_bands.get(f"{bi}.{kind}.{i}"))
         if "b" in entry:
             y = y + entry["b"]
         return QTensor(y, entry["out_scale"]), new_lens

@@ -141,3 +141,64 @@ def test_pallas_dw_inkernel_pad_bit_identical(rng, monkeypatch):
         ref = _depthwise_conv_int(x, w, 1, p, d)
         got = depthwise_conv_int_pallas(x, w, 1, p, d, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 96, 128, 5, 1, 1),    # small
+    (2, 96, 128, 7, 2, 1),    # dilation
+    (2, 200, 128, 33, 1, 2),  # stride 2
+    (1, 64, 64, 3, 1, 1),     # sub-128 channels
+    (2, 130, 256, 51, 1, 1),  # odd T, big K
+    (2, 768, 512, 75, 1, 1),  # QuartzNet B5 shape (multi-tile band)
+    (2, 416, 128, 87, 2, 1),  # k=87 d=2 epilogue (3 band tiles)
+    (2, 1536, 256, 33, 1, 2), # QuartzNet prologue stride 2
+])
+def test_dw_mxu_matches_hlo(shape, rng):
+    """Banded-Toeplitz MXU formulation (kernels/dw_mxu.py) is bit-identical
+    to the unrolled int32 HLO form — exact int8 x int8 -> int32 dots."""
+    from qasr_tpu.kernels.dw_mxu import depthwise_conv_int_mxu
+
+    b, t, c, k, d, s = shape
+    x = jnp.asarray(rng.integers(-128, 128, (b, t, c)), jnp.int8)
+    w_np = rng.integers(-127, 128, (k, 1, c)).astype(np.int8)
+    p = (d * k) // 2 - 1 if d > 1 else k // 2
+    ref = _depthwise_conv_int(x, jnp.asarray(w_np), s, p, d)
+    got = depthwise_conv_int_mxu(x, w_np, s, p, d)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
+    """Frozen forward with banded-MXU depthwise (QASR_DW_MXU=1) must be
+    bit-identical to the default path end-to-end (log-probs included)."""
+    import numpy as np
+
+    from qasr_tpu.models.config import (
+        BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.ctc_model import ASRModel
+    from qasr_tpu.models.jasper import fabricate_qstate
+
+    blocks = (
+        BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
+                    residual=False, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(33,), residual=True,
+                    separable=True),
+    )
+    enc = EncoderConfig(feat_in=64, blocks=blocks, activation="relu")
+    cfg = ModelConfig(encoder=enc,
+                      decoder=DecoderConfig(feat_in=64, num_classes=28),
+                      preprocessor={"features": 64, "dither": 1e-5})
+    audio = rng.normal(size=(2, 16000)).astype(np.float32) * 0.1
+    lens = np.asarray([16000, 12000], np.int32)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("QASR_DW_MXU", flag)
+        m = ASRModel.from_config(cfg, seed=0)
+        m.set_quant_bit(6, "all")
+        m.bn_folding()
+        m.qstate = fabricate_qstate(m.plan)
+        outs[flag] = m.forward(audio, lens, mode="frozen")
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+    np.testing.assert_array_equal(outs["0"][2], outs["1"][2])
