@@ -32,32 +32,13 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _calibrated_frozen_quartznet
-    from qasr_tpu.models.jasper import encoder_forward
-    from qasr_tpu.quantize.freeze import FrozenExec
+    from qasr_tpu.models.ctc_model import make_frozen_fn
 
     model = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
     # host-numpy tables closed over as constants: the static-exponent dyadic
-    # shifts must stay Python ints (compile-time constants)
-    tables = model.freeze()
-    frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
-
-    from qasr_tpu.models.ctc_model import _dw_bands_device
-    from qasr_tpu.models.jasper import pad_frames_aligned
-
-    # banded-Toeplitz MXU depthwise tiles: runtime args, not literals
-    bands = _dw_bands_device(plan, tables)
-
-    @jax.jit
-    def _fn(audio, lengths, dw_bands):
-        feats, feat_lens = frontend(audio, lengths, dither=0.0)
-        feats = pad_frames_aligned(feats)
-        fx = FrozenExec(tables, qcfg, activation=plan.activation,
-                        dw_bands=dw_bands)
-        enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
-        return jnp.argmax(fx.decoder(enc), axis=-1), enc_lens
-
-    def fn(audio, lengths):
-        return _fn(audio, lengths, bands)
+    # shifts must stay Python ints (compile-time constants); the banded
+    # MXU depthwise tiles ride as jit runtime args inside make_frozen_fn
+    fn = make_frozen_fn(model, model.freeze(), argmax=True)
 
     # batch 32 x 15 s: the best-measured serving configuration on one v5e
     # (B=16: 7652 RTFx, B=32: 8109 — fixed per-step overheads amortize)

@@ -93,3 +93,76 @@ def depthwise_conv_int_mxu(x: Array, w: np.ndarray, stride: int, padding: int,
     wband = band_tiles(np.asarray(w, np.int8), stride, dilation)
     return apply_banded(x, jnp.asarray(wband), k_size=w.shape[0],
                         stride=stride, padding=padding, dilation=dilation)
+
+
+# ---------------------------------------------------------------------------
+# Channel-major interior: tensors live as (C, 128, B, n_t) — the dw dot's
+# native output layout — so separable stacks run with no transposes at all
+# (the pw conv contracts C directly; requants are elementwise).  The conv's
+# left padding is baked into the band (j_min may be -1, served by one
+# zero tile on the left), which widens the band by <= 1 tile — cheap on the
+# MXU, and it removes the physical jnp.pad + the (C,128,B,n_t)->(B,T,C)
+# transpose that dominated the (B,T,C) formulation's cost.
+# ---------------------------------------------------------------------------
+
+
+def band_tiles_cm(w: np.ndarray, stride: int, dilation: int, pad: int):
+    """(K, 1, C) int8 -> ((C, 128, n_d*128) tiles, j_min) with the conv's
+    left padding baked in: W[c, m, col] = w[k, c] where
+    s*m + k*d - pad == j_min*128 + col."""
+    k_size, _, c = w.shape
+    lo = -pad
+    hi = stride * 127 + dilation * (k_size - 1) - pad
+    j_min, j_max = lo // 128, hi // 128
+    n_d = j_max - j_min + 1
+    m = np.arange(128)[:, None]
+    col = np.arange(n_d * 128)[None, :]
+    k, rem = np.divmod(j_min * 128 + col - stride * m + pad, dilation)
+    valid = (rem == 0) & (k >= 0) & (k < k_size)
+    kc = np.clip(k, 0, k_size - 1)
+    tiles = np.where(valid[:, :, None], w[kc, 0, :], 0)
+    return np.ascontiguousarray(tiles.transpose(2, 0, 1)), j_min
+
+
+def dw_banded_cm(x: Array, wband: Array, j_min: int, stride: int) -> Array:
+    """Depthwise conv in channel-major layout.
+
+    x: (C, 128, B, n_ti) int8; wband from band_tiles_cm.
+    Returns (C, 128, B, n_ti // stride) int32 — out tile i, row m equals the
+    conv output at t = i*128*? ... (time t = tile*128 + row throughout).
+    Output length semantics match 'same'-padded conv_out_len; callers mask
+    the tail beyond the true lengths as usual.
+    """
+    c, _, b, n_ti = x.shape
+    n_d = wband.shape[2] // 128
+    n_to = n_ti // stride
+    lo_t = j_min
+    hi_t = stride * (n_to - 1) + j_min + n_d - 1
+    pad_l = max(0, -lo_t)
+    pad_r = max(0, hi_t - (n_ti - 1))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pad_l, pad_r)))
+    cols = []
+    for jj in range(n_d):
+        start = j_min + jj + pad_l
+        sl = jax.lax.slice(xp, (0, 0, 0, start),
+                           (c, 128, b, start + stride * (n_to - 1) + 1),
+                           (1, 1, 1, stride))
+        cols.append(sl)
+    xg = jnp.concatenate(cols, axis=1)               # (C, n_d*128, B, n_to)
+    return jax.lax.dot_general(
+        wband, xg,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)            # (C, 128, B, n_to)
+
+
+def to_cm(x: Array) -> Array:
+    """(B, T, C) -> (C, 128, B, T//128); T must be a multiple of 128."""
+    b, t, c = x.shape
+    assert t % 128 == 0, t
+    return x.reshape(b, t // 128, 128, c).transpose(3, 2, 0, 1)
+
+
+def from_cm(x: Array) -> Array:
+    """(C, 128, B, n_t) -> (B, n_t*128, C)."""
+    c, _, b, n_t = x.shape
+    return x.transpose(2, 3, 1, 0).reshape(b, n_t * 128, c)

@@ -64,6 +64,76 @@ def _dw_bands_device(plan, tables):
     return {k: jnp.asarray(v) for k, v in bands.items()} or None
 
 
+def _plan_total_stride(plan) -> int:
+    s = 1
+    for bp in plan.blocks:
+        for spec in bp.convs:
+            s *= spec.stride
+    return s
+
+
+def _conv_t(t: int, spec) -> int:
+    return (t + 2 * spec.padding - spec.dilation * (spec.kernel - 1) - 1) \
+        // spec.stride + 1
+
+
+def make_frozen_fn(model, tables, argmax: bool = False):
+    """fn(audio, lens) -> (log_probs | greedy ids, enc_lens) on the frozen
+    integer path, picking the fastest eligible executor: channel-major
+    banded-MXU (FrozenExecCM) > banded-MXU in (B, T, C) > VPU kernels.
+    All three are bit-identical; the CM output is trimmed to the default
+    path's frame count so shapes match too."""
+    import os
+
+    from qasr_tpu.models.jasper import encoder_forward, pad_frames_aligned
+    from qasr_tpu.quantize.freeze import (
+        FrozenExec, FrozenExecCM, build_dw_bands_cm, plan_supports_cm,
+    )
+
+    frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
+    flag = os.environ.get("QASR_DW_MXU", "")
+    mxu = flag != "0" and (flag == "1" or jax.default_backend() == "tpu")
+    use_cm = (mxu and os.environ.get("QASR_CM", "1") != "0"
+              and plan_supports_cm(plan, qcfg))
+    if use_cm:
+        bands_np, jmins = build_dw_bands_cm(plan, tables)
+        bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
+        mult = 128 * _plan_total_stride(plan)
+
+        @jax.jit
+        def _fn(audio, lens, dw_bands):
+            feats, feat_lens = frontend(audio, lens, dither=0.0)
+            n_frames = feats.shape[1]
+            feats = pad_frames_aligned(feats, mult)
+            fx = FrozenExecCM(tables, qcfg, activation=plan.activation,
+                              dw_bands=dw_bands, dw_jmins=jmins)
+            enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
+            lp = fx.decoder(enc)
+            # trim to the (B,T,C) path's physical frame count (pad mult 64)
+            t = -(-n_frames // 64) * 64
+            for bp in plan.blocks:
+                for spec in bp.convs:
+                    t = _conv_t(t, spec)
+            lp = lp[:, :t, :]
+            return (jnp.argmax(lp, axis=-1) if argmax else lp), enc_lens
+
+        return lambda audio, lens: _fn(audio, lens, bands)
+
+    bands = _dw_bands_device(plan, tables) if mxu else None
+
+    @jax.jit
+    def _fn(audio, lens, dw_bands):
+        feats, feat_lens = frontend(audio, lens, dither=0.0)
+        feats = pad_frames_aligned(feats)
+        fx = FrozenExec(tables, qcfg, activation=plan.activation,
+                        dw_bands=dw_bands)
+        enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
+        lp = fx.decoder(enc)
+        return (jnp.argmax(lp, axis=-1) if argmax else lp), enc_lens
+
+    return lambda audio, lens: _fn(audio, lens, bands)
+
+
 @dataclass
 class ASRModel:
     cfg: ModelConfig
@@ -302,22 +372,7 @@ class ASRModel:
                     update_ranges=False)
                 return lp, el
         elif mode == "frozen":
-            tables = self.freeze()
-            bands = _dw_bands_device(self.plan, tables)
-
-            @jax.jit
-            def _fn(audio, lens, dw_bands):
-                from qasr_tpu.models.jasper import pad_frames_aligned
-                feats, feat_lens = self.frontend(audio, lens, dither=0.0)
-                feats = pad_frames_aligned(feats)
-                fx = FrozenExec(tables, self.qcfg,
-                                activation=self.plan.activation,
-                                dw_bands=dw_bands)
-                enc, enc_lens = encoder_forward(fx, self.plan, feats, feat_lens)
-                return fx.decoder(enc), enc_lens
-
-            def fn(audio, lens):
-                return _fn(audio, lens, bands)
+            fn = make_frozen_fn(self, self.freeze())
         else:
             raise ValueError(mode)
         self._jit_cache[key] = fn

@@ -213,6 +213,50 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
     return tables
 
 
+def _is_dw(spec: ConvSpec) -> bool:
+    return (spec.groups == spec.in_ch and spec.groups > 1 and spec.kernel > 1
+            and spec.heads == -1)
+
+
+def plan_supports_cm(plan: EncoderPlan, qcfg: QuantConfig) -> bool:
+    """Channel-major interior eligibility: every conv is pointwise or
+    depthwise (stride 1/2), no SE / group shuffle / heads, and every
+    activation fits int8 (act_bit + asymmetric trick <= 8)."""
+    if qcfg.act_bit + 1 > 8:
+        return False
+    for bp in plan.blocks:
+        if bp.se or bp.groups > 1:
+            return False
+        for spec in list(bp.convs) + list(bp.res):
+            if spec.heads != -1:
+                return False
+            if spec.kernel == 1 and spec.groups == 1:
+                continue
+            if _is_dw(spec) and spec.stride in (1, 2):
+                continue
+            return False
+    return True
+
+
+def build_dw_bands_cm(plan: EncoderPlan, tables):
+    """Channel-major banded tiles (pad baked in) for every depthwise site.
+    Returns ({key: (C,128,n_d*128) int8} for jit args, {key: j_min} static)."""
+    from qasr_tpu.kernels.dw_mxu import band_tiles_cm
+
+    bands: Dict[str, np.ndarray] = {}
+    jmins: Dict[str, int] = {}
+    for bi, (bp, tb) in enumerate(zip(plan.blocks, tables["blocks"])):
+        for i, spec in enumerate(bp.convs):
+            e = tb["convs"][i]
+            if e is None or not _is_dw(spec):
+                continue
+            key = f"{bi}.convs.{i}"
+            bands[key], jmins[key] = band_tiles_cm(
+                np.asarray(e["w"], np.int8), spec.stride, spec.dilation,
+                spec.padding)
+    return bands, jmins
+
+
 def build_dw_bands(plan: EncoderPlan, tables) -> Dict[str, np.ndarray]:
     """Banded-Toeplitz MXU weight tiles for every eligible depthwise site
     (kernels/dw_mxu.py): int8 activations (act_bits <= 8), stride 1/2, no
@@ -394,3 +438,120 @@ class FrozenExec:
         y = conv_nwc(xv, wv, spec, preferred=jnp.int32) + t["b"]
         logits = y.astype(jnp.float32) * t["out_scale"]
         return jax.nn.log_softmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Channel-major deployment executor
+# ---------------------------------------------------------------------------
+
+
+def _cm_vec(v):
+    a = jnp.asarray(v)
+    return a.reshape(-1, 1, 1, 1) if a.ndim == 1 else a
+
+
+def mask_values_cm(v: Array, lens: Array) -> Array:
+    """Zero rows at/after the per-sample length; v: (C, 128, B, n_t),
+    time t = tile*128 + row."""
+    n_t = v.shape[3]
+    t_idx = (jnp.arange(128)[:, None, None]
+             + 128 * jnp.arange(n_t)[None, None, :])   # (128, 1, n_t)
+    mask = t_idx < lens[None, :, None]                  # (128, B, n_t)
+    return jnp.where(mask[None], v, jnp.zeros((), v.dtype))
+
+
+class FrozenExecCM(FrozenExec):
+    """Channel-major FrozenExec: interior tensors live as (C, 128, B, n_t) —
+    the banded depthwise matmul's *native output layout* — so separable
+    stacks run transpose-free: dw = banded MXU dot (kernels/dw_mxu.py
+    dw_banded_cm, conv padding baked into the band), pw = dot contracting
+    the leading channel axis, requants/masks/relu elementwise.  Bit-identical
+    to FrozenExec end to end (test_pallas_depthwise.py).
+
+    Eligible plans only (plan_supports_cm: all convs pointwise or depthwise,
+    every activation int8).  The float input is quantized in (B, T, C) and
+    converted once; log-probs convert back after the decoder.  Frame counts
+    must be padded to 128 * total_stride (pad_frames_aligned)."""
+
+    def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
+                 dw_bands: Dict[str, Array], dw_jmins: Dict[str, int]):
+        super().__init__(tables, qcfg, activation=activation)
+        self.dw_bands_cm = dw_bands
+        self.dw_jmins = dw_jmins
+
+    def _requant_cm(self, z, m, e):
+        m = _cm_vec(m)
+        if isinstance(e, int):
+            return dyadic_requant_static(z, m, e)
+        return dyadic_requant(z, Dyadic(m, _cm_vec(e)))
+
+    def masked_conv(self, site, spec: ConvSpec, x, lens):
+        bi, kind, i = site
+        entry = self.t["blocks"][bi][kind][i]
+        new_lens = conv_out_len(lens, spec)
+        bits = self._act_bits(spec)
+        if isinstance(x, QTensor):
+            xv = mask_values_cm(x.values, lens)
+            q = requant_clamp(
+                self._requant_cm(xv, entry["act_m"], entry["act_e"]), bits)
+            xq = self._narrow(q, bits)
+        else:
+            # float network input (B, T, C): quantize, then convert once
+            from qasr_tpu.kernels.dw_mxu import to_cm
+
+            n = 2 ** (bits - 1) - 1
+            xm = mask_values(x, lens)
+            q = jnp.round((1.0 / entry["act_scale"]) * xm)
+            xq = to_cm(self._narrow(
+                jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))
+        if _is_dw(spec):
+            from qasr_tpu.kernels.dw_mxu import dw_banded_cm
+
+            key = f"{bi}.{kind}.{i}"
+            y = dw_banded_cm(xq, self.dw_bands_cm[key], self.dw_jmins[key],
+                             spec.stride)
+        else:
+            y = jax.lax.dot_general(entry["w"][0], xq,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+        if "b" in entry:
+            y = y + _cm_vec(entry["b"])
+        return QTensor(y, entry["out_scale"]), new_lens
+
+    def residual_add(self, block_idx: int, pane: int, out: QTensor,
+                     res_out: QTensor, mode: str):
+        assert mode in ("add", "stride_add")
+        e = self.t["blocks"][block_idx]["res_act"][pane]
+        q = self._requant_cm(out.values, e["m"], e["e"]) + \
+            self._requant_cm(res_out.values, e["m_r"], e["e_r"])
+        q = requant_clamp(q, self.qcfg.act_bit)
+        return QTensor(self._narrow(q, self.qcfg.act_bit), e["scale"])
+
+    def activation(self, x: QTensor, dropout: float) -> QTensor:
+        if self.activation_kind == "relu":
+            return QTensor(jnp.maximum(x.values, 0), x.scale)
+        if self.activation_kind == "hardtanh":
+            hi = jnp.round(20.0 / _cm_vec(x.scale)).astype(jnp.int32)
+            if x.values.dtype == jnp.int8:
+                hi = jnp.minimum(hi, 127)
+            return QTensor(jnp.clip(x.values, 0, hi).astype(x.values.dtype),
+                           x.scale)
+        y = jnp.round(_apply_activation(
+            x.values.astype(jnp.float32) * _cm_vec(x.scale),
+            self.activation_kind) / _cm_vec(x.scale))
+        return QTensor(y.astype(jnp.int32), x.scale)
+
+    def decoder(self, x: QTensor) -> Array:
+        from qasr_tpu.kernels.dw_mxu import from_cm
+
+        t = self.t["decoder"]
+        q = requant_clamp(
+            self._requant_cm(x.values, t["act_m"], t["act_e"]),
+            self.qcfg.act_bit)
+        xv = self._narrow(q, self.qcfg.act_bit)
+        y = jax.lax.dot_general(t["w"][0], xv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y + _cm_vec(t["b"])
+        logits = y.astype(jnp.float32) * _cm_vec(t["out_scale"])
+        lp = jax.nn.log_softmax(logits, axis=0)
+        return from_cm(lp)

@@ -168,8 +168,10 @@ def test_dw_mxu_matches_hlo(shape, rng):
 
 
 def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
-    """Frozen forward with banded-MXU depthwise (QASR_DW_MXU=1) must be
-    bit-identical to the default path end-to-end (log-probs included)."""
+    """Frozen forward with the banded-MXU depthwise in (B,T,C) layout AND the
+    channel-major interior (FrozenExecCM) must be bit-identical to the
+    default VPU path end-to-end (log-probs included) — stride-2 prologue,
+    residual blocks, and a dilated epilogue all covered."""
     import numpy as np
 
     from qasr_tpu.models.config import (
@@ -183,22 +185,28 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
                     residual=False, separable=True),
         BlockConfig(filters=64, repeat=2, kernel=(33,), residual=True,
                     separable=True),
+        BlockConfig(filters=96, repeat=1, kernel=(29,), dilation=(2,),
+                    residual=False, separable=True),
     )
     enc = EncoderConfig(feat_in=64, blocks=blocks, activation="relu")
     cfg = ModelConfig(encoder=enc,
-                      decoder=DecoderConfig(feat_in=64, num_classes=28),
+                      decoder=DecoderConfig(feat_in=96, num_classes=28),
                       preprocessor={"features": 64, "dither": 1e-5})
     audio = rng.normal(size=(2, 16000)).astype(np.float32) * 0.1
     lens = np.asarray([16000, 12000], np.int32)
 
     outs = {}
-    for flag in ("0", "1"):
-        monkeypatch.setenv("QASR_DW_MXU", flag)
+    for name, env in [("off", {"QASR_DW_MXU": "0"}),
+                      ("btc", {"QASR_DW_MXU": "1", "QASR_CM": "0"}),
+                      ("cm", {"QASR_DW_MXU": "1", "QASR_CM": "1"})]:
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
         m = ASRModel.from_config(cfg, seed=0)
         m.set_quant_bit(6, "all")
         m.bn_folding()
         m.qstate = fabricate_qstate(m.plan)
-        outs[flag] = m.forward(audio, lens, mode="frozen")
-    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
-    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
-    np.testing.assert_array_equal(outs["0"][2], outs["1"][2])
+        outs[name] = m.forward(audio, lens, mode="frozen")
+    for k in ("btc", "cm"):
+        for j in range(3):
+            np.testing.assert_array_equal(outs["off"][j], outs[k][j],
+                                          err_msg=f"{k} out{j}")
