@@ -1,0 +1,351 @@
+"""Fused int8 conv kernels for the channel-major frozen path.
+
+Profiling the channel-major executor (PERF.md round 2c) showed the step is
+VPU-compute-bound: the exact dyadic requant chains (~40 int ops/element,
+139 standalone clamp_convert fusions) cost more device time than all the
+MXU dots combined, and XLA never fuses elementwise epilogues into dots.
+These kernels run each conv's dot on the MXU while the *previous* tile's
+epilogue — bias + ReLU + length mask + exact static-exponent dyadic requant
++ clamp + int8 store — runs on the VPU, so the MXU time disappears under
+the VPU floor and the int32 accumulator never round-trips through HBM
+(saves 8 of the 9 bytes/element the standalone requant pass moves).
+
+Numerics are bit-identical to the unfused composition by construction: the
+epilogue calls the same `dyadic_requant_static` used by FrozenExecCM (with
+the `nonneg` shortcut after ReLU, which is exact on non-negative values).
+
+Reference semantics being fused (file:line in /root/reference):
+  conv + bias      quant_modules.py:272-309 (QuantConv1d.int_conv)
+  mask             jasper.py:177-183 (MaskedConv1d length fill)
+  requant + clamp  quant_utils.py:149-216 (fixedpoint_mul, clamp [-n-1, n])
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qasr_tpu.ops.quant_prims import dyadic_requant_static
+
+Array = jax.Array
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _epilogue(acc, bias, mask, m, *, e: int, bits: int, relu: bool,
+              narrow: bool = True):
+    """bias -> relu -> mask -> exact dyadic requant -> clamp -> int8.
+
+    acc int32; bias/m broadcastable per-channel (or None); mask int32 0/1
+    broadcastable (or None); e static.  Matches FrozenExecCM's op order in
+    masked_conv/activation exactly (quantize/freeze.py).  narrow=False
+    leaves the clamped value int32 (callers staging through an int32
+    scratch narrow once at the end)."""
+    if bias is not None:
+        acc = acc + bias
+    if relu:
+        acc = jnp.maximum(acc, 0)
+    if mask is not None:
+        acc = acc * mask
+    q = dyadic_requant_static(acc, m, e, nonneg=relu)
+    n = 2 ** (bits - 1) - 1
+    q = jnp.clip(q, -n - 1, n)
+    return q.astype(jnp.int8) if narrow else q
+
+
+# ---------------------------------------------------------------------------
+# Pointwise (1x1) conv in the 3D (C, 128, bt) tensor form.
+#
+# TPU physical layouts tile the LAST TWO logical dims, so a 2D (C, N) array
+# (C on sublanes) and the 3D (C, 128, bt) form the depthwise kernel needs
+# (128 on sublanes per channel) are DIFFERENT physical layouts — XLA was
+# inserting two retiling copies (~0.2 ms) at every pw<->dw boundary to
+# convert between them.  This kernel therefore works natively on the 3D
+# form end to end: grid (Cout tiles x 128 rows), each step one
+# (TM, Cin) @ (Cin, bt) dot over the row-j slab of every input channel.
+# Both fused kernels then chain in one physical layout with zero copies.
+# ---------------------------------------------------------------------------
+
+
+ROWS = 8  # sublane-aligned row-block (Pallas requires dim -2 % 8 == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("e", "bits", "relu", "interpret"))
+def _pw3_call(x3, wt, b, m, mask2, *, e, bits, relu, interpret):
+    cout, cin = wt.shape
+    bt = x3.shape[2]
+    tm = cout if cout <= 256 else 256
+    while cout % tm:
+        tm //= 2
+    grid = (cout // tm, 128 // ROWS)
+    has_bias = b is not None
+    in_specs = [
+        pl.BlockSpec((cin, ROWS, bt), lambda i, j: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, cin), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x3, wt]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b)
+    in_specs += [
+        pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROWS, bt), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [m, mask2]
+
+    def kern(*refs):
+        if has_bias:
+            x_ref, w_ref, b_ref, m_ref, mask_ref, o_ref, s_ref = refs
+        else:
+            x_ref, w_ref, m_ref, mask_ref, o_ref, s_ref = refs
+            b_ref = None
+        # per-row dots staged through an int32 scratch: Mosaic supports the
+        # (tm, bt) -> (tm, 1, bt) relayout for 32-bit lanes but not for
+        # packed int8, so the narrowing convert runs once on the full block
+        for r in range(ROWS):
+            acc = jax.lax.dot_general(
+                w_ref[:], x_ref[:, r, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s_ref[:, r, :] = _epilogue(
+                acc, b_ref[:] if has_bias else None, mask_ref[r, :],
+                m_ref[:], e=e, bits=bits, relu=relu, narrow=False)
+        o_ref[:] = s_ref[:].astype(jnp.int8)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((cout, 128, bt), jnp.int8),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, ROWS, bt), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, ROWS, bt), jnp.int32)],
+        interpret=interpret,
+    )(*args)
+
+
+def fused_pw_cm(x3, wt, bias, mask2, m, e: int, bits: int, relu: bool,
+                interpret=None) -> Array:
+    """Pointwise conv + consumer requant, channel-major 3D form.
+
+    x3: (Cin, 128, bt) int8; wt: (Cout, Cin) int8 (transposed weight);
+    bias: (Cout,) int32 or None; mask2: (128, bt) int32 0/1 (the consumer
+    site's length mask); m: (Cout,) int32 mantissas; e static exponent;
+    bits: consumer activation bits.  Returns (Cout, 128, bt) int8 —
+    exactly requant_clamp(requant(mask(relu(x@w + b))), bits) narrowed.
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
+    m2 = jnp.asarray(m, jnp.int32).reshape(-1, 1)
+    return _pw3_call(x3, wt, bias2, m2, mask2.astype(jnp.int32),
+                     e=int(e), bits=bits, relu=relu, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Depthwise banded conv, windows assembled in VMEM: per channel c and band
+# group j, (128, 128) @ (128, B*n_t) dots accumulate — the XLA-side gather
+# (pad + n_d shifted copies + concat) disappears, and with it both its HBM
+# round-trip and the layout-normalization copy XLA inserts before every
+# pallas operand (profiled at 0.18 ms x 77 sites).  Input chains directly
+# from the previous fused kernel's 2D int8 output via a free bitcast.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b_sz", "n_d", "j_min", "e", "bits", "relu", "tc", "interpret"))
+def _dw_win_call(x3, band2, b, m, mask2, tcol, *, b_sz, n_d, j_min, e, bits,
+                 relu, tc, interpret):
+    c, _, bt = x3.shape
+    n_t = bt // b_sz
+    kd = band2.shape[1]
+    has_bias = b is not None
+
+    def kern(*refs):
+        if has_bias:
+            x_ref, band_ref, b_ref, m_ref, mask_ref, tcol_ref, o_ref = refs
+        else:
+            x_ref, band_ref, m_ref, mask_ref, tcol_ref, o_ref = refs
+            b_ref = None
+        # per-band-group validity: out tile column (b, i) contracts input
+        # tile i + delta; a lane-roll by delta realizes the shift, and
+        # columns whose source tile falls outside [0, n_t) (the conv's edge
+        # padding, plus roll wrap-around between b groups) are zeroed —
+        # identical semantics to the padded gather (dw_mxu.dw_gather_cm)
+        tcol = tcol_ref[:]
+        band_masks = []
+        for j in range(n_d):
+            delta = j + j_min
+            lo = jnp.int32(max(0, -delta))
+            hi = jnp.int32(n_t - max(0, delta))
+            band_masks.append((tcol >= lo) & (tcol < hi))
+        def lane_roll_i8(xv, shift, axis):
+            # Mosaic has no sub-32-bit lane rotate; the (4,1) sublane packing
+            # of int8 commutes with lane rolls, so rotate a bitcast int32
+            # view instead (free reinterprets).  Interpret mode rolls int8
+            # directly — the restriction is Mosaic-only, and interpret-mode
+            # bitcast packs along the minor dim, which would not commute.
+            if interpret:
+                return pltpu.roll(xv, shift, axis)
+            x32 = pltpu.bitcast(xv, jnp.int32)
+            return pltpu.bitcast(pltpu.roll(x32, shift, axis), jnp.int8)
+
+        # shifted+masked tap inputs for the whole channel block at once:
+        # one roll + one select per band group (not per channel)
+        xall = x_ref[:]                                   # (tc, 128, bt)
+        xjs = []
+        for j in range(n_d):
+            delta = j + j_min
+            xj = xall if delta == 0 else lane_roll_i8(xall, -delta % bt, 2)
+            xjs.append(jnp.where(band_masks[j][None], xj, jnp.int8(0)))
+        for ci in range(tc):
+            band_c = band_ref[ci * 128:(ci + 1) * 128, :]
+            acc = None
+            for j in range(n_d):
+                part = jax.lax.dot_general(
+                    band_c[:, j * 128:(j + 1) * 128], xjs[j][ci],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = part if acc is None else acc + part
+            o_ref[ci] = _epilogue(
+                acc, b_ref[ci, 0] if has_bias else None, mask_ref[:],
+                m_ref[ci, 0], e=e, bits=bits, relu=relu)
+
+    in_specs = [
+        pl.BlockSpec((tc, 128, bt), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc * 128, kd), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x3, band2]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(b)
+    in_specs += [
+        pl.BlockSpec((tc, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((128, bt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [m, mask2, tcol]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((c, 128, bt), jnp.int8),
+        grid=(c // tc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tc, 128, bt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_dw_win_cm(x3, band2, j_min: int, b_sz: int, bias, mask2, m, e: int,
+                    bits: int, relu: bool, interpret=None) -> Array:
+    """Stride-1 depthwise banded conv + consumer requant, windows gathered
+    in VMEM.
+
+    x3: (C, 128, B*n_t) int8 (the producer kernel's native 3D output);
+    band2: (C*128, n_d*128) int8 (band_tiles_cm flattened 2D so the jit
+    parameter keeps XLA's default layout); j_min from band_tiles_cm;
+    mask2: (128, B*n_t) int32.  Returns (C, 128, B*n_t) int8, bit-identical
+    to dw_gather_cm + fused_dw_cm.
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    c, r, bt = x3.shape
+    n_d = band2.shape[1] // 128
+    n_t = bt // b_sz
+    bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
+    m2 = jnp.asarray(m, jnp.int32).reshape(-1, 1)
+    tcol = jnp.tile(jnp.arange(n_t, dtype=jnp.int32), b_sz).reshape(1, bt)
+    tc = 8
+    while c % tc:
+        tc //= 2
+    return _dw_win_call(x3, band2, bias2, m2, mask2.astype(jnp.int32), tcol,
+                        b_sz=b_sz, n_d=n_d, j_min=int(j_min), e=int(e),
+                        bits=bits, relu=relu, tc=tc, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Depthwise banded conv on pre-gathered windows: per channel c,
+# (128, n_d*128) @ (n_d*128, B*n_t) — MXU dot under the same epilogue.
+# (Fallback for stride-2 sites, where the window step along the tile axis
+# prevents the in-VMEM assembly above.)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("e", "bits", "relu", "tc", "interpret"))
+def _dw_call(xg, band, b, m, mask2, *, e, bits, relu, tc, interpret):
+    c, kd, n = xg.shape
+    has_bias = b is not None
+
+    def kern(*refs):
+        if has_bias:
+            xg_ref, band_ref, b_ref, m_ref, mask_ref, o_ref = refs
+        else:
+            xg_ref, band_ref, m_ref, mask_ref, o_ref = refs
+            b_ref = None
+        for ci in range(tc):
+            acc = jax.lax.dot_general(
+                band_ref[ci], xg_ref[ci], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[ci] = _epilogue(
+                acc, b_ref[ci, 0] if has_bias else None, mask_ref[:],
+                m_ref[ci, 0], e=e, bits=bits, relu=relu)
+
+    in_specs = [
+        pl.BlockSpec((tc, kd, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, 128, kd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xg, band]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(b)
+    in_specs += [
+        pl.BlockSpec((tc, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((128, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [m, mask2]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((c, 128, n), jnp.int8),
+        grid=(c // tc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tc, 128, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_dw_cm(xg, band, bias, mask, m, e: int, bits: int, relu: bool,
+                interpret=None) -> Array:
+    """Depthwise banded conv + consumer requant, channel-major.
+
+    xg: (C, n_d*128, B, n_to) int8 pre-gathered windows (dw_mxu.dw_gather_cm);
+    band: (C, 128, n_d*128) int8 (dw_mxu.band_tiles_cm); bias (C,) int32 or
+    None; mask: (128, B, n_to) int32; m: (C,) int32; e static.  Returns
+    (C, 128, B, n_to) int8, bit-identical to dw_banded_cm + the unfused
+    epilogue chain.
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    c, kd, b_, n_to = xg.shape
+    n = b_ * n_to
+    xg2 = xg.reshape(c, kd, n)
+    mask2 = mask.reshape(128, n).astype(jnp.int32)
+    bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
+    m2 = jnp.asarray(m, jnp.int32).reshape(-1, 1)
+    tc = 8
+    while c % tc:
+        tc //= 2
+    out = _dw_call(xg2, band, bias2, m2, mask2, e=int(e), bits=bits, relu=relu,
+                   tc=tc, interpret=interpret)
+    return out.reshape(c, 128, b_, n_to)

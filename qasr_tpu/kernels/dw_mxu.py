@@ -124,17 +124,13 @@ def band_tiles_cm(w: np.ndarray, stride: int, dilation: int, pad: int):
     return np.ascontiguousarray(tiles.transpose(2, 0, 1)), j_min
 
 
-def dw_banded_cm(x: Array, wband: Array, j_min: int, stride: int) -> Array:
-    """Depthwise conv in channel-major layout.
+def dw_gather_cm(x: Array, j_min: int, n_d: int, stride: int) -> Array:
+    """Banded-window gather for the channel-major depthwise dot.
 
-    x: (C, 128, B, n_ti) int8; wband from band_tiles_cm.
-    Returns (C, 128, B, n_ti // stride) int32 — out tile i, row m equals the
-    conv output at t = i*128*? ... (time t = tile*128 + row throughout).
-    Output length semantics match 'same'-padded conv_out_len; callers mask
-    the tail beyond the true lengths as usual.
-    """
+    x: (C, 128, B, n_ti) int8 -> (C, n_d*128, B, n_ti // stride): row block
+    jj holds the input tiles the band's jj-th 128-column group contracts
+    against for each output tile (conv padding already baked into j_min)."""
     c, _, b, n_ti = x.shape
-    n_d = wband.shape[2] // 128
     n_to = n_ti // stride
     lo_t = j_min
     hi_t = stride * (n_to - 1) + j_min + n_d - 1
@@ -148,7 +144,19 @@ def dw_banded_cm(x: Array, wband: Array, j_min: int, stride: int) -> Array:
                            (c, 128, b, start + stride * (n_to - 1) + 1),
                            (1, 1, 1, stride))
         cols.append(sl)
-    xg = jnp.concatenate(cols, axis=1)               # (C, n_d*128, B, n_to)
+    return jnp.concatenate(cols, axis=1)             # (C, n_d*128, B, n_to)
+
+
+def dw_banded_cm(x: Array, wband: Array, j_min: int, stride: int) -> Array:
+    """Depthwise conv in channel-major layout.
+
+    x: (C, 128, B, n_ti) int8; wband from band_tiles_cm.
+    Returns (C, 128, B, n_ti // stride) int32 (time t = tile*128 + row
+    throughout).  Output length semantics match 'same'-padded conv_out_len;
+    callers mask the tail beyond the true lengths as usual.
+    """
+    n_d = wband.shape[2] // 128
+    xg = dw_gather_cm(x, j_min, n_d, stride)
     return jax.lax.dot_general(
         wband, xg,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),

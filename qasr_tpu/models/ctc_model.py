@@ -79,15 +79,17 @@ def _conv_t(t: int, spec) -> int:
 
 def make_frozen_fn(model, tables, argmax: bool = False):
     """fn(audio, lens) -> (log_probs | greedy ids, enc_lens) on the frozen
-    integer path, picking the fastest eligible executor: channel-major
+    integer path, picking the fastest eligible executor: fused channel-major
+    (FrozenExecCMF, Pallas dot+requant-epilogue kernels) > channel-major
     banded-MXU (FrozenExecCM) > banded-MXU in (B, T, C) > VPU kernels.
-    All three are bit-identical; the CM output is trimmed to the default
+    All four are bit-identical; the CM outputs are trimmed to the default
     path's frame count so shapes match too."""
     import os
 
     from qasr_tpu.models.jasper import encoder_forward, pad_frames_aligned
     from qasr_tpu.quantize.freeze import (
-        FrozenExec, FrozenExecCM, build_dw_bands_cm, plan_supports_cm,
+        FrozenExec, FrozenExecCM, FrozenExecCMF, build_dw_bands_cm,
+        plan_supports_cm, tables_all_static_e,
     )
 
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
@@ -95,18 +97,39 @@ def make_frozen_fn(model, tables, argmax: bool = False):
     mxu = flag != "0" and (flag == "1" or jax.default_backend() == "tpu")
     use_cm = (mxu and os.environ.get("QASR_CM", "1") != "0"
               and plan_supports_cm(plan, qcfg))
+    # QASR_CM_FUSED: "0" = pure-XLA CM executor, "1" (default) = fused
+    # Pallas depthwise kernels (dw dot + consumer requant, pw stays XLA),
+    # "2" = fully fused (pw kernels too; slower on v5e — layout retiles
+    # between adjacent Pallas calls, see FrozenExecCMF docstring)
+    fused_flag = os.environ.get("QASR_CM_FUSED", "1")
+    use_fused = (use_cm and fused_flag != "0"
+                 and tables_all_static_e(tables))
     if use_cm:
         bands_np, jmins = build_dw_bands_cm(plan, tables)
-        bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
+        if use_fused:
+            # 2D so XLA's jit-parameter layout stays default (no per-call
+            # normalization copies before the pallas kernels)
+            bands = {k: jnp.asarray(v.reshape(-1, v.shape[2]))
+                     for k, v in bands_np.items()}
+        else:
+            bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
         mult = 128 * _plan_total_stride(plan)
+        if use_fused:
+            def make_exec(dw_bands):
+                return FrozenExecCMF(tables, qcfg, activation=plan.activation,
+                                     dw_bands=dw_bands, dw_jmins=jmins,
+                                     fuse_pw=fused_flag == "2")
+        else:
+            def make_exec(dw_bands):
+                return FrozenExecCM(tables, qcfg, activation=plan.activation,
+                                    dw_bands=dw_bands, dw_jmins=jmins)
 
         @jax.jit
         def _fn(audio, lens, dw_bands):
             feats, feat_lens = frontend(audio, lens, dither=0.0)
             n_frames = feats.shape[1]
             feats = pad_frames_aligned(feats, mult)
-            fx = FrozenExecCM(tables, qcfg, activation=plan.activation,
-                              dw_bands=dw_bands, dw_jmins=jmins)
+            fx = make_exec(dw_bands)
             enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
             lp = fx.decoder(enc)
             # trim to the (B,T,C) path's physical frame count (pad mult 64)

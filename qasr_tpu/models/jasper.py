@@ -763,6 +763,12 @@ def block_forward(exec_, bp: BlockPlan, xs: List[Any], lens: Array):
             res_out, _ = exec_.masked_conv((bp.index, "res", pi), rspec, xs[pi], lens_orig)
             out = exec_.residual_add(bp.index, pi, out, res_out, bp.residual_mode)
     out = exec_.activation(out, bp.dropout)
+    block_end = getattr(exec_, "block_end", None)
+    if block_end is not None:
+        # fusing executors materialize here: a block output can have several
+        # consumers (next block's first conv + residual branches), each with
+        # its own input requant, so its dot cannot stay pending past this point
+        out = block_end(out)
     if bp.residual and bp.dense_residual:
         return xs + [out], lens
     return [out], lens

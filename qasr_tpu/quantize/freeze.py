@@ -230,12 +230,26 @@ def plan_supports_cm(plan: EncoderPlan, qcfg: QuantConfig) -> bool:
         for spec in list(bp.convs) + list(bp.res):
             if spec.heads != -1:
                 return False
-            if spec.kernel == 1 and spec.groups == 1:
+            if spec.kernel == 1 and spec.groups == 1 and spec.stride == 1:
                 continue
             if _is_dw(spec) and spec.stride in (1, 2):
                 continue
             return False
     return True
+
+
+def tables_all_static_e(tables) -> bool:
+    """True when every requant exponent in the tables is a static Python int
+    (freeze dyadic_mode='static_e') — required by the fused CM kernels."""
+    for tb in tables["blocks"]:
+        for entry in list(tb["convs"]) + list(tb["res"]):
+            if entry is not None and "act_e" in entry \
+                    and not isinstance(entry["act_e"], int):
+                return False
+        for e in tb["res_act"]:
+            if not (isinstance(e["e"], int) and isinstance(e["e_r"], int)):
+                return False
+    return isinstance(tables["decoder"]["act_e"], int)
 
 
 def build_dw_bands_cm(plan: EncoderPlan, tables):
@@ -450,13 +464,17 @@ def _cm_vec(v):
     return a.reshape(-1, 1, 1, 1) if a.ndim == 1 else a
 
 
+def cm_mask(lens: Array, n_t: int) -> Array:
+    """(128, B, n_t) bool validity mask; time t = tile*128 + row."""
+    t_idx = (jnp.arange(128)[:, None, None]
+             + 128 * jnp.arange(n_t)[None, None, :])   # (128, 1, n_t)
+    return t_idx < lens[None, :, None]                  # (128, B, n_t)
+
+
 def mask_values_cm(v: Array, lens: Array) -> Array:
     """Zero rows at/after the per-sample length; v: (C, 128, B, n_t),
     time t = tile*128 + row."""
-    n_t = v.shape[3]
-    t_idx = (jnp.arange(128)[:, None, None]
-             + 128 * jnp.arange(n_t)[None, None, :])   # (128, 1, n_t)
-    mask = t_idx < lens[None, :, None]                  # (128, B, n_t)
+    mask = cm_mask(lens, v.shape[3])
     return jnp.where(mask[None], v, jnp.zeros((), v.dtype))
 
 
@@ -555,3 +573,197 @@ class FrozenExecCM(FrozenExec):
         logits = y.astype(jnp.float32) * _cm_vec(t["out_scale"])
         lp = jax.nn.log_softmax(logits, axis=0)
         return from_cm(lp)
+
+
+# ---------------------------------------------------------------------------
+# Fused channel-major executor: pending dots
+# ---------------------------------------------------------------------------
+
+
+class _PendingConv:
+    """A conv whose MXU dot has not been materialized yet.
+
+    The epilogue between two convs — bias, ReLU, length mask, the consumer's
+    dyadic requant, clamp, int8 narrow — is entirely elementwise, so it runs
+    fused with the *producer's* dot in one Pallas kernel
+    (kernels/cm_fused.py) once the consumer supplies its requant parameters.
+    Until then the dot is carried symbolically."""
+
+    __slots__ = ("kind", "xq", "entry", "spec", "key", "b_sz", "relu")
+
+    def __init__(self, kind, xq, entry, spec, key, b_sz):
+        self.kind = kind      # 'pw' | 'dw'
+        self.xq = xq          # int8 (Cin, 128, B*n_t) channel-major input
+        self.entry = entry    # this conv's frozen table entry
+        self.spec = spec
+        self.key = key        # dw band key ("bi.kind.i")
+        self.b_sz = b_sz      # batch size (bt = b_sz * n_t)
+        self.relu = False     # staged activation (set by activation())
+
+
+class FrozenExecCMF(FrozenExecCM):
+    """FrozenExecCM with dot-epilogue fusion.
+
+    Each masked_conv returns a _PendingConv instead of running its dot; the
+    *next* conv flushes it through a fused Pallas kernel whose epilogue
+    performs [bias -> relu -> mask -> exact dyadic requant -> clamp -> int8]
+    on the VPU while the MXU streams the dot — the step's VPU requant floor
+    then hides all MXU time and the int32 accumulators never reach HBM.
+    Joins that need concrete int32 tensors (residual adds, non-relu
+    activations, block ends, the decoder) flush through the plain XLA dot,
+    which is today's unfused path — so this executor is bit-identical to
+    FrozenExecCM end to end (tested in test_pallas_depthwise.py).
+
+    Requires static-exponent tables (freeze dyadic_mode='static_e',
+    tables_all_static_e) on top of plan_supports_cm eligibility.
+
+    fuse_pw=False (the default) fuses only the depthwise sites and leaves
+    pointwise dots + their input requants to XLA.  Measured on v5e this is
+    the faster configuration: a Pallas kernel's operands/results are pinned
+    to default layouts, and the retiling copies XLA inserts between two
+    adjacent Pallas kernels (the 2D pw form and 3D dw form tile different
+    physical dims) cost more than the pw fusion saves — whereas an XLA
+    elementwise producer/consumer adapts to the dw kernel's layout for
+    free.  fuse_pw=True runs the all-kernel pipeline (kept for future TPU
+    generations / layout-assignment improvements).
+    """
+
+    def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
+                 dw_bands: Dict[str, Array], dw_jmins: Dict[str, int],
+                 fuse_pw: bool = False):
+        super().__init__(tables, qcfg, activation=activation,
+                         dw_bands=dw_bands, dw_jmins=dw_jmins)
+        self.fuse_pw = fuse_pw
+
+    # -- pending resolution --------------------------------------------------
+
+    def _band3(self, key: str, c: int) -> Array:
+        # bands ride through the jit as 2D (C*128, n_d*128) parameters so
+        # XLA's parameter-layout choice stays default (the 3D form was
+        # assigned layout {0,2,1} and copied — 0.1 ms x 77 sites — before
+        # every pallas call); this reshape is a free bitcast
+        b2 = self.dw_bands_cm[key]
+        return b2.reshape(c, 128, b2.shape[1]) if b2.ndim == 2 else b2
+
+    @staticmethod
+    def _mask2(lens, n_t: int):
+        return cm_mask(lens, n_t).reshape(128, lens.shape[0] * n_t)
+
+    def _x4(self, p: _PendingConv):
+        c, _, bt = p.xq.shape
+        return p.xq.reshape(c, 128, p.b_sz, bt // p.b_sz)
+
+    def _flush_int8(self, p: _PendingConv, lens, entry, bits: int):
+        """Run p's dot with the consumer-site epilogue -> int8 3D tensor."""
+        from qasr_tpu.kernels.cm_fused import (
+            fused_dw_cm, fused_dw_win_cm, fused_pw_cm,
+        )
+        from qasr_tpu.kernels.dw_mxu import dw_gather_cm
+
+        m = entry["act_m"]
+        e = entry["act_e"]
+        assert isinstance(e, int) and np.ndim(m) == 1
+        bias = p.entry.get("b")
+        n_t = p.xq.shape[2] // p.b_sz
+        if p.kind == "pw":
+            wt = np.ascontiguousarray(np.asarray(p.entry["w"][0]).T)
+            return fused_pw_cm(p.xq, jnp.asarray(wt), bias,
+                               self._mask2(lens, n_t), m, e, bits, p.relu)
+        j_min = self.dw_jmins[p.key]
+        band2 = self.dw_bands_cm[p.key]
+        if p.spec.stride == 1 and band2.ndim == 2:
+            return fused_dw_win_cm(p.xq, band2, j_min, p.b_sz, bias,
+                                   self._mask2(lens, n_t), m, e, bits, p.relu)
+        band = self._band3(p.key, p.xq.shape[0])
+        xg = dw_gather_cm(self._x4(p), j_min, band.shape[2] // 128,
+                          p.spec.stride)
+        mask = cm_mask(lens, xg.shape[3])
+        out = fused_dw_cm(xg, band, bias, mask, m, e, bits, p.relu)
+        c = out.shape[0]
+        return out.reshape(c, 128, out.shape[2] * out.shape[3])
+
+    def _flush_int32(self, p: _PendingConv) -> QTensor:
+        """Materialize p through the plain XLA dot (+bias, +staged relu),
+        back in the 4D (C, 128, B, n_t) form the XLA-side ops use."""
+        from qasr_tpu.kernels.dw_mxu import dw_banded_cm
+
+        if p.kind == "pw":
+            y = jax.lax.dot_general(p.entry["w"][0], self._x4(p),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+        else:
+            y = dw_banded_cm(self._x4(p), self._band3(p.key, p.xq.shape[0]),
+                             self.dw_jmins[p.key], p.spec.stride)
+        if "b" in p.entry:
+            y = y + _cm_vec(p.entry["b"])
+        if p.relu:
+            y = jnp.maximum(y, 0)
+        return QTensor(y, p.entry["out_scale"])
+
+    # -- executor protocol ---------------------------------------------------
+
+    def masked_conv(self, site, spec: ConvSpec, x, lens):
+        bi, kind, i = site
+        entry = self.t["blocks"][bi][kind][i]
+        new_lens = conv_out_len(lens, spec)
+        bits = self._act_bits(spec)
+        if isinstance(x, _PendingConv):
+            xq = self._flush_int8(x, lens, entry, bits)
+        elif isinstance(x, QTensor):
+            xv = mask_values_cm(x.values, lens)
+            q = requant_clamp(
+                self._requant_cm(xv, entry["act_m"], entry["act_e"]), bits)
+            xq = self._narrow(q, bits)
+            c, _, b_, n_t = xq.shape
+            xq = xq.reshape(c, 128, b_ * n_t)
+        else:
+            # float network input (B, T, C): quantize, then convert once
+            from qasr_tpu.kernels.dw_mxu import to_cm
+
+            n = 2 ** (bits - 1) - 1
+            xm = mask_values(x, lens)
+            q = jnp.round((1.0 / entry["act_scale"]) * xm)
+            xq = to_cm(self._narrow(
+                jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))
+            c, _, b_, n_t = xq.shape
+            xq = xq.reshape(c, 128, b_ * n_t)
+        key = f"{bi}.{kind}.{i}"
+        pkind = "dw" if _is_dw(spec) else "pw"
+        p = _PendingConv(pkind, xq, entry, spec, key, lens.shape[0])
+        band2 = self.dw_bands_cm.get(key)
+        eligible = (
+            (pkind == "dw" and spec.stride == 1
+             and getattr(band2, "ndim", 0) == 2)
+            or (pkind == "pw" and self.fuse_pw))
+        if eligible:
+            return p, new_lens
+        # ineligible for deferred fusion: materialize through XLA right away
+        return self._flush_int32(p), new_lens
+
+    def activation(self, x, dropout: float):
+        if isinstance(x, _PendingConv):
+            if self.activation_kind == "relu":
+                x.relu = True
+                return x
+            x = self._flush_int32(x)
+        return super().activation(x, dropout)
+
+    def residual_add(self, block_idx: int, pane: int, out, res_out, mode: str):
+        if isinstance(out, _PendingConv):
+            out = self._flush_int32(out)
+        if isinstance(res_out, _PendingConv):
+            res_out = self._flush_int32(res_out)
+        return super().residual_add(block_idx, pane, out, res_out, mode)
+
+    def block_end(self, x):
+        # Block outputs can have several consumers (the next block's first
+        # conv plus residual branches, many under dense residual), each with
+        # its own requant — a single fused epilogue cannot serve them all,
+        # so materialize here.  Residual blocks end in residual_add and are
+        # already concrete; this only un-fuses non-residual block tails.
+        return self._flush_int32(x) if isinstance(x, _PendingConv) else x
+
+    def decoder(self, x) -> Array:
+        if isinstance(x, _PendingConv):  # defensive: block_end materializes
+            x = self._flush_int32(x)
+        return super().decoder(x)

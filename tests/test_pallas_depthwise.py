@@ -198,7 +198,12 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
     outs = {}
     for name, env in [("off", {"QASR_DW_MXU": "0"}),
                       ("btc", {"QASR_DW_MXU": "1", "QASR_CM": "0"}),
-                      ("cm", {"QASR_DW_MXU": "1", "QASR_CM": "1"})]:
+                      ("cm", {"QASR_DW_MXU": "1", "QASR_CM": "1",
+                              "QASR_CM_FUSED": "0"}),
+                      ("cmf-dw", {"QASR_DW_MXU": "1", "QASR_CM": "1",
+                                  "QASR_CM_FUSED": "1"}),
+                      ("cmf-all", {"QASR_DW_MXU": "1", "QASR_CM": "1",
+                                   "QASR_CM_FUSED": "2"})]:
         for k, v in env.items():
             monkeypatch.setenv(k, v)
         m = ASRModel.from_config(cfg, seed=0)
@@ -206,7 +211,7 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
         m.bn_folding()
         m.qstate = fabricate_qstate(m.plan)
         outs[name] = m.forward(audio, lens, mode="frozen")
-    for k in ("btc", "cm"):
+    for k in ("btc", "cm", "cmf-dw", "cmf-all"):
         for j in range(3):
             np.testing.assert_array_equal(outs["off"][j], outs[k][j],
                                           err_msg=f"{k} out{j}")
