@@ -53,6 +53,22 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ]
+        lib.qasr_beam_stream_create.restype = ctypes.c_void_p
+        lib.qasr_beam_stream_create.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.qasr_beam_stream_feed.restype = ctypes.c_int
+        lib.qasr_beam_stream_feed.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        lib.qasr_beam_stream_best.restype = ctypes.c_int
+        lib.qasr_beam_stream_best.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.qasr_beam_stream_reset.argtypes = [ctypes.c_void_p]
+        lib.qasr_beam_stream_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
 
@@ -133,6 +149,75 @@ class BeamSearchDecoderWithLM:
 
     def forward(self, log_probs, log_probs_length):  # reference method name
         return self(log_probs, log_probs_length)
+
+
+class StreamingBeamDecoder:
+    """Resumable CTC prefix beam search over log-prob chunks.
+
+    The C++ beam map is the complete search state, so feeding chunks is
+    *exactly* equivalent to offline decoding of the concatenated frames —
+    combined with the bit-equal chunked encoder (decode/streaming.py), a
+    live stream's final transcript matches the offline beam transcript.
+    ``best()`` is non-destructive, giving a running partial hypothesis
+    after every chunk.  The reference has no streaming decoder at all (its
+    BeamSearchDecoderWithLM is offline-batch only,
+    beam_search_decoder.py:60-104).
+    """
+
+    def __init__(self, vocab: Sequence[str], beam_width: int = 128,
+                 alpha: float = 0.0, beta: float = 0.0,
+                 lm: Optional["BeamSearchDecoderWithLM"] = None,
+                 cutoff_prob: float = 1.0, cutoff_top_n: int = 40):
+        self.vocab = list(vocab)
+        self._v = len(self.vocab) + 1
+        # keep the (optional) owning decoder alive: the LM handle must
+        # outlive the stream
+        self._lm_owner = lm
+        lm_handle = lm._lm if lm is not None else None
+        blob = "\x1f".join(self.vocab).encode("utf-8")
+        self._h = _lib().qasr_beam_stream_create(
+            self._v, blob, beam_width, alpha, beta, cutoff_prob,
+            cutoff_top_n, lm_handle)
+        if not self._h:
+            raise ValueError("bad vocabulary for streaming beam decoder")
+        self._frames = 0
+
+    def feed(self, log_probs: np.ndarray) -> None:
+        """Advance the search by a (T, V+1) float32 log-prob chunk."""
+        lp = np.ascontiguousarray(np.asarray(log_probs, np.float32))
+        assert lp.ndim == 2 and lp.shape[1] == self._v, lp.shape
+        rc = _lib().qasr_beam_stream_feed(
+            self._h, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lp.shape[0])
+        if rc != 0:
+            raise RuntimeError(f"beam stream feed failed: rc={rc}")
+        self._frames += lp.shape[0]
+
+    def best(self, n_best: int = 1) -> List[Tuple[float, str]]:
+        """Current n-best [(score, text)] — the stream keeps going after."""
+        max_text = self._frames + 2
+        texts = ctypes.create_string_buffer(n_best * max_text)
+        scores = (ctypes.c_double * n_best)()
+        n = _lib().qasr_beam_stream_best(self._h, n_best, max_text, texts,
+                                         scores)
+        if n < 0:
+            raise RuntimeError("beam stream best failed")
+        out = []
+        for i in range(min(n, n_best)):
+            raw = texts.raw[i * max_text:(i + 1) * max_text]
+            out.append((float(scores[i]), raw.split(b"\x00")[0].decode("utf-8")))
+        return out
+
+    def reset(self) -> None:
+        _lib().qasr_beam_stream_reset(self._h)
+        self._frames = 0
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            try:
+                _lib().qasr_beam_stream_free(self._h)
+            except Exception:
+                pass
 
 
 # ---------------------------------------------------------------------------

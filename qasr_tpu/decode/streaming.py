@@ -62,13 +62,14 @@ class StreamingTranscriber:
         self.context_frames = -(-self.context_frames // quantum) * quantum
         self.hop = fcfg.hop_length
 
-    def predictions(self, audio: np.ndarray) -> np.ndarray:
-        """Greedy ids for one long mono signal, chunk-stitched."""
+    def _chunks(self, audio: np.ndarray):
+        """Yield per-chunk (log_probs, greedy_ids) for the valid center
+        region of each window — concatenated they equal the full-utterance
+        outputs (receptive-field context on both sides)."""
         hop, s = self.hop, self.stride
         n_frames = int(math.ceil(len(audio) / hop))
         chunk, ctx = self.chunk_frames, self.context_frames
         win = chunk + 2 * ctx
-        out: List[np.ndarray] = []
         for start in range(0, n_frames, chunk):
             # anchor windows inside the real signal: the first chunk keeps
             # the utterance's own start so STFT reflect-padding and conv
@@ -81,13 +82,17 @@ class StreamingTranscriber:
             if len(seg) < full:
                 seg = np.concatenate([seg, np.zeros(full - len(seg), audio.dtype)])
             seg_len = s1 - s0
-            _, el, preds = self.model.forward(seg[None], np.asarray([seg_len]))
+            lp, el, preds = self.model.forward(seg[None], np.asarray([seg_len]))
             # valid center region: input frames [start, start+chunk)
             o0 = (start - w0) // s
             valid_in = min(chunk, n_frames - start)
             o1 = o0 + -(-valid_in // s)
             o1 = min(o1, int(el[0]))
-            out.append(preds[0, o0:o1])
+            yield np.asarray(lp[0, o0:o1]), np.asarray(preds[0, o0:o1])
+
+    def predictions(self, audio: np.ndarray) -> np.ndarray:
+        """Greedy ids for one long mono signal, chunk-stitched."""
+        out: List[np.ndarray] = [p for _, p in self._chunks(audio)]
         return np.concatenate(out) if out else np.zeros((0,), np.int64)
 
     def transcribe(self, audio: np.ndarray) -> str:
@@ -96,3 +101,27 @@ class StreamingTranscriber:
         preds = self.predictions(audio)
         return ctc_collapse(preds[None], self.model.blank_id,
                             self.model.vocabulary)[0]
+
+    def transcribe_beam(self, audio: np.ndarray, decoder=None,
+                        partials: Optional[List[str]] = None,
+                        **beam_kwargs) -> str:
+        """Streaming beam-search transcription (optionally LM-scored).
+
+        The resumable C++ prefix beam search (decode/beam_search.py
+        StreamingBeamDecoder) carries its beam state across chunks, so the
+        final transcript equals offline beam decoding of the whole
+        utterance.  ``partials``, if given, collects the running best
+        hypothesis after each chunk (what a live caption would display).
+        """
+        from qasr_tpu.decode.beam_search import StreamingBeamDecoder
+
+        dec = decoder
+        if dec is None:
+            dec = StreamingBeamDecoder(self.model.vocabulary, **beam_kwargs)
+        for lp, _ in self._chunks(audio):
+            dec.feed(lp)
+            if partials is not None:
+                best = dec.best(1)
+                partials.append(best[0][1] if best else "")
+        best = dec.best(1)
+        return best[0][1] if best else ""

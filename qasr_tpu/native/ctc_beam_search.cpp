@@ -303,111 +303,129 @@ std::vector<std::string> last_words(const std::string& text, int max_words) {
   return words;
 }
 
-void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
-                const std::vector<std::string>& vocab, int space_id,
-                int beam_width, float alpha, float beta, float cutoff_prob,
-                int cutoff_top_n, const LmBase* lm, int n_best,
-                std::vector<std::pair<double, std::string>>* out) {
-  using Map = std::unordered_map<std::vector<int>, Prefix, PrefixKey>;
-  Map beams;
+using BeamMap = std::unordered_map<std::vector<int>, Prefix, PrefixKey>;
+
+struct BeamParams {
+  int V = 0;                 // vocab size incl. blank
+  int blank = 0;
+  int space_id = -1;
+  int beam_width = 0;
+  int cutoff_top_n = 0;
+  float alpha = 0.0f;
+  float beta = 0.0f;
+  float cutoff_prob = 1.0f;
+  const LmBase* lm = nullptr;
+};
+
+BeamMap beam_init() {
+  BeamMap beams;
   Prefix root;
   root.p_b = 0.0;
   beams.emplace(std::vector<int>{}, root);
+  return beams;
+}
 
-  std::vector<int> idx(V);
-  for (int t = 0; t < T; ++t) {
-    const float* row = lp + (size_t)t * V;
-    // per-step pruning: top-n symbols and cumulative cutoff_prob
-    for (int v = 0; v < V; ++v) idx[v] = v;
-    int keep = std::min(cutoff_top_n > 0 ? cutoff_top_n : V, V);
-    std::partial_sort(idx.begin(), idx.begin() + keep, idx.end(),
-                      [&](int a, int b) { return row[a] > row[b]; });
-    if (cutoff_prob < 1.0f) {
-      double cum = 0.0;
-      int k = 0;
-      for (; k < keep; ++k) {
-        cum += std::exp((double)row[idx[k]]);
-        if (cum >= cutoff_prob) { ++k; break; }
-      }
-      keep = std::max(1, k);
+// One CTC prefix-beam-search time step: extend + merge + prune.  The beam
+// map is the complete decode state, so the search is resumable frame by
+// frame (the streaming API below feeds chunks through this same step).
+void beam_step(const BeamParams& bp, const std::vector<std::string>& vocab,
+               BeamMap& beams, const float* row, std::vector<int>& idx) {
+  // per-step pruning: top-n symbols and cumulative cutoff_prob
+  for (int v = 0; v < bp.V; ++v) idx[v] = v;
+  int keep = std::min(bp.cutoff_top_n > 0 ? bp.cutoff_top_n : bp.V, bp.V);
+  std::partial_sort(idx.begin(), idx.begin() + keep, idx.end(),
+                    [&](int a, int b) { return row[a] > row[b]; });
+  if (bp.cutoff_prob < 1.0f) {
+    double cum = 0.0;
+    int k = 0;
+    for (; k < keep; ++k) {
+      cum += std::exp((double)row[idx[k]]);
+      if (cum >= bp.cutoff_prob) { ++k; break; }
     }
-
-    Map next;
-    next.reserve(beams.size() * (keep + 1));
-    for (auto& kv : beams) {
-      const std::vector<int>& ids = kv.first;
-      const Prefix& pre = kv.second;
-      int last = ids.empty() ? -1 : ids.back();
-      for (int k = 0; k < keep; ++k) {
-        int s = idx[k];
-        double p = row[s];
-        if (s == blank) {
-          Prefix& nx = next.try_emplace(ids, Prefix{}).first->second;
-          if (nx.ids.empty() && !ids.empty()) nx.ids = ids;
-          nx.lm_logp = pre.lm_logp;
-          nx.word_count = pre.word_count;
-          nx.p_b = log_sum_exp(nx.p_b, pre.p_total() + p);
-          continue;
-        }
-        // extend with repeated last symbol: stays same prefix (non-blank path)
-        if (s == last) {
-          Prefix& same = next.try_emplace(ids, Prefix{}).first->second;
-          if (same.ids.empty() && !ids.empty()) same.ids = ids;
-          same.lm_logp = pre.lm_logp;
-          same.word_count = pre.word_count;
-          same.p_nb = log_sum_exp(same.p_nb, pre.p_nb + p);
-        }
-        // new extended prefix
-        std::vector<int> nids = ids;
-        nids.push_back(s);
-        Prefix& ext = next.try_emplace(std::move(nids), Prefix{}).first->second;
-        if (ext.ids.empty()) {
-          ext.ids = ids;
-          ext.ids.push_back(s);
-        }
-        double base = (s == last) ? pre.p_b : pre.p_total();
-        double add = base + p;
-        if (ext.p_nb == kNegInf) {
-          ext.lm_logp = pre.lm_logp;
-          ext.word_count = pre.word_count;
-          if (lm && s == space_id) {
-            // a space closes the current word: score it
-            std::string text = ids_to_text(ids, vocab);
-            size_t ws = text.find_last_of(' ');
-            std::string word =
-                ws == std::string::npos ? text : text.substr(ws + 1);
-            if (!word.empty()) {
-              std::string ctx_text = ws == std::string::npos
-                                         ? std::string()
-                                         : text.substr(0, ws);
-              auto ctx = last_words(ctx_text, lm->order - 1);
-              ext.lm_logp = pre.lm_logp + lm->Score(ctx, word);
-              ext.word_count = pre.word_count + 1;
-            }
-          }
-        }
-        ext.p_nb = log_sum_exp(ext.p_nb, add);
-      }
-    }
-    // prune to beam_width by score
-    std::vector<std::pair<double, const std::vector<int>*>> ranked;
-    ranked.reserve(next.size());
-    for (auto& kv : next) {
-      double score = kv.second.p_total() +
-                     alpha * kv.second.lm_logp + beta * kv.second.word_count;
-      ranked.emplace_back(score, &kv.first);
-    }
-    int bw = std::min<int>(beam_width, (int)ranked.size());
-    std::partial_sort(ranked.begin(), ranked.begin() + bw, ranked.end(),
-                      [](auto& a, auto& b) { return a.first > b.first; });
-    Map pruned;
-    pruned.reserve(bw);
-    for (int i = 0; i < bw; ++i) pruned.emplace(*ranked[i].second,
-                                                next[*ranked[i].second]);
-    beams.swap(pruned);
+    keep = std::max(1, k);
   }
 
-  // final ranking; score the trailing partial word too
+  BeamMap next;
+  next.reserve(beams.size() * (keep + 1));
+  for (auto& kv : beams) {
+    const std::vector<int>& ids = kv.first;
+    const Prefix& pre = kv.second;
+    int last = ids.empty() ? -1 : ids.back();
+    for (int k = 0; k < keep; ++k) {
+      int s = idx[k];
+      double p = row[s];
+      if (s == bp.blank) {
+        Prefix& nx = next.try_emplace(ids, Prefix{}).first->second;
+        if (nx.ids.empty() && !ids.empty()) nx.ids = ids;
+        nx.lm_logp = pre.lm_logp;
+        nx.word_count = pre.word_count;
+        nx.p_b = log_sum_exp(nx.p_b, pre.p_total() + p);
+        continue;
+      }
+      // extend with repeated last symbol: stays same prefix (non-blank path)
+      if (s == last) {
+        Prefix& same = next.try_emplace(ids, Prefix{}).first->second;
+        if (same.ids.empty() && !ids.empty()) same.ids = ids;
+        same.lm_logp = pre.lm_logp;
+        same.word_count = pre.word_count;
+        same.p_nb = log_sum_exp(same.p_nb, pre.p_nb + p);
+      }
+      // new extended prefix
+      std::vector<int> nids = ids;
+      nids.push_back(s);
+      Prefix& ext = next.try_emplace(std::move(nids), Prefix{}).first->second;
+      if (ext.ids.empty()) {
+        ext.ids = ids;
+        ext.ids.push_back(s);
+      }
+      double base = (s == last) ? pre.p_b : pre.p_total();
+      double add = base + p;
+      if (ext.p_nb == kNegInf) {
+        ext.lm_logp = pre.lm_logp;
+        ext.word_count = pre.word_count;
+        if (bp.lm && s == bp.space_id) {
+          // a space closes the current word: score it
+          std::string text = ids_to_text(ids, vocab);
+          size_t ws = text.find_last_of(' ');
+          std::string word =
+              ws == std::string::npos ? text : text.substr(ws + 1);
+          if (!word.empty()) {
+            std::string ctx_text = ws == std::string::npos
+                                       ? std::string()
+                                       : text.substr(0, ws);
+            auto ctx = last_words(ctx_text, bp.lm->order - 1);
+            ext.lm_logp = pre.lm_logp + bp.lm->Score(ctx, word);
+            ext.word_count = pre.word_count + 1;
+          }
+        }
+      }
+      ext.p_nb = log_sum_exp(ext.p_nb, add);
+    }
+  }
+  // prune to beam_width by score
+  std::vector<std::pair<double, const std::vector<int>*>> ranked;
+  ranked.reserve(next.size());
+  for (auto& kv : next) {
+    double score = kv.second.p_total() + bp.alpha * kv.second.lm_logp +
+                   bp.beta * kv.second.word_count;
+    ranked.emplace_back(score, &kv.first);
+  }
+  int bw = std::min<int>(bp.beam_width, (int)ranked.size());
+  std::partial_sort(ranked.begin(), ranked.begin() + bw, ranked.end(),
+                    [](auto& a, auto& b) { return a.first > b.first; });
+  BeamMap pruned;
+  pruned.reserve(bw);
+  for (int i = 0; i < bw; ++i)
+    pruned.emplace(*ranked[i].second, next[*ranked[i].second]);
+  beams.swap(pruned);
+}
+
+// Rank the current beams (scoring the trailing partial word) — used both
+// for the final result and for a streaming decoder's running best.
+void finalize_beams(const BeamParams& bp,
+                    const std::vector<std::string>& vocab,
+                    const BeamMap& beams, int n_best,
+                    std::vector<std::pair<double, std::string>>* out) {
   std::vector<std::pair<double, std::string>> finals;
   finals.reserve(beams.size());
   for (auto& kv : beams) {
@@ -415,18 +433,18 @@ void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
     std::string text = ids_to_text(kv.first, vocab);
     double lm_logp = p.lm_logp;
     int wc = p.word_count;
-    if (lm) {
+    if (bp.lm) {
       size_t ws = text.find_last_of(' ');
       std::string word = ws == std::string::npos ? text : text.substr(ws + 1);
       if (!word.empty()) {
         auto ctx = last_words(
             ws == std::string::npos ? std::string() : text.substr(0, ws),
-            lm->order - 1);
-        lm_logp += lm->Score(ctx, word);
+            bp.lm->order - 1);
+        lm_logp += bp.lm->Score(ctx, word);
         wc += 1;
       }
     }
-    double score = p.p_total() + alpha * lm_logp + beta * wc;
+    double score = p.p_total() + bp.alpha * lm_logp + bp.beta * wc;
     finals.emplace_back(score, std::move(text));
   }
   std::sort(finals.begin(), finals.end(),
@@ -434,6 +452,55 @@ void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
   if ((int)finals.size() > n_best) finals.resize(n_best);
   *out = std::move(finals);
 }
+
+void decode_one(const float* lp, int T, int V /*incl blank*/, int blank,
+                const std::vector<std::string>& vocab, int space_id,
+                int beam_width, float alpha, float beta, float cutoff_prob,
+                int cutoff_top_n, const LmBase* lm, int n_best,
+                std::vector<std::pair<double, std::string>>* out) {
+  BeamParams bp;
+  bp.V = V;
+  bp.blank = blank;
+  bp.space_id = space_id;
+  bp.beam_width = beam_width;
+  bp.cutoff_top_n = cutoff_top_n;
+  bp.alpha = alpha;
+  bp.beta = beta;
+  bp.cutoff_prob = cutoff_prob;
+  bp.lm = lm;
+  BeamMap beams = beam_init();
+  std::vector<int> idx(V);
+  for (int t = 0; t < T; ++t)
+    beam_step(bp, vocab, beams, lp + (size_t)t * V, idx);
+  finalize_beams(bp, vocab, beams, n_best, out);
+}
+
+// '\x1f'-separated utf-8 symbols (V-1 of them; blank is last id).
+std::vector<std::string> parse_vocab(const char* vocab_blob) {
+  std::vector<std::string> vocab;
+  std::string blob(vocab_blob);
+  size_t start = 0;
+  while (start <= blob.size()) {
+    size_t end = blob.find('\x1f', start);
+    if (end == std::string::npos) {
+      vocab.push_back(blob.substr(start));
+      break;
+    }
+    vocab.push_back(blob.substr(start, end - start));
+    start = end + 1;
+  }
+  return vocab;
+}
+
+// Streaming decoder: the beam map persists across feed() calls, so chunked
+// decoding is exactly equivalent to offline decoding of the concatenated
+// frames (the chunked encoder emits bit-equal log-probs — decode/streaming).
+struct BeamStream {
+  BeamParams bp;
+  std::vector<std::string> vocab;
+  BeamMap beams;
+  std::vector<int> idx;
+};
 
 }  // namespace
 
@@ -476,20 +543,7 @@ int qasr_beam_search_batch(const float* log_probs, const int32_t* lengths,
                            float cutoff_prob, int cutoff_top_n, void* lm_ptr,
                            int n_best, int max_text, char* out_texts,
                            double* out_scores, int num_threads) {
-  std::vector<std::string> vocab;
-  {
-    std::string blob(vocab_blob);
-    size_t start = 0;
-    while (start <= blob.size()) {
-      size_t end = blob.find('\x1f', start);
-      if (end == std::string::npos) {
-        vocab.push_back(blob.substr(start));
-        break;
-      }
-      vocab.push_back(blob.substr(start, end - start));
-      start = end + 1;
-    }
-  }
+  std::vector<std::string> vocab = parse_vocab(vocab_blob);
   if ((int)vocab.size() != V - 1) return -1;
   int blank = V - 1;
   int space_id = -1;
@@ -522,6 +576,78 @@ int qasr_beam_search_batch(const float* log_probs, const int32_t* lengths,
   }
   for (auto& th : threads) th.join();
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming (resumable) decoder: create once, feed log-prob chunks, read the
+// running best at any point.  Bit-equivalent to qasr_beam_search_batch on
+// the concatenated frames.
+// ---------------------------------------------------------------------------
+
+// vocab_blob as in qasr_beam_search_batch; returns an opaque stream handle
+// (nullptr on bad vocab).  The LM handle, if any, must outlive the stream.
+void* qasr_beam_stream_create(int V, const char* vocab_blob, int beam_width,
+                              float alpha, float beta, float cutoff_prob,
+                              int cutoff_top_n, void* lm_ptr) {
+  auto* s = new BeamStream();
+  s->vocab = parse_vocab(vocab_blob);
+  if ((int)s->vocab.size() != V - 1) {
+    delete s;
+    return nullptr;
+  }
+  s->bp.V = V;
+  s->bp.blank = V - 1;
+  s->bp.space_id = -1;
+  for (int i = 0; i < (int)s->vocab.size(); ++i)
+    if (s->vocab[i] == " ") s->bp.space_id = i;
+  s->bp.beam_width = beam_width;
+  s->bp.cutoff_top_n = cutoff_top_n;
+  s->bp.alpha = alpha;
+  s->bp.beta = beta;
+  s->bp.cutoff_prob = cutoff_prob;
+  s->bp.lm = reinterpret_cast<LmBase*>(lm_ptr);
+  s->beams = beam_init();
+  s->idx.resize(V);
+  return s;
+}
+
+// Advance the search by T frames of (T, V) float32 log-probs.
+int qasr_beam_stream_feed(void* stream, const float* log_probs, int T) {
+  auto* s = reinterpret_cast<BeamStream*>(stream);
+  if (!s) return -1;
+  for (int t = 0; t < T; ++t)
+    beam_step(s->bp, s->vocab, s->beams, log_probs + (size_t)t * s->bp.V,
+              s->idx);
+  return 0;
+}
+
+// Non-destructive n-best of the current state (trailing word LM-scored);
+// the stream can keep consuming frames afterwards.  Buffers as in
+// qasr_beam_search_batch.  Returns the number of hypotheses written.
+int qasr_beam_stream_best(void* stream, int n_best, int max_text,
+                          char* out_texts, double* out_scores) {
+  auto* s = reinterpret_cast<BeamStream*>(stream);
+  if (!s) return -1;
+  std::vector<std::pair<double, std::string>> out;
+  finalize_beams(s->bp, s->vocab, s->beams, n_best, &out);
+  std::memset(out_texts, 0, (size_t)n_best * max_text);
+  for (int i = 0; i < n_best; ++i) out_scores[i] = kNegInf;
+  for (int i = 0; i < (int)out.size(); ++i) {
+    out_scores[i] = out[i].first;
+    std::strncpy(out_texts + (size_t)i * max_text, out[i].second.c_str(),
+                 max_text - 1);
+  }
+  return (int)out.size();
+}
+
+// Reset to the empty-prefix state (reuse across utterances).
+void qasr_beam_stream_reset(void* stream) {
+  auto* s = reinterpret_cast<BeamStream*>(stream);
+  if (s) s->beams = beam_init();
+}
+
+void qasr_beam_stream_free(void* stream) {
+  delete reinterpret_cast<BeamStream*>(stream);
 }
 
 }  // extern "C"

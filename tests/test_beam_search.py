@@ -182,3 +182,74 @@ def test_qlm_binary_matches_arpa_and_scales(tmp_path, rng):
     # scale contract: mmap load beats the text parse and decode stays quick
     assert t_qlm_load < max(0.2, t_arpa_load), (t_qlm_load, t_arpa_load)
     assert t_decode < 2.0, t_decode
+
+
+def test_streaming_beam_equals_offline(rng):
+    """Feeding chunks through StreamingBeamDecoder must reproduce the
+    offline batch decode exactly (the beam map is the full search state)."""
+    from qasr_tpu.decode.beam_search import StreamingBeamDecoder
+
+    lp = _rand_logprobs(rng, 37, len(VOCAB) + 1)
+    offline = BeamSearchDecoderWithLM(VOCAB, beam_width=16)(
+        lp[None], np.asarray([37], np.int32), n_best=4)[0]
+    dec = StreamingBeamDecoder(VOCAB, beam_width=16)
+    for start in range(0, 37, 5):  # uneven chunking incl. a short tail
+        dec.feed(lp[start:start + 5])
+    got = dec.best(4)
+    assert [t for _, t in got] == [t for _, t in offline]
+    for (sa, _), (sb, _) in zip(got, offline):
+        assert abs(sa - sb) < 1e-9
+
+
+def test_streaming_beam_with_lm_and_reset(tmp_path, rng):
+    from qasr_tpu.decode.beam_search import StreamingBeamDecoder
+
+    lm_path = tmp_path / "tiny.arpa"
+    lm_path.write_text(ARPA)
+    vocab = [" ", "a", "c", "s", "t"]
+    text = "cat sat "
+    ids = [vocab.index(ch) for ch in text]
+    t_len = len(ids)
+    v = len(vocab) + 1
+    lp = np.full((t_len, v), -8.0, np.float32)
+    for t, i in enumerate(ids):
+        lp[t, i] = -0.1
+    lp[6, vocab.index("t")] = -0.65
+    lp[6, vocab.index("s")] = -0.60
+    lp = lp - np.log(np.sum(np.exp(lp), -1, keepdims=True))
+
+    owner = BeamSearchDecoderWithLM(vocab, beam_width=64, alpha=1.0,
+                                    beta=0.0, lm_path=str(lm_path))
+    dec = StreamingBeamDecoder(vocab, beam_width=64, alpha=1.0, beta=0.0,
+                               lm=owner)
+    partials = []
+    for start in range(0, t_len, 3):
+        dec.feed(lp[start:start + 3])
+        partials.append(dec.best(1)[0][1])
+    assert dec.best(1)[0][1].startswith("cat sat")  # LM breaks the tie
+    assert partials[0].startswith("ca")             # running partials grow
+    # reset reuses the stream for a fresh utterance
+    dec.reset()
+    dec.feed(lp)
+    assert dec.best(1)[0][1].startswith("cat sat")
+
+
+def test_streaming_transcriber_beam(rng):
+    """End-to-end: StreamingTranscriber.transcribe_beam over a model equals
+    offline beam decoding of the full-utterance log-probs."""
+    from qasr_tpu.decode.streaming import StreamingTranscriber
+    from tests.test_streaming import _model
+
+    m = _model()
+    m.set_quant_mode("none")
+    audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
+    lp, el, _ = m.forward(audio[None].copy(),
+                          np.asarray([len(audio)], np.int32), mode="fp32")
+    n = int(el[0])
+    offline = BeamSearchDecoderWithLM(m.vocabulary, beam_width=8)(
+        np.asarray(lp[:, :n]), np.asarray([n], np.int32))[0][0][1]
+    st = StreamingTranscriber(m, chunk_frames=96, context_frames=64)
+    partials = []
+    got = st.transcribe_beam(audio, beam_width=8, partials=partials)
+    assert got == offline
+    assert len(partials) >= 2
