@@ -40,9 +40,11 @@ def main():
     # MXU depthwise tiles ride as jit runtime args inside make_frozen_fn
     fn = make_frozen_fn(model, model.freeze(), argmax=True)
 
-    # batch 32 x 15 s: the best-measured serving configuration on one v5e
-    # (B=16: 7652 RTFx, B=32: 8109 — fixed per-step overheads amortize)
-    batch = 32
+    # batch 64 x 15 s: the best-measured serving configuration on one v5e
+    # with the fused dw kernels (B=32: 12948, B=64: 15822, B=96: 14762 —
+    # bigger bt amortizes the kernels' per-grid-step fixed costs until
+    # HBM working-set effects take over)
+    batch = 64
     seconds = 15.0
     n = int(16000 * seconds)
     rng = np.random.default_rng(0)

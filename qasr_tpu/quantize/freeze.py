@@ -497,11 +497,17 @@ class FrozenExecCM(FrozenExec):
         self.dw_bands_cm = dw_bands
         self.dw_jmins = dw_jmins
 
-    def _requant_cm(self, z, m, e):
+    def _requant_cm(self, z, m, e, nonneg: bool = False):
         m = _cm_vec(m)
         if isinstance(e, int):
-            return dyadic_requant_static(z, m, e)
+            return dyadic_requant_static(z, m, e, nonneg=nonneg)
         return dyadic_requant(z, Dyadic(m, _cm_vec(e)))
+
+    def _is_nonneg(self, x) -> bool:
+        """True when x is the tensor activation() just returned — relu and
+        the clip(0, hi) hardtanh both guarantee values >= 0, letting the
+        following requant skip sign handling (exact on non-negatives)."""
+        return id(x) == getattr(self, "_nonneg_id", None)
 
     def masked_conv(self, site, spec: ConvSpec, x, lens):
         bi, kind, i = site
@@ -509,9 +515,11 @@ class FrozenExecCM(FrozenExec):
         new_lens = conv_out_len(lens, spec)
         bits = self._act_bits(spec)
         if isinstance(x, QTensor):
+            nonneg = self._is_nonneg(x)
             xv = mask_values_cm(x.values, lens)
             q = requant_clamp(
-                self._requant_cm(xv, entry["act_m"], entry["act_e"]), bits)
+                self._requant_cm(xv, entry["act_m"], entry["act_e"],
+                                 nonneg=nonneg), bits)
             xq = self._narrow(q, bits)
         else:
             # float network input (B, T, C): quantize, then convert once
@@ -547,13 +555,17 @@ class FrozenExecCM(FrozenExec):
 
     def activation(self, x: QTensor, dropout: float) -> QTensor:
         if self.activation_kind == "relu":
-            return QTensor(jnp.maximum(x.values, 0), x.scale)
+            out = QTensor(jnp.maximum(x.values, 0), x.scale)
+            self._nonneg_id = id(out)
+            return out
         if self.activation_kind == "hardtanh":
             hi = jnp.round(20.0 / _cm_vec(x.scale)).astype(jnp.int32)
             if x.values.dtype == jnp.int8:
                 hi = jnp.minimum(hi, 127)
-            return QTensor(jnp.clip(x.values, 0, hi).astype(x.values.dtype),
-                           x.scale)
+            out = QTensor(jnp.clip(x.values, 0, hi).astype(x.values.dtype),
+                          x.scale)
+            self._nonneg_id = id(out)
+            return out
         y = jnp.round(_apply_activation(
             x.values.astype(jnp.float32) * _cm_vec(x.scale),
             self.activation_kind) / _cm_vec(x.scale))
@@ -710,9 +722,11 @@ class FrozenExecCMF(FrozenExecCM):
         if isinstance(x, _PendingConv):
             xq = self._flush_int8(x, lens, entry, bits)
         elif isinstance(x, QTensor):
+            nonneg = self._is_nonneg(x)
             xv = mask_values_cm(x.values, lens)
             q = requant_clamp(
-                self._requant_cm(xv, entry["act_m"], entry["act_e"]), bits)
+                self._requant_cm(xv, entry["act_m"], entry["act_e"],
+                                 nonneg=nonneg), bits)
             xq = self._narrow(q, bits)
             c, _, b_, n_t = xq.shape
             xq = xq.reshape(c, 128, b_ * n_t)
