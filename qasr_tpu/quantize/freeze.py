@@ -509,27 +509,31 @@ class FrozenExecCM(FrozenExec):
         following requant skip sign handling (exact on non-negatives)."""
         return id(x) == getattr(self, "_nonneg_id", None)
 
-    def masked_conv(self, site, spec: ConvSpec, x, lens):
-        bi, kind, i = site
-        entry = self.t["blocks"][bi][kind][i]
-        new_lens = conv_out_len(lens, spec)
-        bits = self._act_bits(spec)
+    def _prep_input_cm(self, entry, x, lens, bits: int):
+        """Mask + requant + clamp + narrow the conv input to int8-valued
+        (C, 128, B, n_t), handling both a QTensor from the previous layer
+        and the float network input (quantized then converted once)."""
         if isinstance(x, QTensor):
             nonneg = self._is_nonneg(x)
             xv = mask_values_cm(x.values, lens)
             q = requant_clamp(
                 self._requant_cm(xv, entry["act_m"], entry["act_e"],
                                  nonneg=nonneg), bits)
-            xq = self._narrow(q, bits)
-        else:
-            # float network input (B, T, C): quantize, then convert once
-            from qasr_tpu.kernels.dw_mxu import to_cm
+            return self._narrow(q, bits)
+        from qasr_tpu.kernels.dw_mxu import to_cm
 
-            n = 2 ** (bits - 1) - 1
-            xm = mask_values(x, lens)
-            q = jnp.round((1.0 / entry["act_scale"]) * xm)
-            xq = to_cm(self._narrow(
-                jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))
+        n = 2 ** (bits - 1) - 1
+        xm = mask_values(x, lens)
+        q = jnp.round((1.0 / entry["act_scale"]) * xm)
+        return to_cm(self._narrow(
+            jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))
+
+    def masked_conv(self, site, spec: ConvSpec, x, lens):
+        bi, kind, i = site
+        entry = self.t["blocks"][bi][kind][i]
+        new_lens = conv_out_len(lens, spec)
+        bits = self._act_bits(spec)
+        xq = self._prep_input_cm(entry, x, lens, bits)
         if _is_dw(spec):
             from qasr_tpu.kernels.dw_mxu import dw_banded_cm
 
@@ -721,24 +725,8 @@ class FrozenExecCMF(FrozenExecCM):
         bits = self._act_bits(spec)
         if isinstance(x, _PendingConv):
             xq = self._flush_int8(x, lens, entry, bits)
-        elif isinstance(x, QTensor):
-            nonneg = self._is_nonneg(x)
-            xv = mask_values_cm(x.values, lens)
-            q = requant_clamp(
-                self._requant_cm(xv, entry["act_m"], entry["act_e"],
-                                 nonneg=nonneg), bits)
-            xq = self._narrow(q, bits)
-            c, _, b_, n_t = xq.shape
-            xq = xq.reshape(c, 128, b_ * n_t)
         else:
-            # float network input (B, T, C): quantize, then convert once
-            from qasr_tpu.kernels.dw_mxu import to_cm
-
-            n = 2 ** (bits - 1) - 1
-            xm = mask_values(x, lens)
-            q = jnp.round((1.0 / entry["act_scale"]) * xm)
-            xq = to_cm(self._narrow(
-                jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))
+            xq = self._prep_input_cm(entry, x, lens, bits)
             c, _, b_, n_t = xq.shape
             xq = xq.reshape(c, 128, b_ * n_t)
         key = f"{bi}.{kind}.{i}"
