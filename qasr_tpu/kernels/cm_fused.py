@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qasr_tpu.ops.quant_prims import dyadic_requant_static
+from qasr_tpu.ops.quant_prims import (dyadic_requant_static,
+                                      dyadic_requant_static16)
 
 Array = jax.Array
 
@@ -38,7 +39,7 @@ def _should_interpret() -> bool:
 
 
 def _epilogue(acc, bias, mask, m, *, e: int, bits: int, relu: bool,
-              narrow: bool = True):
+              narrow: bool = True, m16: bool = False):
     """bias -> relu -> mask -> exact dyadic requant -> clamp -> int8.
 
     acc int32; bias/m broadcastable per-channel (or None); mask int32 0/1
@@ -52,7 +53,10 @@ def _epilogue(acc, bias, mask, m, *, e: int, bits: int, relu: bool,
         acc = jnp.maximum(acc, 0)
     if mask is not None:
         acc = acc * mask
-    q = dyadic_requant_static(acc, m, e, nonneg=relu)
+    if m16:
+        q = dyadic_requant_static16(acc, m, e, nonneg=relu)
+    else:
+        q = dyadic_requant_static(acc, m, e, nonneg=relu)
     n = 2 ** (bits - 1) - 1
     q = jnp.clip(q, -n - 1, n)
     return q.astype(jnp.int8) if narrow else q
@@ -75,8 +79,9 @@ def _epilogue(acc, bias, mask, m, *, e: int, bits: int, relu: bool,
 ROWS = 8  # sublane-aligned row-block (Pallas requires dim -2 % 8 == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("e", "bits", "relu", "interpret"))
-def _pw3_call(x3, wt, b, m, mask2, *, e, bits, relu, interpret):
+@functools.partial(jax.jit, static_argnames=("e", "bits", "relu", "m16",
+                                             "interpret"))
+def _pw3_call(x3, wt, b, m, mask2, *, e, bits, relu, m16, interpret):
     cout, cin = wt.shape
     bt = x3.shape[2]
     tm = cout if cout <= 256 else 256
@@ -115,7 +120,7 @@ def _pw3_call(x3, wt, b, m, mask2, *, e, bits, relu, interpret):
                 preferred_element_type=jnp.int32)
             s_ref[:, r, :] = _epilogue(
                 acc, b_ref[:] if has_bias else None, mask_ref[r, :],
-                m_ref[:], e=e, bits=bits, relu=relu, narrow=False)
+                m_ref[:], e=e, bits=bits, relu=relu, narrow=False, m16=m16)
         o_ref[:] = s_ref[:].astype(jnp.int8)
 
     return pl.pallas_call(
@@ -131,7 +136,7 @@ def _pw3_call(x3, wt, b, m, mask2, *, e, bits, relu, interpret):
 
 
 def fused_pw_cm(x3, wt, bias, mask2, m, e: int, bits: int, relu: bool,
-                interpret=None) -> Array:
+                m16: bool = False, interpret=None) -> Array:
     """Pointwise conv + consumer requant, channel-major 3D form.
 
     x3: (Cin, 128, bt) int8; wt: (Cout, Cin) int8 (transposed weight);
@@ -145,7 +150,8 @@ def fused_pw_cm(x3, wt, bias, mask2, m, e: int, bits: int, relu: bool,
     bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
     m2 = jnp.asarray(m, jnp.int32).reshape(-1, 1)
     return _pw3_call(x3, wt, bias2, m2, mask2.astype(jnp.int32),
-                     e=int(e), bits=bits, relu=relu, interpret=interpret)
+                     e=int(e), bits=bits, relu=relu, m16=m16,
+                     interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -159,9 +165,9 @@ def fused_pw_cm(x3, wt, bias, mask2, m, e: int, bits: int, relu: bool,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "b_sz", "n_d", "j_min", "e", "bits", "relu", "tc", "interpret"))
+    "b_sz", "n_d", "j_min", "e", "bits", "relu", "m16", "tc", "interpret"))
 def _dw_win_call(x3, band2, b, m, mask2, tcol, *, b_sz, n_d, j_min, e, bits,
-                 relu, tc, interpret):
+                 relu, m16, tc, interpret):
     c, _, bt = x3.shape
     n_t = bt // b_sz
     kd = band2.shape[1]
@@ -215,7 +221,7 @@ def _dw_win_call(x3, band2, b, m, mask2, tcol, *, b_sz, n_d, j_min, e, bits,
                 acc = part if acc is None else acc + part
             o_ref[ci] = _epilogue(
                 acc, b_ref[ci, 0] if has_bias else None, mask_ref[:],
-                m_ref[ci, 0], e=e, bits=bits, relu=relu)
+                m_ref[ci, 0], e=e, bits=bits, relu=relu, m16=m16)
 
     in_specs = [
         pl.BlockSpec((tc, 128, bt), lambda i: (i, 0, 0),
@@ -246,7 +252,8 @@ def _dw_win_call(x3, band2, b, m, mask2, tcol, *, b_sz, n_d, j_min, e, bits,
 
 
 def fused_dw_win_cm(x3, band2, j_min: int, b_sz: int, bias, mask2, m, e: int,
-                    bits: int, relu: bool, interpret=None) -> Array:
+                    bits: int, relu: bool, m16: bool = False,
+                    interpret=None) -> Array:
     """Stride-1 depthwise banded conv + consumer requant, windows gathered
     in VMEM.
 
@@ -269,7 +276,8 @@ def fused_dw_win_cm(x3, band2, j_min: int, b_sz: int, bias, mask2, m, e: int,
         tc //= 2
     return _dw_win_call(x3, band2, bias2, m2, mask2.astype(jnp.int32), tcol,
                         b_sz=b_sz, n_d=n_d, j_min=int(j_min), e=int(e),
-                        bits=bits, relu=relu, tc=tc, interpret=interpret)
+                        bits=bits, relu=relu, m16=m16, tc=tc,
+                        interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -281,8 +289,9 @@ def fused_dw_win_cm(x3, band2, j_min: int, b_sz: int, bias, mask2, m, e: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("e", "bits", "relu", "tc", "interpret"))
-def _dw_call(xg, band, b, m, mask2, *, e, bits, relu, tc, interpret):
+                   static_argnames=("e", "bits", "relu", "m16", "tc",
+                                    "interpret"))
+def _dw_call(xg, band, b, m, mask2, *, e, bits, relu, m16, tc, interpret):
     c, kd, n = xg.shape
     has_bias = b is not None
 
@@ -298,7 +307,7 @@ def _dw_call(xg, band, b, m, mask2, *, e, bits, relu, tc, interpret):
                 preferred_element_type=jnp.int32)
             o_ref[ci] = _epilogue(
                 acc, b_ref[ci, 0] if has_bias else None, mask_ref[:],
-                m_ref[ci, 0], e=e, bits=bits, relu=relu)
+                m_ref[ci, 0], e=e, bits=bits, relu=relu, m16=m16)
 
     in_specs = [
         pl.BlockSpec((tc, kd, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -326,7 +335,7 @@ def _dw_call(xg, band, b, m, mask2, *, e, bits, relu, tc, interpret):
 
 
 def fused_dw_cm(xg, band, bias, mask, m, e: int, bits: int, relu: bool,
-                interpret=None) -> Array:
+                m16: bool = False, interpret=None) -> Array:
     """Depthwise banded conv + consumer requant, channel-major.
 
     xg: (C, n_d*128, B, n_to) int8 pre-gathered windows (dw_mxu.dw_gather_cm);
@@ -347,5 +356,5 @@ def fused_dw_cm(xg, band, bias, mask, m, e: int, bits: int, relu: bool,
     while c % tc:
         tc //= 2
     out = _dw_call(xg2, band, bias2, m2, mask2, e=int(e), bits=bits, relu=relu,
-                   tc=tc, interpret=interpret)
+                   m16=m16, tc=tc, interpret=interpret)
     return out.reshape(c, 128, b_, n_to)

@@ -395,7 +395,13 @@ class ASRModel:
                     update_ranges=False)
                 return lp, el
         elif mode == "frozen":
-            fn = make_frozen_fn(self, self.freeze())
+            # QASR_DYADIC_MODE: static_e (default; reference-exact 31-bit
+            # requant multipliers) | static_e16 (16-bit multipliers, ~19%
+            # faster, transcript-preserving — tests/test_static_dyadic.py)
+            # | per_channel (reference-exact incl. per-channel exponents)
+            import os
+            mode = os.environ.get("QASR_DYADIC_MODE", "static_e")
+            fn = make_frozen_fn(self, self.freeze(dyadic_mode=mode))
         else:
             raise ValueError(mode)
         self._jit_cache[key] = fn

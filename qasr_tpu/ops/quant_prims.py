@@ -304,6 +304,54 @@ def dyadic_requant_static(z: Array, m: Array, e: int, *,
     return r if sign is None else sign * r
 
 
+def dyadic_requant_static16(z: Array, m: Array, e: int, *,
+                            nonneg: bool = False) -> Array:
+    """round_half_even(z * m / 2**e) for 16-bit mantissas: m < 2**16.
+
+    Exact for the given (m, e) — the 'fast' aspect is the coarser
+    multiplier in the *table* (freeze dyadic_mode='static_e16', relative
+    scale error <= 2**-16, far below any activation quantization step),
+    not the arithmetic.  With m 16-bit the 61-bit two-limb product
+    collapses to two 32-bit multiplies and one limb recombination —
+    roughly half the VPU ops of dyadic_requant_static.  Requires
+    |z| < 2**30 and 1 <= e <= 31 (the static_e16 freeze guarantees both).
+    """
+    assert isinstance(e, int) and 1 <= e <= 31
+    z = z.astype(jnp.int32)
+    if nonneg:
+        sign, za = None, z
+    else:
+        sign = jnp.sign(z)
+        za = jnp.abs(z)
+    m_u = jnp.broadcast_to(jnp.asarray(m, jnp.int32), z.shape).astype(jnp.uint32)
+    za_u = za.astype(jnp.uint32)
+    p_lo = (za_u & jnp.uint32(0xFFFF)) * m_u           # exact in uint32
+    p_hi = ((za_u >> 16) * m_u).astype(jnp.int32)      # < 2**30
+    # P = z*m = u * 2**16 + low16
+    u = (p_lo >> 16).astype(jnp.int32) + p_hi
+    low16 = (p_lo & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    if e >= 16:
+        s = e - 16
+        if s:
+            floor = u >> s
+            frac = ((u & ((1 << s) - 1)) << 16) + low16
+        else:
+            floor = u
+            frac = low16
+        half = 1 << (s + 15)
+        up = (frac > half) | ((frac == half) & ((floor & 1) == 1))
+        r = floor + up.astype(jnp.int32)
+    else:
+        sat = u >= (1 << (e + 15))                     # result >= 2**31
+        floor = (u << (16 - e)) + (low16 >> e)
+        frac = low16 & ((1 << e) - 1)
+        half = 1 << (e - 1)
+        up = (frac > half) | ((frac == half) & ((floor & 1) == 1))
+        r = jnp.where(sat, jnp.int32(1 << 26), floor + up.astype(jnp.int32))
+    r = jnp.minimum(r, jnp.int32(1 << 26))
+    return r if sign is None else sign * r
+
+
 def requant_clamp(q: Array, bits: int) -> Array:
     """fixedpoint_mul's output clamp: [-n-1, n]  (quant_utils.py:213-214).
 

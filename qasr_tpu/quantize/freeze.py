@@ -39,6 +39,7 @@ from qasr_tpu.ops.quant_prims import (
     dyadic_from_scale_host_static_e,
     dyadic_requant,
     dyadic_requant_static,
+    dyadic_requant_static16,
     requant_clamp,
 )
 
@@ -75,12 +76,20 @@ def _dyadic(pre_scale: np.ndarray, out_scale: np.float32, mode: str = "per_chann
     mode 'per_channel': reference-exact 31-bit mantissa per channel (e is a
     per-channel vector).  mode 'static_e': one static exponent per site —
     ~5x faster requants on the VPU (constant shifts), >= ~24-bit mantissas.
+    mode 'static_e16': 16-bit mantissas (TFLite-style narrow requant
+    multipliers; relative scale error <= 2**-16) — the requant chain
+    halves to two multiplies (quant_prims.dyadic_requant_static16).
     """
     ns = np.asarray(pre_scale, np.float32).astype(np.float64) / np.float64(
         np.float32(out_scale))
     if mode == "static_e":
         m, e = dyadic_from_scale_host_static_e(ns)
         return Dyadic(m, e)  # e: python int (static under jit)
+    if mode == "static_e16":
+        m, e = dyadic_from_scale_host_static_e(ns, max_bit=16)
+        if not 1 <= e <= 31:
+            raise ValueError(f"static_e16 exponent out of range: {e}")
+        return Dyadic(m, e)
     return dyadic_from_scale_host(ns)
 
 
@@ -196,6 +205,7 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
     fx = ScaleFreezeExec(enc_params, qstate, qcfg, plan, dyadic_mode)
     out_sval, _ = encoder_forward(fx, plan, _SVal(None), np.zeros((1,), np.int64))
     tables = fx.tables
+    tables["dyadic16"] = dyadic_mode == "static_e16"
     _mark_separable_fusion(plan, tables)
     # decoder: plain act_bit QuantAct + per-channel 1x1 conv (conv_asr.py:260-267)
     x_min = float(np.asarray(qstate["decoder_act"]["x_min"]))
@@ -308,6 +318,7 @@ class FrozenExec:
                  use_pallas: bool = False, fuse_dw: bool = False,
                  dw_bands: Optional[Dict[str, Array]] = None):
         self.t = tables
+        self.m16 = bool(tables.get("dyadic16", False))
         self.qcfg = qcfg
         self.activation_kind = activation
         self.use_pallas = use_pallas
@@ -338,9 +349,10 @@ class FrozenExec:
         and convs consume int8 directly."""
         return q.astype(jnp.int8) if bits <= 8 else q
 
-    @staticmethod
-    def _requant(z, m, e):
+    def _requant(self, z, m, e):
         if isinstance(e, int):  # static-exponent tables
+            if self.m16:
+                return dyadic_requant_static16(z, m, e)
             return dyadic_requant_static(z, m, e)
         return dyadic_requant(z, Dyadic(m, e))
 
@@ -500,6 +512,8 @@ class FrozenExecCM(FrozenExec):
     def _requant_cm(self, z, m, e, nonneg: bool = False):
         m = _cm_vec(m)
         if isinstance(e, int):
+            if self.m16:
+                return dyadic_requant_static16(z, m, e, nonneg=nonneg)
             return dyadic_requant_static(z, m, e, nonneg=nonneg)
         return dyadic_requant(z, Dyadic(m, _cm_vec(e)))
 
@@ -684,17 +698,20 @@ class FrozenExecCMF(FrozenExecCM):
         if p.kind == "pw":
             wt = np.ascontiguousarray(np.asarray(p.entry["w"][0]).T)
             return fused_pw_cm(p.xq, jnp.asarray(wt), bias,
-                               self._mask2(lens, n_t), m, e, bits, p.relu)
+                               self._mask2(lens, n_t), m, e, bits, p.relu,
+                               m16=self.m16)
         j_min = self.dw_jmins[p.key]
         band2 = self.dw_bands_cm[p.key]
         if p.spec.stride == 1 and band2.ndim == 2:
             return fused_dw_win_cm(p.xq, band2, j_min, p.b_sz, bias,
-                                   self._mask2(lens, n_t), m, e, bits, p.relu)
+                                   self._mask2(lens, n_t), m, e, bits, p.relu,
+                                   m16=self.m16)
         band = self._band3(p.key, p.xq.shape[0])
         xg = dw_gather_cm(self._x4(p), j_min, band.shape[2] // 128,
                           p.spec.stride)
         mask = cm_mask(lens, xg.shape[3])
-        out = fused_dw_cm(xg, band, bias, mask, m, e, bits, p.relu)
+        out = fused_dw_cm(xg, band, bias, mask, m, e, bits, p.relu,
+                          m16=self.m16)
         c = out.shape[0]
         return out.reshape(c, 128, out.shape[2] * out.shape[3])
 

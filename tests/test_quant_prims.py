@@ -283,3 +283,47 @@ def test_dyadic_requant_fuzz_vs_bigint():
             expect = int(np.sign(z[i])) * q
             assert got[i] == expect, (trial, i, int(z[i]), int(m[i]), e, got[i], expect)
             assert got_static[i] == expect
+
+
+def test_dyadic_requant_static16_fuzz_vs_bigint():
+    """16-bit-mantissa chain (two multiplies, one limb recombination) vs
+    Python big-int round-half-even, signed and nonneg, across the full
+    static_e16 exponent range incl. the e<16 saturation branch."""
+    from qasr_tpu.ops.quant_prims import dyadic_requant_static16
+
+    rng = np.random.default_rng(321)
+    for trial in range(24):
+        n = 257
+        z = rng.integers(-(2**29) + 1, 2**29, (n,)).astype(np.int32)
+        m = rng.integers(1, 2**16, (n,)).astype(np.int32)
+        e = int(rng.integers(1, 32))
+        got = np.asarray(dyadic_requant_static16(
+            jnp.asarray(z), jnp.asarray(m), e))
+        zp = np.abs(z).astype(np.int64)
+        got_nn = np.asarray(dyadic_requant_static16(
+            jnp.asarray(zp.astype(np.int32)), jnp.asarray(m), e, nonneg=True))
+        for i in rng.integers(0, n, 24):
+            num = int(zp[i]) * int(m[i])
+            q, r = divmod(num, 1 << e)
+            half = 1 << (e - 1)
+            if r > half or (r == half and q % 2 == 1):
+                q += 1
+            q = min(q, 1 << 26)
+            assert got[i] == int(np.sign(z[i])) * q, \
+                (trial, i, int(z[i]), int(m[i]), e, got[i])
+            assert got_nn[i] == q
+
+
+def test_dyadic_static16_matches_static31_on_shared_table():
+    """When a 31-bit table's mantissas happen to fit 16 bits, both chains
+    must agree exactly (same (m, e) => same rounding)."""
+    from qasr_tpu.ops.quant_prims import (dyadic_requant_static,
+                                          dyadic_requant_static16)
+
+    rng = np.random.default_rng(7)
+    z = rng.integers(-(2**24), 2**24, (513,)).astype(np.int32)
+    m = rng.integers(1, 2**16, (513,)).astype(np.int32)
+    for e in (3, 15, 16, 17, 30, 31):
+        a = np.asarray(dyadic_requant_static(jnp.asarray(z), jnp.asarray(m), e))
+        b = np.asarray(dyadic_requant_static16(jnp.asarray(z), jnp.asarray(m), e))
+        np.testing.assert_array_equal(a, b, err_msg=f"e={e}")

@@ -61,3 +61,85 @@ def test_frozen_static_vs_per_channel_pipeline(rng):
     diff = np.abs(outs["per_channel"] - outs["static_e"])
     assert diff.max() <= 2, diff.max()
     assert (diff > 0).mean() < 0.02, (diff > 0).mean()
+
+
+def test_frozen_static_e16_pipeline(rng):
+    """16-bit-mantissa mode (dyadic_mode='static_e16'): the deployed
+    integer outputs stay within a small drift of the reference-exact
+    per-channel mode (scale error <= 2**-16 per requant), and the greedy
+    transcript is preserved end-to-end."""
+    from qasr_tpu.models.config import QuantConfig
+    from qasr_tpu.models import jasper as J
+    from qasr_tpu.quantize.freeze import FrozenExec, freeze_model
+    from tests.test_jasper_model import make_model, _calibrate
+
+    cfg, plan, enc, dec, dec_cfg = make_model()
+    folded = J.fold_bn_encoder(enc)
+    qcfg = QuantConfig(weight_bit=6, act_bit=6)
+    qstate = J.init_qstate(plan)
+    x = rng.normal(size=(2, 32, 16)).astype(np.float32)
+    lens = np.asarray([32, 32], np.int32)
+    qstate = _calibrate(plan, folded, qstate, qcfg,
+                        [rng.normal(size=(2, 32, 16)).astype(np.float32)
+                         for _ in range(3)], lens)
+    ex = J.QuantExec(folded, qstate, qcfg, activation="relu",
+                     update_ranges=True)
+    enc_out, _ = J.encoder_forward(ex, plan, jnp.asarray(x), jnp.asarray(lens))
+    J.decoder_forward_quant(ex, dec, enc_out)
+    qstate = ex.new_qstate
+
+    outs = {}
+    lps = {}
+    for mode in ("per_channel", "static_e16"):
+        tables = freeze_model(plan, folded, dec, qstate, qcfg, dec_cfg,
+                              dyadic_mode=mode)
+        assert tables["dyadic16"] == (mode == "static_e16")
+        fx = FrozenExec(tables, qcfg, activation="relu")
+        o, _ = J.encoder_forward(fx, plan, jnp.asarray(x), jnp.asarray(lens))
+        outs[mode] = np.asarray(o.values).astype(np.int64)
+        lps[mode] = np.asarray(J.decoder_forward_quant_frozen(fx, o)) \
+            if hasattr(J, "decoder_forward_quant_frozen") else None
+    diff = np.abs(outs["per_channel"] - outs["static_e16"])
+    # 2**-16 relative scale error per requant accumulates through the
+    # stack; integer activations live on a ~2**6 grid so the drift stays
+    # within a few counts
+    assert diff.max() <= 4, diff.max()
+    assert (diff > 0).mean() < 0.10, (diff > 0).mean()
+
+
+def test_static_e16_whole_model_transcripts(rng, monkeypatch):
+    """ASRModel frozen forward in static_e16 mode: greedy ids match the
+    exact-mode transcripts on the fused-kernel path."""
+    from qasr_tpu.models.config import (
+        BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.ctc_model import ASRModel, make_frozen_fn
+    from qasr_tpu.models.jasper import fabricate_qstate
+
+    blocks = (
+        BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
+                    residual=False, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(33,), residual=True,
+                    separable=True),
+    )
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=64, blocks=blocks, activation="relu"),
+        decoder=DecoderConfig(feat_in=64, num_classes=28),
+        preprocessor={"features": 64, "dither": 1e-5})
+    audio = rng.normal(size=(2, 16000)).astype(np.float32) * 0.1
+    lens = np.asarray([16000, 12000], np.int32)
+    monkeypatch.setenv("QASR_DW_MXU", "1")
+    monkeypatch.setenv("QASR_CM", "1")
+    monkeypatch.setenv("QASR_CM_FUSED", "1")
+
+    m = ASRModel.from_config(cfg, seed=0)
+    m.set_quant_bit(6, "all")
+    m.bn_folding()
+    m.qstate = fabricate_qstate(m.plan)
+    ids = {}
+    for mode in ("static_e", "static_e16"):
+        fn = make_frozen_fn(m, m.freeze(dyadic_mode=mode), argmax=True)
+        ids[mode], _ = fn(jnp.asarray(audio), jnp.asarray(lens))
+    # greedy ids (hence transcripts) preserved under the narrow multipliers
+    agree = np.mean(np.asarray(ids["static_e"]) == np.asarray(ids["static_e16"]))
+    assert agree > 0.999, agree
