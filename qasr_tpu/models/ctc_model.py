@@ -375,7 +375,9 @@ class ASRModel:
         return log_probs, enc_lens, ex.new_qstate
 
     def _forward_jit(self, mode: str):
-        key = (mode, self.qcfg)
+        import os
+        dyadic = os.environ.get("QASR_DYADIC_MODE", "static_e")
+        key = (mode, self.qcfg, dyadic if mode == "frozen" else None)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -399,9 +401,7 @@ class ASRModel:
             # requant multipliers) | static_e16 (16-bit multipliers, ~19%
             # faster, transcript-preserving — tests/test_static_dyadic.py)
             # | per_channel (reference-exact incl. per-channel exponents)
-            import os
-            mode = os.environ.get("QASR_DYADIC_MODE", "static_e")
-            fn = make_frozen_fn(self, self.freeze(dyadic_mode=mode))
+            fn = make_frozen_fn(self, self.freeze(dyadic_mode=dyadic))
         else:
             raise ValueError(mode)
         self._jit_cache[key] = fn
