@@ -215,3 +215,52 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
         for j in range(3):
             np.testing.assert_array_equal(outs["off"][j], outs[k][j],
                                           err_msg=f"{k} out{j}")
+
+
+def test_frozen_batch_invariance(rng, monkeypatch):
+    """Padded batching must not change any utterance's valid outputs: the
+    frozen forward of a 3-utterance batch (mixed lengths) is bit-identical
+    per utterance to running each alone — the property the B=64 serving
+    configuration relies on (masked convs zero all tail contributions)."""
+    import numpy as np
+
+    from qasr_tpu.models.config import (
+        BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.ctc_model import ASRModel
+    from qasr_tpu.models.jasper import fabricate_qstate
+
+    blocks = (
+        BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
+                    residual=False, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(33,), residual=True,
+                    separable=True),
+    )
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=64, blocks=blocks, activation="relu"),
+        decoder=DecoderConfig(feat_in=64, num_classes=28),
+        preprocessor={"features": 64, "dither": 1e-5})
+    monkeypatch.setenv("QASR_DW_MXU", "1")
+    monkeypatch.setenv("QASR_CM", "1")
+    monkeypatch.setenv("QASR_CM_FUSED", "1")
+
+    m = ASRModel.from_config(cfg, seed=0)
+    m.set_quant_bit(6, "all")
+    m.bn_folding()
+    m.qstate = fabricate_qstate(m.plan)
+
+    lens = np.asarray([16000, 11200, 7040], np.int32)
+    audio = np.zeros((3, 16000), np.float32)
+    for i, ln in enumerate(lens):
+        audio[i, :ln] = rng.normal(size=int(ln)).astype(np.float32) * 0.1
+
+    lp_b, el_b, _ = m.forward(audio, lens, mode="frozen")
+    for i, ln in enumerate(lens):
+        a1 = audio[i:i + 1, :ln].copy()
+        lp_1, el_1, _ = m.forward(a1, np.asarray([ln], np.int32),
+                                  mode="frozen")
+        n = int(el_1[0])
+        assert int(el_b[i]) == n
+        np.testing.assert_array_equal(
+            np.asarray(lp_b)[i, :n], np.asarray(lp_1)[0, :n],
+            err_msg=f"utt {i}")
