@@ -73,6 +73,12 @@ def _lib() -> ctypes.CDLL:
     return _LIB
 
 
+def _max_symbol_bytes(vocab: Sequence[str]) -> int:
+    """Longest vocab symbol in UTF-8 bytes (>= 1) — sizes text buffers so
+    strncpy truncation can never cut a multi-byte codepoint short."""
+    return max((len(s.encode("utf-8")) for s in vocab), default=1) or 1
+
+
 def convert_arpa_to_binary(arpa_path: str, out_path: str) -> str:
     """Convert a text ARPA LM to the mmap'd '.qlm' binary (an open-addressing
     table of 64-bit n-gram fingerprints — the KenLM 'probing' layout).  Load
@@ -122,7 +128,9 @@ class BeamSearchDecoderWithLM:
         lens = np.ascontiguousarray(np.asarray(log_probs_length, np.int32))
         b, t, v = lp.shape
         assert v == len(self.vocab) + 1, "blank must be the last index"
-        max_text = t + 1
+        # at most one emitted symbol per frame; symbols may be multi-byte
+        # UTF-8 (or multi-char BPE pieces), so size by the longest one
+        max_text = t * _max_symbol_bytes(self.vocab) + 1
         texts = ctypes.create_string_buffer(b * n_best * max_text)
         scores = (ctypes.c_double * (b * n_best))()
         blob = "\x1f".join(self.vocab).encode("utf-8")
@@ -143,7 +151,9 @@ class BeamSearchDecoderWithLM:
                     break
                 raw = texts.raw[(i * n_best + j) * max_text:
                                 (i * n_best + j + 1) * max_text]
-                cand.append((float(s), raw.split(b"\x00")[0].decode("utf-8")))
+                cand.append((float(s),
+                             raw.split(b"\x00")[0].decode("utf-8",
+                                                          errors="replace")))
             out.append(cand)
         return out
 
@@ -195,7 +205,7 @@ class StreamingBeamDecoder:
 
     def best(self, n_best: int = 1) -> List[Tuple[float, str]]:
         """Current n-best [(score, text)] — the stream keeps going after."""
-        max_text = self._frames + 2
+        max_text = self._frames * _max_symbol_bytes(self.vocab) + 2
         texts = ctypes.create_string_buffer(n_best * max_text)
         scores = (ctypes.c_double * n_best)()
         n = _lib().qasr_beam_stream_best(self._h, n_best, max_text, texts,
@@ -205,7 +215,9 @@ class StreamingBeamDecoder:
         out = []
         for i in range(min(n, n_best)):
             raw = texts.raw[i * max_text:(i + 1) * max_text]
-            out.append((float(scores[i]), raw.split(b"\x00")[0].decode("utf-8")))
+            out.append((float(scores[i]),
+                        raw.split(b"\x00")[0].decode("utf-8",
+                                                     errors="replace")))
         return out
 
     def reset(self) -> None:

@@ -377,7 +377,13 @@ class ASRModel:
     def _forward_jit(self, mode: str):
         import os
         dyadic = os.environ.get("QASR_DYADIC_MODE", "static_e")
-        key = (mode, self.qcfg, dyadic if mode == "frozen" else None)
+        # the executor-selection env vars make_frozen_fn reads at build time
+        # are part of the cache key too, so toggling them on a live model
+        # rebuilds the executor instead of silently reusing the old one
+        exec_env = tuple(os.environ.get(v, "") for v in
+                         ("QASR_DW_MXU", "QASR_CM", "QASR_CM_FUSED"))
+        key = (mode, self.qcfg,
+               (dyadic,) + exec_env if mode == "frozen" else None)
         if key in self._jit_cache:
             return self._jit_cache[key]
 

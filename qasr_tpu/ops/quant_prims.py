@@ -314,7 +314,10 @@ def dyadic_requant_static16(z: Array, m: Array, e: int, *,
     not the arithmetic.  With m 16-bit the 61-bit two-limb product
     collapses to two 32-bit multiplies and one limb recombination —
     roughly half the VPU ops of dyadic_requant_static.  Requires
-    |z| < 2**30 and 1 <= e <= 31 (the static_e16 freeze guarantees both).
+    |z| < 2**30 and 1 <= e <= 31: freeze_model checks the worst-case
+    accumulator bound of every consumer site (contraction * act bound *
+    weight bound + bias) and falls back to static_e when a site could
+    exceed 2**30, so frozen static_e16 tables guarantee both.
     """
     assert isinstance(e, int) and 1 <= e <= 31
     z = z.astype(jnp.int32)

@@ -94,12 +94,14 @@ def _dyadic(pre_scale: np.ndarray, out_scale: np.float32, mode: str = "per_chann
 
 
 class _SVal:
-    """Symbolic activation: just its scale (None => float/unquantized)."""
+    """Symbolic activation: its scale (None => float/unquantized) plus a
+    worst-case |integer value| bound used for overflow checks at freeze."""
 
-    __slots__ = ("scale",)
+    __slots__ = ("scale", "bound")
 
-    def __init__(self, scale):
+    def __init__(self, scale, bound=None):
         self.scale = scale  # np.float32 scalar, (C,) np array, or None
+        self.bound = bound  # int upper bound on |values|, or None (unknown)
 
 
 class ScaleFreezeExec:
@@ -111,6 +113,10 @@ class ScaleFreezeExec:
         self.qstate = qstate
         self.qcfg = qcfg
         self.dyadic_mode = dyadic_mode
+        # set when a static_e16 requant site could see |z| >= 2**30 — the
+        # 16-bit scheme's exactness bound (dyadic_requant_static16 computes
+        # p_hi = (z>>16)*m in int32); freeze_model then falls back to static_e
+        self.e16_overflow = False
         self.tables: Dict[str, Any] = {
             "blocks": [
                 {"convs": [None] * len(bp.convs), "res": [None] * len(bp.res),
@@ -128,6 +134,13 @@ class ScaleFreezeExec:
     def _act_bits(self, asymmetric: bool) -> int:
         return self.qcfg.act_bit + (1 if asymmetric else 0)
 
+    def _check_e16(self, x: _SVal) -> None:
+        """Consumer-side exactness check for 16-bit requant mantissas: the
+        incoming integer (a conv accumulator) must satisfy |z| < 2**30."""
+        if (self.dyadic_mode == "static_e16" and x.bound is not None
+                and x.bound >= (1 << 30)):
+            self.e16_overflow = True
+
     def masked_conv(self, site, spec: ConvSpec, x: _SVal, lens):
         bi, kind, i = site
         p = self.params["blocks"][bi][kind][i]
@@ -139,6 +152,7 @@ class ScaleFreezeExec:
         entry: Dict[str, Any] = {"act_scale": np.float32(act_scale),
                                  "act_bits": bits}
         if x.scale is not None:
+            self._check_e16(x)
             d = _dyadic(x.scale, act_scale, self.dyadic_mode)
             entry["act_m"], entry["act_e"] = d.m, d.e
         w_int, w_scale, out_scale, b_int = _weight_tables(
@@ -149,18 +163,34 @@ class ScaleFreezeExec:
             entry["b"] = b_int
         entry["out_scale"] = out_scale
         self.tables["blocks"][bi][kind][i] = entry
-        return _SVal(out_scale), conv_out_len(np.asarray(lens), spec)
+        # worst-case conv-accumulator magnitude: the requant clamps inputs
+        # to [-2**(bits-1), 2**(bits-1)-1] (fresh quantize is tighter)
+        contraction = spec.kernel * (spec.in_ch // spec.groups)
+        acc = (contraction * (1 << (bits - 1)) * int(np.abs(w_int).max())
+               + (int(np.abs(b_int).max()) if b_int is not None else 0))
+        if acc >= (1 << 31):
+            # worst-case only — real activations rarely saturate every lane,
+            # and the reference's float64 emulation would diverge from int32
+            # hardware in the same regime; surface it rather than refuse
+            from qasr_tpu.utils.logging import logging
+            logging.warning(
+                f"conv site {site}: worst-case accumulator {acc} exceeds "
+                f"int32 — consider lower weight/act bits", once=True)
+        return _SVal(out_scale, acc), conv_out_len(np.asarray(lens), spec)
 
     def residual_add(self, block_idx: int, pane: int, out: _SVal, res_out: _SVal,
                      mode: str):
         x_min, x_max = self._state(("blocks", block_idx, "res_act"))
         act_scale = _act_scale_f32(x_min, x_max, self.qcfg.act_bit)
+        self._check_e16(out)
+        self._check_e16(res_out)
         dx = _dyadic(out.scale, act_scale, self.dyadic_mode)
         dr = _dyadic(res_out.scale, act_scale, self.dyadic_mode)
         self.tables["blocks"][block_idx]["res_act"].append(
             {"m": dx.m, "e": dx.e, "m_r": dr.m, "e_r": dr.e,
              "scale": np.float32(act_scale)})
-        return _SVal(np.float32(act_scale))
+        # requant_clamp bounds the sum to [-2**(b-1), 2**(b-1)-1]
+        return _SVal(np.float32(act_scale), 1 << (self.qcfg.act_bit - 1))
 
     def activation(self, x: _SVal, dropout: float) -> _SVal:
         return x  # relu/hardtanh preserve the scale grid
@@ -204,6 +234,18 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
     (reference-exact 31-bit mantissas; ~5x slower requants)."""
     fx = ScaleFreezeExec(enc_params, qstate, qcfg, plan, dyadic_mode)
     out_sval, _ = encoder_forward(fx, plan, _SVal(None), np.zeros((1,), np.int64))
+    fx._check_e16(out_sval)  # the decoder's act requant consumes this
+    if fx.e16_overflow:
+        # a site's worst-case accumulator exceeds the 16-bit scheme's
+        # |z| < 2**30 exactness bound (large kernel*channels contractions,
+        # e.g. non-separable 8-bit models) — fall back to static_e, whose
+        # two-limb product is exact for |z| < 2**31
+        from qasr_tpu.utils.logging import logging
+        logging.warning("static_e16 requant could overflow on this model "
+                        "(worst-case accumulator >= 2**30); falling back to "
+                        "dyadic_mode='static_e'")
+        return freeze_model(plan, enc_params, dec_params, qstate, qcfg,
+                            dec_cfg, dyadic_mode="static_e")
     tables = fx.tables
     tables["dyadic16"] = dyadic_mode == "static_e16"
     _mark_separable_fusion(plan, tables)
@@ -520,8 +562,11 @@ class FrozenExecCM(FrozenExec):
     def _is_nonneg(self, x) -> bool:
         """True when x is the tensor activation() just returned — relu and
         the clip(0, hi) hardtanh both guarantee values >= 0, letting the
-        following requant skip sign handling (exact on non-negatives)."""
-        return id(x) == getattr(self, "_nonneg_id", None)
+        following requant skip sign handling (exact on non-negatives).
+        Tracks a *strong reference* compared with ``is`` (not ``id()``):
+        CPython reuses freed object addresses, so an id of a collected
+        QTensor could alias an unrelated later tensor."""
+        return x is getattr(self, "_nonneg_ref", None)
 
     def _prep_input_cm(self, entry, x, lens, bits: int):
         """Mask + requant + clamp + narrow the conv input to int8-valued
@@ -574,7 +619,7 @@ class FrozenExecCM(FrozenExec):
     def activation(self, x: QTensor, dropout: float) -> QTensor:
         if self.activation_kind == "relu":
             out = QTensor(jnp.maximum(x.values, 0), x.scale)
-            self._nonneg_id = id(out)
+            self._nonneg_ref = out
             return out
         if self.activation_kind == "hardtanh":
             hi = jnp.round(20.0 / _cm_vec(x.scale)).astype(jnp.int32)
@@ -582,7 +627,7 @@ class FrozenExecCM(FrozenExec):
                 hi = jnp.minimum(hi, 127)
             out = QTensor(jnp.clip(x.values, 0, hi).astype(x.values.dtype),
                           x.scale)
-            self._nonneg_id = id(out)
+            self._nonneg_ref = out
             return out
         y = jnp.round(_apply_activation(
             x.values.astype(jnp.float32) * _cm_vec(x.scale),

@@ -42,5 +42,6 @@ setup(
         "qasr-train=qasr_tpu.cli.speech_to_text:main",
         "qasr-prepare-data=qasr_tpu.cli.prepare_data:main",
         "qasr-segment=qasr_tpu.cli.segment:main",
+        "qasr-vad-post=qasr_tpu.cli.vad_post:main",
     ]},
 )

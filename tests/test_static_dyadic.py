@@ -143,3 +143,55 @@ def test_static_e16_whole_model_transcripts(rng, monkeypatch):
     # greedy ids (hence transcripts) preserved under the narrow multipliers
     agree = np.mean(np.asarray(ids["static_e"]) == np.asarray(ids["static_e16"]))
     assert agree > 0.999, agree
+
+
+def test_static_e16_overflow_falls_back(rng):
+    """A non-separable conv with a huge contraction (K*Cin) can push the
+    worst-case int32 accumulator past the 16-bit scheme's |z| < 2**30
+    exactness bound; freeze must detect it and fall back to static_e
+    (ADVICE r2: dyadic_requant_static16's p_hi would overflow silently)."""
+    import jax
+    from qasr_tpu.models.config import (
+        BlockConfig, DecoderConfig, EncoderConfig, QuantConfig,
+    )
+    from qasr_tpu.models import jasper as J
+    from qasr_tpu.quantize.freeze import freeze_model
+    from tests.test_jasper_model import FEAT, _calibrate
+
+    blocks = (
+        BlockConfig(filters=1024, repeat=1, kernel=(3,), residual=False,
+                    separable=False),
+        # contraction = 65 * 1024 = 66560; with 8-bit acts (bound 2**8 after
+        # the asymmetric trick) and |w| <= 127: > 2**30
+        BlockConfig(filters=8, repeat=1, kernel=(65,), residual=False,
+                    separable=False),
+    )
+    cfg = EncoderConfig(feat_in=FEAT, blocks=blocks, activation="relu")
+    plan = J.build_encoder_plan(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    enc = J.init_encoder_params(k1, plan)
+    dec_cfg = DecoderConfig(feat_in=8, num_classes=28)
+    dec = J.init_decoder_params(k2, dec_cfg)
+    folded = J.fold_bn_encoder(enc)
+    qcfg = QuantConfig(weight_bit=8, act_bit=8)
+    x = rng.normal(size=(1, 16, FEAT)).astype(np.float32)
+    lens = np.asarray([16], np.int32)
+    ex = J.QuantExec(folded, J.init_qstate(plan), qcfg, activation="relu",
+                     update_ranges=True)
+    enc_out, _ = J.encoder_forward(ex, plan, jnp.asarray(x), jnp.asarray(lens))
+    J.decoder_forward_quant(ex, dec, enc_out)
+    qstate = ex.new_qstate
+    tables = freeze_model(plan, folded, dec, qstate, qcfg, dec_cfg,
+                          dyadic_mode="static_e16")
+    assert tables["dyadic16"] is False  # fell back to the 31-bit scheme
+    # a small-contraction model keeps the 16-bit mode
+    from tests.test_jasper_model import make_model
+    _, plan2, enc2, dec2, dec_cfg2 = make_model()
+    folded2 = J.fold_bn_encoder(enc2)
+    ex2 = J.QuantExec(folded2, J.init_qstate(plan2), qcfg, activation="relu",
+                      update_ranges=True)
+    eo2, _ = J.encoder_forward(ex2, plan2, jnp.asarray(x), jnp.asarray(lens))
+    J.decoder_forward_quant(ex2, dec2, eo2)
+    t2 = freeze_model(plan2, folded2, dec2, ex2.new_qstate, qcfg, dec_cfg2,
+                      dyadic_mode="static_e16")
+    assert t2["dyadic16"] is True
