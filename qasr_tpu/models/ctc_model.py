@@ -190,13 +190,18 @@ class ASRModel:
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, seed: int = 0,
-                        allow_random_weights: bool = False) -> "ASRModel":
-        """Local .nemo path, or a name found in $QASR_PRETRAINED_DIR/<name>.nemo
-        (the NGC-download cache's role, common.py:378-433 — this image has no
-        egress).  A preset name with no cached checkpoint is an error unless
-        `allow_random_weights=True` (architecture-only model: benchmarking,
-        structure tests) — the reference never hands back fabricated weights
-        under a pretrained name."""
+                        allow_random_weights: bool = False,
+                        refresh_cache: bool = False,
+                        fetcher=None) -> "ASRModel":
+        """Local .nemo path, a name found in $QASR_PRETRAINED_DIR/<name>.nemo,
+        or a model-card name resolved url -> md5-keyed cache -> restore
+        (common.py:378-433 + cloud.py:24-82).  ``fetcher(url, dest)`` is
+        injectable (utils/cloud.py) so no-egress environments can serve
+        checkpoints from file:// mirrors.  A preset name that resolves
+        nowhere is an error unless `allow_random_weights=True`
+        (architecture-only model: benchmarking, structure tests) — the
+        reference never hands back fabricated weights under a pretrained
+        name."""
         import os
 
         if name_or_path.endswith(".nemo"):
@@ -206,6 +211,21 @@ class ASRModel:
             local = os.path.join(cache_dir, name_or_path + ".nemo")
             if os.path.exists(local):
                 return cls._from_nemo(local)
+        # allow_random_weights callers (benchmarks, structure tests) opted
+        # out of real weights — don't stall them on network attempts unless
+        # a fetcher was explicitly injected
+        if fetcher is not None or not allow_random_weights:
+            from qasr_tpu.utils.cloud import resolve_pretrained
+            try:
+                path = resolve_pretrained(name_or_path,
+                                          refresh_cache=refresh_cache,
+                                          fetcher=fetcher)
+            except RuntimeError as e:  # download failed (e.g. no egress)
+                from qasr_tpu.utils.logging import logging
+                logging.warning(f"pretrained download failed: {e}")
+                path = None
+            if path is not None:
+                return cls._from_nemo(path)
         if name_or_path in PRESETS:
             if not allow_random_weights:
                 raise FileNotFoundError(

@@ -33,6 +33,59 @@ class ExpManagerConfig:
     # reference workflow assumes, exp_manager.py:480-539); written by the
     # in-tree tfevents encoder — no tensorboard package needed
     create_tensorboard_logger: bool = True
+    # Weights & Biases hook (reference exp_manager.py:498-539): requires
+    # name/project in wandb_kwargs; uses the wandb package when importable,
+    # else records the same stream to <log_dir>/wandb_offline.jsonl
+    create_wandb_logger: bool = False
+    wandb_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+class _WandbLogger:
+    """Thin W&B adapter (reference exp_manager.py:498-539 WandbLogger
+    branch).  When the wandb package is importable a real run is created
+    under <log_dir>; otherwise the same (step, metrics) stream goes to
+    <log_dir>/wandb_offline.jsonl so the hook is exercisable anywhere."""
+
+    def __init__(self, log_dir: str, kwargs: Dict[str, Any]):
+        self._run = None
+        self._offline = None
+        try:
+            import wandb  # noqa: F401  (optional dependency)
+
+            self._run = wandb.init(dir=log_dir, **kwargs)
+            logging.info("WandbLogger has been set up")
+        except ImportError:
+            path = os.path.join(log_dir, "wandb_offline.jsonl")
+            self._offline = open(path, "a")
+            json.dump({"wandb_init": kwargs}, self._offline)
+            self._offline.write("\n")
+            self._offline.flush()
+            logging.warning("wandb package not installed; recording the "
+                            f"W&B stream offline to {path}", once=True)
+
+    def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if self._run is not None:
+            self._run.log(dict(metrics), step=step)
+        elif self._offline is not None:
+            json.dump({"step": step, **{k: _scalar(v)
+                                        for k, v in metrics.items()}},
+                      self._offline)
+            self._offline.write("\n")
+            self._offline.flush()
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+        elif self._offline is not None:
+            self._offline.close()
+            self._offline = None
+
+
+def _scalar(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
 
 
 class ExpManager:
@@ -59,6 +112,14 @@ class ExpManager:
             from qasr_tpu.utils.tb_writer import TBWriter
 
             self.tb = TBWriter(self.log_dir)
+        self.wandb = None
+        if cfg.create_wandb_logger:
+            kw = dict(cfg.wandb_kwargs or {})
+            if "name" not in kw and "project" not in kw:
+                # reference exp_manager.py:528-529 rejects the same way
+                raise ValueError("name and project are required for "
+                                 "wandb_logger")
+            self.wandb = _WandbLogger(self.log_dir, kw)
         self._ckpts: List[str] = []
         if run_config is not None:
             import yaml
@@ -91,6 +152,17 @@ class ExpManager:
                     self.tb.add_scalar(k, float(v), step)
                 except (TypeError, ValueError):
                     pass  # non-scalar metric: JSONL only
+        if self.wandb is not None:
+            self.wandb.log(step, metrics)
+
+    def close(self) -> None:
+        """Flush + release the metric sinks (run end)."""
+        if self.wandb is not None:
+            self.wandb.finish()
+        if self.tb is not None:
+            self.tb.close()
+        if not self._metrics.closed:
+            self._metrics.close()
 
     # -- checkpoints -----------------------------------------------------
 
