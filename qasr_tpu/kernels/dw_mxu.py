@@ -163,6 +163,40 @@ def dw_banded_cm(x: Array, wband: Array, j_min: int, stride: int) -> Array:
         preferred_element_type=jnp.int32)            # (C, 128, B, n_to)
 
 
+def dw_gather_cm_ext(xe: Array, n_d: int, stride: int, n_to: int) -> Array:
+    """Banded-window gather from a halo-extended local shard (sequence-
+    parallel executors).
+
+    xe: (C, 128, B, n_ext) where n_ext = hl + n_local + hr with hl = -j_min
+    left-neighbor tiles and hr = j_min + n_d - stride right-neighbor tiles
+    (zeros at the global edges — jax.lax.ppermute's fill matches the conv's
+    zero padding).  In extended coordinates the first local output's window
+    starts at tile 0, so the gather is the j_min = 0 case of dw_gather_cm
+    with exactly n_to = n_local // stride outputs and no padding.
+    """
+    c, _, b, n_ext = xe.shape
+    assert stride * (n_to - 1) + n_d <= n_ext + (stride - 1), (n_to, n_ext)
+    cols = []
+    for jj in range(n_d):
+        sl = jax.lax.slice(xe, (0, 0, 0, jj),
+                           (c, 128, b, jj + stride * (n_to - 1) + 1),
+                           (1, 1, 1, stride))
+        cols.append(sl)
+    return jnp.concatenate(cols, axis=1)             # (C, n_d*128, B, n_to)
+
+
+def dw_banded_cm_ext(xe: Array, wband: Array, stride: int, n_to: int) -> Array:
+    """dw_banded_cm on a halo-extended shard: returns the device's local
+    (C, 128, B, n_to) int32 output tiles, bit-identical to the matching
+    slice of the full-tensor dw_banded_cm."""
+    n_d = wband.shape[2] // 128
+    xg = dw_gather_cm_ext(xe, n_d, stride, n_to)
+    return jax.lax.dot_general(
+        wband, xg,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+
+
 def to_cm(x: Array) -> Array:
     """(B, T, C) -> (C, 128, B, T//128); T must be a multiple of 128."""
     b, t, c = x.shape

@@ -77,13 +77,20 @@ def _conv_t(t: int, spec) -> int:
         // spec.stride + 1
 
 
-def make_frozen_fn(model, tables, argmax: bool = False):
+def make_frozen_fn(model, tables, argmax: bool = False,
+                   return_band_args: bool = False):
     """fn(audio, lens) -> (log_probs | greedy ids, enc_lens) on the frozen
     integer path, picking the fastest eligible executor: fused channel-major
     (FrozenExecCMF, Pallas dot+requant-epilogue kernels) > channel-major
     banded-MXU (FrozenExecCM) > banded-MXU in (B, T, C) > VPU kernels.
     All four are bit-identical; the CM outputs are trimmed to the default
-    path's frame count so shapes match too."""
+    path's frame count so shapes match too.
+
+    return_band_args=True returns (fn3, bands) where fn3(audio, lens,
+    dw_bands) threads the banded weight tiles through the jit signature —
+    for callers that re-jit the function themselves (__graft_entry__), where
+    a closure would inline the ~1 GB of tiles as HLO literals and overflow
+    compile-payload limits (PERF.md round 2b)."""
     import os
 
     from qasr_tpu.models.jasper import encoder_forward, pad_frames_aligned
@@ -140,6 +147,8 @@ def make_frozen_fn(model, tables, argmax: bool = False):
             lp = lp[:, :t, :]
             return (jnp.argmax(lp, axis=-1) if argmax else lp), enc_lens
 
+        if return_band_args:
+            return _fn, bands
         return lambda audio, lens: _fn(audio, lens, bands)
 
     bands = _dw_bands_device(plan, tables) if mxu else None
@@ -154,6 +163,8 @@ def make_frozen_fn(model, tables, argmax: bool = False):
         lp = fx.decoder(enc)
         return (jnp.argmax(lp, axis=-1) if argmax else lp), enc_lens
 
+    if return_band_args:
+        return _fn, bands
     return lambda audio, lens: _fn(audio, lens, bands)
 
 

@@ -17,7 +17,7 @@ The synthesizer's independent problems shard over 'data' the same way
 """
 from __future__ import annotations
 
-
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,12 +28,197 @@ from qasr_tpu.models.jasper import encoder_forward
 from qasr_tpu.quantize.freeze import FrozenExec
 
 
+# ---------------------------------------------------------------------------
+# Channel-major fast path under the mesh (shard_map)
+# ---------------------------------------------------------------------------
+#
+# The serving-default executors (FrozenExecCM / FrozenExecCMF with the fused
+# Pallas dw kernels) cannot ride XLA's automatic SPMD partitioner — custom
+# calls have no sharding rules — so the sharded fast path runs the whole
+# forward inside `shard_map`, where every op (including pallas_call) works on
+# the device-local block and collectives are explicit:
+#   data axis  — batch sharding, no communication (DP);
+#   model axis — out-channel sharding (TP): depthwise convs / requants /
+#                residual adds are per-channel (local), pointwise dots
+#                all-gather their int8 inputs along 'model' (the bytes-
+#                minimal point: after requant+narrow) against out-channel-
+#                sharded weights — one int8 all-gather per pw conv, the
+#                Megatron-style row/column alternation for separable stacks.
+# Bit-identity: gathers/slices are exact, the integer math is unchanged, and
+# each epilogue sees the same values as the single-device run.
+
+
+def _localize_tables_cm(tables, axis_name: str, tp: int):
+    """Per-device view of the frozen tables for channel-sharded (TP)
+    execution inside shard_map: every per-channel array leaf is sliced to
+    this device's channel shard (conv kernels on their out-channel axis,
+    biases / requant mantissas / out_scales on their channel axis); scalars
+    and static exponents (python ints) pass through untouched.  The decoder
+    head stays replicated (its out axis is the vocabulary) except its input
+    requant mantissa, which matches the channel-sharded encoder output."""
+    idx = jax.lax.axis_index(axis_name)
+
+    def sl(x, axis):
+        x = jnp.asarray(x)
+        if x.shape[axis] % tp:
+            raise ValueError(
+                f"TP requires channel counts divisible by {tp}; got "
+                f"{x.shape} axis {axis}")
+        cl = x.shape[axis] // tp
+        return jax.lax.dynamic_slice_in_dim(x, idx * cl, cl, axis=axis)
+
+    def conv_entry(e, out_sharded: bool = True):
+        out = dict(e)
+        if out_sharded:
+            if "w" in e:
+                out["w"] = sl(e["w"], 2)
+            if "b" in e:
+                out["b"] = sl(e["b"], 0)
+            if np.ndim(e.get("out_scale")) == 1:
+                out["out_scale"] = sl(e["out_scale"], 0)
+        if "act_m" in e and np.ndim(e["act_m"]) == 1:
+            out["act_m"] = sl(e["act_m"], 0)
+        return out
+
+    out = {"blocks": [], "dyadic16": tables.get("dyadic16", False)}
+    for tb in tables["blocks"]:
+        lb = {"convs": [conv_entry(e) if e is not None else None
+                        for e in tb["convs"]],
+              "res": [conv_entry(e) if e is not None else None
+                      for e in tb["res"]],
+              "res_act": []}
+        for e in tb["res_act"]:
+            le = dict(e)
+            for k in ("m", "m_r"):
+                if np.ndim(e[k]) == 1:
+                    le[k] = sl(e[k], 0)
+            lb["res_act"].append(le)
+        out["blocks"].append(lb)
+    dec = dict(tables["decoder"])
+    if np.ndim(dec.get("act_m")) == 1:
+        dec["act_m"] = sl(dec["act_m"], 0)
+    out["decoder"] = dec
+    return out
+
+
+def make_sharded_frozen_forward_cm(model, tables, mesh: Mesh,
+                                   shard_channels: bool = False,
+                                   shard_time: bool = False,
+                                   fused: Optional[bool] = None):
+    """Sharded frozen forward on the channel-major fast path (the serving
+    default of make_frozen_fn): banded-MXU depthwise + fused Pallas
+    dot/requant kernels, run per-shard inside shard_map.
+
+    Batch shards on 'data'.  shard_channels=True additionally runs
+    out-channel TP over 'model' (bands + table vectors sharded, one int8
+    all-gather per pointwise conv); shard_time=True instead shards the time
+    tiles over 'model' (SP), with depthwise convs ppermute-exchanging their
+    halo tiles.  Bit-identical to the single-device fast path.  Returns
+    fn(audio (B, L), lens (B,)) -> (ids, enc_lens).
+    """
+    from jax import shard_map
+
+    from qasr_tpu.parallel.mesh import replicated
+    from qasr_tpu.models.ctc_model import _conv_t, _plan_total_stride
+    from qasr_tpu.models.jasper import pad_frames_aligned
+    from qasr_tpu.quantize.freeze import (
+        FrozenExecCM, FrozenExecCMF, build_dw_bands_cm, plan_supports_cm,
+        tables_all_static_e,
+    )
+
+    frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
+    if not plan_supports_cm(plan, qcfg):
+        raise ValueError("plan is not channel-major eligible "
+                         "(plan_supports_cm)")
+    if shard_channels and shard_time:
+        raise ValueError("TP and SP both use the 'model' axis; pick one")
+    if fused is None:
+        fused = tables_all_static_e(tables)
+    tp = mesh.shape["model"] if shard_channels else 1
+    tp_axis = "model" if tp > 1 else None
+    sp = mesh.shape["model"] if shard_time else 1
+    sp_axis = "model" if sp > 1 else None
+
+    bands_np, jmins = build_dw_bands_cm(plan, tables)
+    if fused:
+        # 2D (C*128, n_d*128) so jit-parameter layouts stay default
+        bands = {k: jnp.asarray(v.reshape(-1, v.shape[2]))
+                 for k, v in bands_np.items()}
+        band_spec = {k: P("model", None) if tp > 1 else P()
+                     for k in bands}
+    else:
+        bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
+        band_spec = {k: P("model", None, None) if tp > 1 else P()
+                     for k in bands}
+    repl = replicated(mesh)
+    dt = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), repl)
+        if isinstance(x, (np.ndarray, jax.Array)) else x, tables)
+    # frames pad to a tile multiple at every stride level on every shard
+    mult = 128 * _plan_total_stride(plan) * sp
+
+    def local_fwd(audio, lens, dw_bands):
+        feats, feat_lens = frontend(audio, lens, dither=0.0)
+        feats = pad_frames_aligned(feats, mult)
+        lt = _localize_tables_cm(dt, tp_axis, tp) if tp > 1 else dt
+        cls = FrozenExecCMF if fused else FrozenExecCM
+        fx = cls(lt, qcfg, activation=plan.activation,
+                 dw_bands=dw_bands, dw_jmins=jmins,
+                 tp_axis=tp_axis, tp_size=tp, sp_axis=sp_axis, sp_size=sp)
+        enc, enc_lens = encoder_forward(fx, plan, feats, feat_lens)
+        lp = fx.decoder(enc)
+        return jnp.argmax(lp, axis=-1), enc_lens
+
+    if tp > 1:
+        bands = {k: jax.device_put(v, NamedSharding(mesh, band_spec[k]))
+                 for k, v in bands.items()}
+    # SP: the ids' time axis is tile-sharded over 'model'
+    ids_spec = P("data", "model") if sp > 1 else P("data")
+    fn = jax.jit(shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(P("data"), P("data"), band_spec),
+        out_specs=(ids_spec, P("data")),
+        check_vma=False,
+    ))
+
+    trim_cache: dict = {}
+
+    def _trim_t(shape) -> int:
+        # frame count the (B, T, C) base path would produce for this audio
+        # shape: frontend frames (via eval_shape — includes its pad_to),
+        # ceil to the base pad multiple 64, through the conv stride chain
+        if shape not in trim_cache:
+            fs = jax.eval_shape(
+                lambda a, l: frontend(a, l, dither=0.0)[0],
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct((shape[0],), jnp.int32))
+            t = -(-fs.shape[1] // 64) * 64
+            for bp in plan.blocks:
+                for spec in bp.convs:
+                    t = _conv_t(t, spec)
+            trim_cache[shape] = t
+        return trim_cache[shape]
+
+    def call(audio, lens):
+        ids, el = fn(jnp.asarray(audio), jnp.asarray(lens), bands)
+        return ids[:, :_trim_t(tuple(audio.shape))], el
+
+    return call
+
+
 def make_sharded_frozen_forward(model, tables, mesh: Mesh,
                                 shard_time: bool = False,
-                                shard_channels: bool = False):
+                                shard_channels: bool = False,
+                                executor: str = "auto"):
     """Build a jitted frozen-integer forward with batch (and optionally time
     or conv-out-channel) sharding.
     Returns fn(audio (B, L), lens (B,)) -> (greedy_ids, enc_lens).
+
+    executor: 'auto' picks the channel-major fast path (banded-MXU dw +
+    fused Pallas kernels, the make_frozen_fn serving default) whenever the
+    plan is eligible and the request has no time sharding; 'cm' forces it;
+    'base' keeps the (B, T, C) FrozenExec under XLA's automatic partitioner
+    (required for shard_time, where XLA inserts the conv halo exchanges).
 
     The tables are closed over as placed constants (not jit args) so the
     static dyadic exponents stay Python ints — compile-time shift constants.
@@ -42,8 +227,16 @@ def make_sharded_frozen_forward(model, tables, mesh: Mesh,
     implied collectives.
     """
     from qasr_tpu.parallel.mesh import replicated, shard_frozen_tables
+    from qasr_tpu.quantize.freeze import plan_supports_cm
 
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
+    if executor not in ("auto", "cm", "base"):
+        raise ValueError(executor)
+    if executor == "cm" or (executor == "auto"
+                            and plan_supports_cm(plan, qcfg)):
+        return make_sharded_frozen_forward_cm(
+            model, tables, mesh, shard_channels=shard_channels,
+            shard_time=shard_time)
     audio_spec = P("data", "model") if shard_time else P("data")
 
     if shard_channels:

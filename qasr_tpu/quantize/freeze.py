@@ -518,17 +518,19 @@ def _cm_vec(v):
     return a.reshape(-1, 1, 1, 1) if a.ndim == 1 else a
 
 
-def cm_mask(lens: Array, n_t: int) -> Array:
-    """(128, B, n_t) bool validity mask; time t = tile*128 + row."""
+def cm_mask(lens: Array, n_t: int, tile0=0) -> Array:
+    """(128, B, n_t) bool validity mask; time t = (tile0 + tile)*128 + row.
+    tile0 (static or traced) offsets the local tile window under
+    sequence-parallel sharding."""
     t_idx = (jnp.arange(128)[:, None, None]
-             + 128 * jnp.arange(n_t)[None, None, :])   # (128, 1, n_t)
+             + 128 * (tile0 + jnp.arange(n_t))[None, None, :])  # (128, 1, n_t)
     return t_idx < lens[None, :, None]                  # (128, B, n_t)
 
 
-def mask_values_cm(v: Array, lens: Array) -> Array:
+def mask_values_cm(v: Array, lens: Array, tile0=0) -> Array:
     """Zero rows at/after the per-sample length; v: (C, 128, B, n_t),
-    time t = tile*128 + row."""
-    mask = cm_mask(lens, v.shape[3])
+    time t = (tile0 + tile)*128 + row."""
+    mask = cm_mask(lens, v.shape[3], tile0)
     return jnp.where(mask[None], v, jnp.zeros((), v.dtype))
 
 
@@ -546,10 +548,90 @@ class FrozenExecCM(FrozenExec):
     must be padded to 128 * total_stride (pad_frames_aligned)."""
 
     def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
-                 dw_bands: Dict[str, Array], dw_jmins: Dict[str, int]):
+                 dw_bands: Dict[str, Array], dw_jmins: Dict[str, int],
+                 tp_axis: Optional[str] = None, tp_size: int = 1,
+                 sp_axis: Optional[str] = None, sp_size: int = 1):
         super().__init__(tables, qcfg, activation=activation)
         self.dw_bands_cm = dw_bands
         self.dw_jmins = dw_jmins
+        # Tensor-parallel mode (inside shard_map): the channel axis of every
+        # interior tensor, band, and per-channel table vector is the LOCAL
+        # shard of the mesh axis `tp_axis`.  Depthwise convs, requants,
+        # activations, and residual adds are per-channel — no communication;
+        # pointwise convs contract the full Cin, so their (already int8)
+        # inputs are all-gathered along tp_axis while the weight stays
+        # out-channel-sharded (parallel/eval.py localize_tables_cm).
+        self.tp_axis = tp_axis
+        self.tp_size = tp_size
+        # Sequence-parallel mode (inside shard_map): the tile axis (axis 3)
+        # of every interior tensor is the LOCAL time shard of mesh axis
+        # `sp_axis` — pointwise convs / requants / residual adds are local,
+        # masks are offset by the shard's global tile index, and depthwise
+        # convs ppermute-exchange the few neighbor tiles their band reaches
+        # (halo = receptive field at 128-frame tile granularity; ppermute's
+        # zero fill at the mesh edges matches the conv's zero padding).
+        self.sp_axis = sp_axis
+        self.sp_size = sp_size
+
+    def _sp_tile0(self, n_t_local: int):
+        """Global tile index of this device's first local tile."""
+        if self.sp_axis is None:
+            return 0
+        return jax.lax.axis_index(self.sp_axis) * n_t_local
+
+    def _sp_halo4(self, x: Array, hl: int, hr: int) -> Array:
+        """Extend the local tile axis (last) with hl left-neighbor and hr
+        right-neighbor tiles via ppermute; devices at the mesh edges
+        receive zeros (= the global conv padding)."""
+        if self.sp_axis is None or (hl == 0 and hr == 0):
+            return x
+        n = self.sp_size
+        parts = []
+        if hl:
+            parts.append(jax.lax.ppermute(
+                x[..., -hl:], self.sp_axis,
+                [(i, i + 1) for i in range(n - 1)]))
+        parts.append(x)
+        if hr:
+            parts.append(jax.lax.ppermute(
+                x[..., :hr], self.sp_axis,
+                [(i + 1, i) for i in range(n - 1)]))
+        return jnp.concatenate(parts, axis=-1)
+
+    def _dw_halos(self, key: str, stride: int):
+        """(hl, hr) neighbor tiles a depthwise site needs: its band reads
+        input tiles [s*o + j_min, s*o + j_min + n_d - 1] per output tile o."""
+        if self.sp_axis is None:
+            return 0, 0
+        n_d = self.dw_bands_cm[key].shape[-1] // 128
+        j_min = self.dw_jmins[key]
+        return max(0, -j_min), max(0, j_min + n_d - stride)
+
+    def _local_tiles(self, x: Array) -> Array:
+        """Slice this device's tile shard from a full-T channel-major
+        tensor (the float network input after to_cm); axis 3."""
+        if self.sp_axis is None:
+            return x
+        nl = x.shape[3] // self.sp_size
+        idx = jax.lax.axis_index(self.sp_axis)
+        return jax.lax.dynamic_slice_in_dim(x, idx * nl, nl, axis=3)
+
+    def _local_channels(self, x: Array) -> Array:
+        """Slice this device's channel shard from a full-C channel-major
+        tensor (the float network input after to_cm)."""
+        if self.tp_axis is None:
+            return x
+        cl = x.shape[0] // self.tp_size
+        idx = jax.lax.axis_index(self.tp_axis)
+        return jax.lax.dynamic_slice_in_dim(x, idx * cl, cl, axis=0)
+
+    def _gather_tp(self, xq: Array) -> Array:
+        """all-gather a channel-sharded int8 tensor to full C (axis 0).
+        tiled=True concatenates shards in axis order, restoring the global
+        channel order the out-channel-sharded weights were sliced from."""
+        if self.tp_axis is None:
+            return xq
+        return jax.lax.all_gather(xq, self.tp_axis, axis=0, tiled=True)
 
     def _requant_cm(self, z, m, e, nonneg: bool = False):
         m = _cm_vec(m)
@@ -574,7 +656,8 @@ class FrozenExecCM(FrozenExec):
         and the float network input (quantized then converted once)."""
         if isinstance(x, QTensor):
             nonneg = self._is_nonneg(x)
-            xv = mask_values_cm(x.values, lens)
+            xv = mask_values_cm(x.values, lens,
+                                self._sp_tile0(x.values.shape[3]))
             q = requant_clamp(
                 self._requant_cm(xv, entry["act_m"], entry["act_e"],
                                  nonneg=nonneg), bits)
@@ -584,8 +667,8 @@ class FrozenExecCM(FrozenExec):
         n = 2 ** (bits - 1) - 1
         xm = mask_values(x, lens)
         q = jnp.round((1.0 / entry["act_scale"]) * xm)
-        return to_cm(self._narrow(
-            jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))
+        return self._local_tiles(self._local_channels(to_cm(self._narrow(
+            jnp.clip(q, -n, n - 1).astype(jnp.int32), bits))))
 
     def masked_conv(self, site, spec: ConvSpec, x, lens):
         bi, kind, i = site
@@ -594,13 +677,19 @@ class FrozenExecCM(FrozenExec):
         bits = self._act_bits(spec)
         xq = self._prep_input_cm(entry, x, lens, bits)
         if _is_dw(spec):
-            from qasr_tpu.kernels.dw_mxu import dw_banded_cm
+            from qasr_tpu.kernels.dw_mxu import dw_banded_cm, dw_banded_cm_ext
 
             key = f"{bi}.{kind}.{i}"
-            y = dw_banded_cm(xq, self.dw_bands_cm[key], self.dw_jmins[key],
-                             spec.stride)
+            hl, hr = self._dw_halos(key, spec.stride)
+            if hl or hr:
+                xe = self._sp_halo4(xq, hl, hr)
+                y = dw_banded_cm_ext(xe, self.dw_bands_cm[key], spec.stride,
+                                     xq.shape[3] // spec.stride)
+            else:
+                y = dw_banded_cm(xq, self.dw_bands_cm[key],
+                                 self.dw_jmins[key], spec.stride)
         else:
-            y = jax.lax.dot_general(entry["w"][0], xq,
+            y = jax.lax.dot_general(entry["w"][0], self._gather_tp(xq),
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
         if "b" in entry:
@@ -641,7 +730,7 @@ class FrozenExecCM(FrozenExec):
         q = requant_clamp(
             self._requant_cm(x.values, t["act_m"], t["act_e"]),
             self.qcfg.act_bit)
-        xv = self._narrow(q, self.qcfg.act_bit)
+        xv = self._gather_tp(self._narrow(q, self.qcfg.act_bit))
         y = jax.lax.dot_general(t["w"][0], xv, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
         y = y + _cm_vec(t["b"])
@@ -705,9 +794,13 @@ class FrozenExecCMF(FrozenExecCM):
 
     def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
                  dw_bands: Dict[str, Array], dw_jmins: Dict[str, int],
-                 fuse_pw: bool = False):
+                 fuse_pw: bool = False, tp_axis: Optional[str] = None,
+                 tp_size: int = 1, sp_axis: Optional[str] = None,
+                 sp_size: int = 1):
         super().__init__(tables, qcfg, activation=activation,
-                         dw_bands=dw_bands, dw_jmins=dw_jmins)
+                         dw_bands=dw_bands, dw_jmins=dw_jmins,
+                         tp_axis=tp_axis, tp_size=tp_size,
+                         sp_axis=sp_axis, sp_size=sp_size)
         self.fuse_pw = fuse_pw
 
     # -- pending resolution --------------------------------------------------
@@ -720,9 +813,8 @@ class FrozenExecCMF(FrozenExecCM):
         b2 = self.dw_bands_cm[key]
         return b2.reshape(c, 128, b2.shape[1]) if b2.ndim == 2 else b2
 
-    @staticmethod
-    def _mask2(lens, n_t: int):
-        return cm_mask(lens, n_t).reshape(128, lens.shape[0] * n_t)
+    def _mask2(self, lens, n_t: int, tile0=0):
+        return cm_mask(lens, n_t, tile0).reshape(128, lens.shape[0] * n_t)
 
     def _x4(self, p: _PendingConv):
         c, _, bt = p.xq.shape
@@ -741,20 +833,46 @@ class FrozenExecCMF(FrozenExecCM):
         bias = p.entry.get("b")
         n_t = p.xq.shape[2] // p.b_sz
         if p.kind == "pw":
-            wt = np.ascontiguousarray(np.asarray(p.entry["w"][0]).T)
-            return fused_pw_cm(p.xq, jnp.asarray(wt), bias,
-                               self._mask2(lens, n_t), m, e, bits, p.relu,
-                               m16=self.m16)
+            w0 = p.entry["w"][0]
+            # host transpose when the table is still a host array; traced
+            # (e.g. TP-sliced) weights transpose in-graph
+            wt = (jnp.asarray(np.ascontiguousarray(np.asarray(w0).T))
+                  if isinstance(w0, np.ndarray) else w0.T)
+            return fused_pw_cm(p.xq, wt, bias,
+                               self._mask2(lens, n_t, self._sp_tile0(n_t)),
+                               m, e, bits, p.relu, m16=self.m16)
         j_min = self.dw_jmins[p.key]
         band2 = self.dw_bands_cm[p.key]
+        hl, hr = self._dw_halos(p.key, p.spec.stride)
         if p.spec.stride == 1 and band2.ndim == 2:
+            if hl or hr:
+                # SP: run the fused kernel on the halo-extended shard (its
+                # per-tile validity masks see the extended range; outputs in
+                # the halo tiles assume global-edge padding and are dropped)
+                c = p.xq.shape[0]
+                xe = self._sp_halo4(self._x4(p), hl, hr)
+                n_ext = xe.shape[3]
+                tile0 = self._sp_tile0(n_t) - hl
+                out = fused_dw_win_cm(
+                    xe.reshape(c, 128, p.b_sz * n_ext), band2, j_min, p.b_sz,
+                    bias, self._mask2(lens, n_ext, tile0), m, e, bits, p.relu,
+                    m16=self.m16)
+                out = out.reshape(c, 128, p.b_sz, n_ext)[..., hl:hl + n_t]
+                return out.reshape(c, 128, p.b_sz * n_t)
             return fused_dw_win_cm(p.xq, band2, j_min, p.b_sz, bias,
                                    self._mask2(lens, n_t), m, e, bits, p.relu,
                                    m16=self.m16)
         band = self._band3(p.key, p.xq.shape[0])
-        xg = dw_gather_cm(self._x4(p), j_min, band.shape[2] // 128,
-                          p.spec.stride)
-        mask = cm_mask(lens, xg.shape[3])
+        if hl or hr:
+            from qasr_tpu.kernels.dw_mxu import dw_gather_cm_ext
+
+            xe = self._sp_halo4(self._x4(p), hl, hr)
+            xg = dw_gather_cm_ext(xe, band.shape[2] // 128, p.spec.stride,
+                                  n_t // p.spec.stride)
+        else:
+            xg = dw_gather_cm(self._x4(p), j_min, band.shape[2] // 128,
+                              p.spec.stride)
+        mask = cm_mask(lens, xg.shape[3], self._sp_tile0(xg.shape[3]))
         out = fused_dw_cm(xg, band, bias, mask, m, e, bits, p.relu,
                           m16=self.m16)
         c = out.shape[0]
@@ -770,8 +888,19 @@ class FrozenExecCMF(FrozenExecCM):
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
         else:
-            y = dw_banded_cm(self._x4(p), self._band3(p.key, p.xq.shape[0]),
-                             self.dw_jmins[p.key], p.spec.stride)
+            hl, hr = self._dw_halos(p.key, p.spec.stride)
+            if hl or hr:
+                from qasr_tpu.kernels.dw_mxu import dw_banded_cm_ext
+
+                x4 = self._x4(p)
+                y = dw_banded_cm_ext(self._sp_halo4(x4, hl, hr),
+                                     self._band3(p.key, p.xq.shape[0]),
+                                     p.spec.stride,
+                                     x4.shape[3] // p.spec.stride)
+            else:
+                y = dw_banded_cm(self._x4(p),
+                                 self._band3(p.key, p.xq.shape[0]),
+                                 self.dw_jmins[p.key], p.spec.stride)
         if "b" in p.entry:
             y = y + _cm_vec(p.entry["b"])
         if p.relu:
@@ -793,6 +922,10 @@ class FrozenExecCMF(FrozenExecCM):
             xq = xq.reshape(c, 128, b_ * n_t)
         key = f"{bi}.{kind}.{i}"
         pkind = "dw" if _is_dw(spec) else "pw"
+        if pkind == "pw":
+            # TP: the pw dot contracts the full Cin; gather the (int8,
+            # already-requantized) channel shards before staging the dot
+            xq = self._gather_tp(xq)
         p = _PendingConv(pkind, xq, entry, spec, key, lens.shape[0])
         band2 = self.dw_bands_cm.get(key)
         eligible = (

@@ -118,6 +118,108 @@ def test_param_specs_explicit_plan(frozen_setup):
     assert param_specs(fake, mesh)["encoder"]["x_time_last"] == P()
 
 
+def _cm_frozen_model(monkeypatch):
+    """CM-eligible frozen model (W6A6 separable stack incl. stride-2
+    prologue, residual repeats, and a dilated tail) with the fast-path env
+    forced on (the CPU default would pick the base executor)."""
+    from qasr_tpu.models.config import BlockConfig, EncoderConfig
+
+    monkeypatch.setenv("QASR_DW_MXU", "1")
+    monkeypatch.setenv("QASR_CM", "1")
+    monkeypatch.setenv("QASR_CM_FUSED", "1")
+    blocks = (
+        BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
+                    residual=False, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(33,), residual=True,
+                    separable=True),
+        BlockConfig(filters=96, repeat=1, kernel=(29,), dilation=(2,),
+                    residual=False, separable=True),
+    )
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=64, blocks=blocks, activation="relu"),
+        decoder=DecoderConfig(feat_in=96, num_classes=28),
+        preprocessor={"features": 64, "dither": 1e-5})
+    m = ASRModel.from_config(cfg, seed=0)
+    m.set_quant_bit(6, "all")
+    m.bn_folding()
+    m.qstate = fabricate_qstate(m.plan)
+    return m
+
+
+@pytest.mark.parametrize("mesh_shape,kw", [
+    ((4, 2), {}),                                   # DP only
+    ((2, 4), {"shard_channels": True}),             # DP x TP
+    ((4, 2), {"shard_channels": True}),
+    ((2, 4), {"shard_time": True}),                 # DP x SP
+    ((4, 2), {"shard_time": True}),
+])
+def test_cm_fused_sharded_matches_single(mesh_shape, kw, monkeypatch, rng):
+    """The channel-major FUSED fast path (banded-MXU dw + Pallas
+    dot/requant kernels — the make_frozen_fn serving default) under
+    dp / dp+tp / dp+sp shard_map meshes must be bit-identical to the
+    single-device fused run (greedy ids over every valid frame)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from qasr_tpu.parallel.eval import make_sharded_frozen_forward_cm
+
+    m = _cm_frozen_model(monkeypatch)
+    tables = m.freeze()
+    audio = (rng.normal(size=(8, 16000)) * 0.1).astype(np.float32)
+    lens = np.asarray([16000, 12000, 9000, 16000] * 2, np.int32)
+    lp, el, ids = m.forward(audio, lens, mode="frozen")
+
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    fwd = make_sharded_frozen_forward_cm(m, tables, mesh, **kw)
+    ids_s, el_s = fwd(audio, lens)
+    np.testing.assert_array_equal(np.asarray(el_s), el)
+    ids_s = np.asarray(ids_s)
+    for i in range(audio.shape[0]):
+        n = int(el[i])
+        np.testing.assert_array_equal(ids_s[i, :n], ids[i, :n])
+
+
+@pytest.mark.parametrize("kw", [{"shard_channels": True},
+                                {"shard_time": True}])
+def test_cm_nonfused_sharded_matches_single(kw, monkeypatch, rng):
+    """FrozenExecCM (banded-MXU, XLA requants) under TP / SP sharding."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from qasr_tpu.parallel.eval import make_sharded_frozen_forward_cm
+
+    m = _cm_frozen_model(monkeypatch)
+    tables = m.freeze()
+    audio = (rng.normal(size=(4, 16000)) * 0.1).astype(np.float32)
+    lens = np.asarray([16000, 12000, 9000, 16000], np.int32)
+    _, el, ids = m.forward(audio, lens, mode="frozen")
+
+    mesh = make_mesh(data=2, model=4)
+    fwd = make_sharded_frozen_forward_cm(m, tables, mesh, fused=False, **kw)
+    ids_s, el_s = fwd(audio, lens)
+    np.testing.assert_array_equal(np.asarray(el_s), el)
+    for i in range(audio.shape[0]):
+        n = int(el[i])
+        np.testing.assert_array_equal(np.asarray(ids_s)[i, :n], ids[i, :n])
+
+
+def test_sharded_auto_dispatch_picks_cm(monkeypatch, rng):
+    """make_sharded_frozen_forward(executor='auto') routes CM-eligible
+    plans to the fast path and still matches the single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    m = _cm_frozen_model(monkeypatch)
+    tables = m.freeze()
+    audio = (rng.normal(size=(4, 16000)) * 0.1).astype(np.float32)
+    lens = np.asarray([16000, 12000, 9000, 16000], np.int32)
+    _, el, ids = m.forward(audio, lens, mode="frozen")
+    mesh = make_mesh(data=4, model=2)
+    fwd = make_sharded_frozen_forward(m, tables, mesh, shard_channels=True)
+    ids_s, el_s = fwd(audio, lens)
+    np.testing.assert_array_equal(np.asarray(el_s), el)
+    for i in range(audio.shape[0]):
+        n = int(el[i])
+        np.testing.assert_array_equal(np.asarray(ids_s)[i, :n], ids[i, :n])
+
+
 _PSUM_CHILD = r'''
 import os, sys
 pid, port = int(sys.argv[1]), sys.argv[2]
