@@ -357,16 +357,24 @@ def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
 
 
 # ---------------------------------------------------------------------------
-# Beam decoding ('default' algorithm of parts/rnnt_beam_decoding.py)
+# Beam decoding — faithful ports of the reference BeamRNNTInfer's three
+# search algorithms (parts/rnnt_beam_decoding.py:89-104):
+#   'beam' - default_beam_search (:320-413), the ESPnet one-best expansion;
+#   'tsd'  - time_sync_decoding (:415-497), bounded symmetric expansions
+#            per frame with blank-path logaddexp merging;
+#   'alsd' - align_length_sync_decoding (:499-657), T+U_max joint steps.
+# The host drives the search; pred-net/joint evaluations are jitted and
+# cached per label sequence (the reference's `cache` dict, batched scoring
+# being a pure perf transform of the same per-hypothesis math).
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(eq=False)  # identity comparison: states are arrays (list.remove)
 class Hypothesis:
     score: float
-    y_sequence: List[int]
-    dec_state: Any
-    g: Any
+    y_sequence: List[int]   # leading blank = SOS, like the reference's
+    dec_state: Any          # LSTMState after consuming y_sequence[-1]
+    g: Any                  # (1, H) pred-net output for y_sequence[-1]
 
 
 @_functools.partial(jax.jit, static_argnames=("cfg",))
@@ -375,39 +383,220 @@ def _joint_logprobs_single_jit(params, cfg, e, g):
         joint(params, cfg, e[None, None, :], g[:, None, :])[:, 0, 0], axis=-1)
 
 
-def beam_decode_one(params, cfg: RNNTConfig, enc_t: np.ndarray,
-                    beam_size: int = 4) -> List[int]:
-    """Beam search over one utterance's encoder frames (T, D)."""
-    step_jit = lambda tok, st: _pred_step_jit(params, cfg, tok, st)
-    joint_jit = lambda e, g: _joint_logprobs_single_jit(params, cfg, e, g)
+class _HypScorer:
+    """score_hypothesis with the reference's sequence-keyed cache
+    (modules/rnnt.py:309-360): evaluate the pred net on the hypothesis'
+    last token from its parent state; the initial [blank] hypothesis runs
+    the blank/SOS embedding from the zero state (blank_as_pad: predict(None)
+    == the zero embedding row, rnnt.py:333-336)."""
 
-    state = lstm_init_state(cfg, 1)
-    g, state = step_jit(jnp.full((1,), cfg.blank_id, jnp.int32), state)
-    beams = [Hypothesis(0.0, [], state, g)]
+    def __init__(self, params, cfg: RNNTConfig):
+        self.params, self.cfg = params, cfg
+        self.cache: Dict[tuple, Any] = {}
+
+    def g_state(self, hyp: "Hypothesis"):
+        seq = tuple(hyp.y_sequence)
+        hit = self.cache.get(seq)
+        if hit is None:
+            if hyp.y_sequence[-1] == self.cfg.blank_id:
+                g, st = _pred_step_jit(
+                    self.params, self.cfg,
+                    jnp.full((1,), self.cfg.blank_id, jnp.int32),
+                    lstm_init_state(self.cfg, 1))
+            else:
+                g, st = _pred_step_jit(
+                    self.params, self.cfg,
+                    jnp.full((1,), hyp.y_sequence[-1], jnp.int32),
+                    hyp.dec_state)
+            hit = self.cache[seq] = (g, st)
+        return hit
+
+    def logp(self, e, hyp: "Hypothesis"):
+        """(V+1,) log-probs for encoder frame e under hyp; returns
+        (logp, post-step state)."""
+        g, st = self.g_state(hyp)
+        lp = np.asarray(_joint_logprobs_single_jit(self.params, self.cfg,
+                                                   e, g))[0]
+        return lp, st, g
+
+
+def _sort_nbest(hyps: List[Hypothesis], score_norm: bool) -> List[Hypothesis]:
+    if score_norm:  # rnnt_beam_decoding.py:255-258
+        return sorted(hyps, key=lambda x: x.score / len(x.y_sequence),
+                      reverse=True)
+    return sorted(hyps, key=lambda x: x.score, reverse=True)
+
+
+def _default_beam_search(params, cfg: RNNTConfig, enc_t, beam_size: int,
+                         score_norm: bool) -> List[Hypothesis]:
+    """rnnt_beam_decoding.py:320-413."""
+    v = cfg.num_classes
+    beam = min(beam_size, v)
+    beam_k = min(beam, v - 1)
+    sc = _HypScorer(params, cfg)
+    kept_hyps = [Hypothesis(0.0, [cfg.blank_id], lstm_init_state(cfg, 1),
+                            None)]
     for t in range(enc_t.shape[0]):
         e = jnp.asarray(enc_t[t])
-        # expand: A* style one-symbol expansion per frame (max_expansions=beam)
-        cand: List[Hypothesis] = []
-        for hyp in beams:
-            lp = np.asarray(joint_jit(e, hyp.g))[0]
-            # blank: stay
-            cand.append(Hypothesis(hyp.score + float(lp[cfg.blank_id]),
-                                   hyp.y_sequence, hyp.dec_state, hyp.g))
-            top = np.argsort(lp)[::-1]
-            for k in top[: beam_size]:
+        hyps = kept_hyps
+        kept_hyps = []
+        while True:
+            max_hyp = max(hyps, key=lambda x: x.score)
+            hyps.remove(max_hyp)
+            lp, state, _ = sc.logp(e, max_hyp)
+            # non-blank top-k (blank is last in our vocab layout, so the
+            # reference's index_incr is 0)
+            top_k = np.argsort(-lp[:v], kind="stable")[:beam_k]
+            steps = [(float(lp[k]), int(k)) for k in top_k]
+            steps.append((float(lp[cfg.blank_id]), cfg.blank_id))
+            for logp_k, k in steps:
+                new_hyp = Hypothesis(max_hyp.score + logp_k,
+                                     max_hyp.y_sequence[:],
+                                     max_hyp.dec_state, None)
                 if k == cfg.blank_id:
-                    continue
-                g2, st2 = step_jit(jnp.full((1,), int(k), jnp.int32), hyp.dec_state)
-                cand.append(Hypothesis(hyp.score + float(lp[k]),
-                                       hyp.y_sequence + [int(k)], st2, g2))
-        cand.sort(key=lambda h: h.score, reverse=True)
-        # merge identical label sequences
-        seen: Dict[tuple, Hypothesis] = {}
-        for h in cand:
-            key = tuple(h.y_sequence)
-            if key in seen:
-                seen[key].score = float(np.logaddexp(seen[key].score, h.score))
-            else:
-                seen[key] = h
-        beams = sorted(seen.values(), key=lambda h: h.score, reverse=True)[:beam_size]
-    return beams[0].y_sequence
+                    kept_hyps.append(new_hyp)
+                else:
+                    new_hyp.dec_state = state
+                    new_hyp.y_sequence.append(k)
+                    hyps.append(new_hyp)
+            hyps_max = float(max(hyps, key=lambda x: x.score).score)
+            kept_most_prob = sorted(
+                [h for h in kept_hyps if h.score > hyps_max],
+                key=lambda x: x.score)
+            if len(kept_most_prob) >= beam:
+                kept_hyps = kept_most_prob
+                break
+    return _sort_nbest(kept_hyps, score_norm)
+
+
+def _time_sync_decoding(params, cfg: RNNTConfig, enc_t, beam_size: int,
+                        score_norm: bool, max_sym_exp: int
+                        ) -> List[Hypothesis]:
+    """rnnt_beam_decoding.py:415-497."""
+    v = cfg.num_classes
+    beam = min(beam_size, v)
+    sc = _HypScorer(params, cfg)
+    B = [Hypothesis(0.0, [cfg.blank_id], lstm_init_state(cfg, 1), None)]
+    for t in range(enc_t.shape[0]):
+        e = jnp.asarray(enc_t[t])
+        A: List[Hypothesis] = []
+        C = B
+        for _ in range(max_sym_exp):
+            D: List[Hypothesis] = []
+            scored = [sc.logp(e, hyp) for hyp in C]
+            seq_A = [h.y_sequence for h in A]
+            for j, hyp in enumerate(C):
+                lp = scored[j][0]
+                if hyp.y_sequence not in seq_A:
+                    A.append(Hypothesis(
+                        hyp.score + float(lp[cfg.blank_id]),
+                        hyp.y_sequence[:], hyp.dec_state, None))
+                else:
+                    # merge the blank path into the existing hypothesis
+                    pos = seq_A.index(hyp.y_sequence)
+                    A[pos].score = float(np.logaddexp(
+                        A[pos].score, hyp.score + float(lp[cfg.blank_id])))
+            for j, hyp in enumerate(C):
+                lp, state, _ = scored[j]
+                top_k = np.argsort(-lp[:v], kind="stable")[:beam]
+                for k in top_k:
+                    D.append(Hypothesis(hyp.score + float(lp[k]),
+                                        hyp.y_sequence + [int(k)],
+                                        state, None))
+            C = sorted(D, key=lambda x: x.score, reverse=True)[:beam]
+        B = sorted(A, key=lambda x: x.score, reverse=True)[:beam]
+    return _sort_nbest(B, score_norm)
+
+
+def _recombine_hypotheses(hypotheses: List[Hypothesis]) -> List[Hypothesis]:
+    """rnnt_beam_decoding.py:659-680 — matches the reference exactly,
+    including returning the *input* list (duplicates retained; the first
+    occurrence of each sequence absorbs the duplicate scores)."""
+    final: List[Hypothesis] = []
+    for hyp in hypotheses:
+        seq_final = [f.y_sequence for f in final if f.y_sequence]
+        if hyp.y_sequence in seq_final:
+            pos = seq_final.index(hyp.y_sequence)
+            final[pos].score = float(np.logaddexp(final[pos].score, hyp.score))
+        else:
+            final.append(hyp)
+    return hypotheses
+
+
+def _align_length_sync_decoding(params, cfg: RNNTConfig, enc_t, beam_size: int,
+                                score_norm: bool, max_target_len
+                                ) -> List[Hypothesis]:
+    """rnnt_beam_decoding.py:499-657."""
+    v = cfg.num_classes
+    beam = min(beam_size, v)
+    h_length = enc_t.shape[0]
+    u_max = (int(max_target_len * h_length) if isinstance(max_target_len, float)
+             else int(max_target_len))
+    sc = _HypScorer(params, cfg)
+    B = [Hypothesis(0.0, [cfg.blank_id], lstm_init_state(cfg, 1), None)]
+    final: List[Hypothesis] = []
+    for i in range(h_length + u_max):
+        A: List[Hypothesis] = []
+        B_: List[Hypothesis] = []
+        h_states: List[tuple] = []
+        for hyp in B:
+            u = len(hyp.y_sequence) - 1
+            t = i - u + 1
+            if t > h_length - 1:
+                continue
+            B_.append(hyp)
+            h_states.append((t, enc_t[t]))
+        if B_:
+            scored = [sc.logp(jnp.asarray(h_states[j][1]), hyp)
+                      for j, hyp in enumerate(B_)]
+            for j, hyp in enumerate(B_):
+                lp, state, _ = scored[j]
+                new_hyp = Hypothesis(hyp.score + float(lp[cfg.blank_id]),
+                                     hyp.y_sequence[:], hyp.dec_state, None)
+                A.append(new_hyp)
+                if h_states[j][0] == h_length - 1:
+                    final.append(new_hyp)
+                top_k = np.argsort(-lp[:v], kind="stable")[:beam]
+                for k in top_k:
+                    A.append(Hypothesis(hyp.score + float(lp[k]),
+                                        hyp.y_sequence + [int(k)],
+                                        state, None))
+            B = sorted(A, key=lambda x: x.score, reverse=True)[:beam]
+            B = _recombine_hypotheses(B)
+        else:
+            # every hypothesis ran past the frame axis (reference :651-652)
+            break
+    if final:
+        return _sort_nbest(final, score_norm)
+    return B
+
+
+def beam_search(params, cfg: RNNTConfig, enc_t: np.ndarray,
+                beam_size: int = 4, search_type: str = "beam",
+                score_norm: bool = True, tsd_max_sym_exp: int = 50,
+                alsd_max_target_len=1.0) -> List[Hypothesis]:
+    """N-best transducer beam search over one utterance's encoder frames
+    (T, D).  search_type in {'beam', 'tsd', 'alsd'}
+    (BeamRNNTInfer, rnnt_beam_decoding.py:89-104)."""
+    enc_t = np.asarray(enc_t)
+    if search_type in ("beam", "default"):
+        return _default_beam_search(params, cfg, enc_t, beam_size, score_norm)
+    if search_type == "tsd":
+        return _time_sync_decoding(params, cfg, enc_t, beam_size, score_norm,
+                                   tsd_max_sym_exp)
+    if search_type == "alsd":
+        return _align_length_sync_decoding(params, cfg, enc_t, beam_size,
+                                           score_norm, alsd_max_target_len)
+    raise NotImplementedError(
+        f"The search type ({search_type}) supplied is not supported!\n"
+        f"Please use one of : (default, tsd, alsd)")
+
+
+def beam_decode_one(params, cfg: RNNTConfig, enc_t: np.ndarray,
+                    beam_size: int = 4, search_type: str = "beam",
+                    **kwargs) -> List[int]:
+    """Best label sequence (no SOS blank) for one utterance (T, D)."""
+    hyps = beam_search(params, cfg, enc_t, beam_size=beam_size,
+                       search_type=search_type, **kwargs)
+    best = hyps[0].y_sequence
+    return [t for t in best if t != cfg.blank_id]

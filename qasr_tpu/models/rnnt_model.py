@@ -122,14 +122,19 @@ class RNNTModel:
         labels = list(self.cfg.labels)
         return ["".join(labels[i] for i in h) for h in hyps]
 
-    def transcribe_beam(self, audio, alens, beam_size: int = 4) -> List[str]:
+    def transcribe_beam(self, audio, alens, beam_size: int = 4,
+                        search_type: str = "beam", **beam_kwargs) -> List[str]:
+        """search_type in {'beam', 'tsd', 'alsd'} selects the reference
+        BeamRNNTInfer algorithm (rnnt_beam_decoding.py:89-104); beam_kwargs
+        forward tsd_max_sym_exp / alsd_max_target_len / score_norm."""
         enc, enc_lens = self.encode(audio, alens)
         enc = np.asarray(enc)
         labels = list(self.cfg.labels)
         out = []
         for i in range(enc.shape[0]):
             ids = beam_decode_one(self.params["rnnt"], self.rnnt_cfg,
-                                  enc[i, : int(enc_lens[i])], beam_size)
+                                  enc[i, : int(enc_lens[i])], beam_size,
+                                  search_type=search_type, **beam_kwargs)
             out.append("".join(labels[j] for j in ids))
         return out
 
@@ -166,10 +171,12 @@ class EncDecRNNTBPEModel(RNNTModel):
         hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc, enc_lens)
         return [self._detok(h) for h in hyps]
 
-    def transcribe_beam(self, audio, alens, beam_size: int = 4) -> List[str]:
+    def transcribe_beam(self, audio, alens, beam_size: int = 4,
+                        search_type: str = "beam", **beam_kwargs) -> List[str]:
         enc, enc_lens = self.encode(audio, alens)
         enc = np.asarray(enc)
         return [self._detok(beam_decode_one(self.params["rnnt"], self.rnnt_cfg,
                                             enc[i, : int(enc_lens[i])],
-                                            beam_size))
+                                            beam_size, search_type=search_type,
+                                            **beam_kwargs))
                 for i in range(enc.shape[0])]
