@@ -182,7 +182,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False,
                  shard_id: int = 0, num_shards: int = 1,
-                 quantum: int = BUCKET_QUANTUM):
+                 quantum: int = BUCKET_QUANTUM, num_workers: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -191,18 +191,46 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.quantum = quantum
+        # num_workers > 1: decode items in a thread pool (wav decode and
+        # resampling release the GIL inside numpy/scipy); the reference
+        # offloads the same work to torch DataLoader worker processes /
+        # DALI (audio_to_text_dali.py:74-447)
+        self.num_workers = num_workers
 
     def __len__(self) -> int:
         n = len(range(self.shard_id, len(self.ds), self.num_shards))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _items(self, idx):
+        if self.num_workers <= 1:
+            for j in idx:
+                yield self.ds[j]
+            return
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = max(self.batch_size, 2 * self.num_workers)
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futs: deque = deque()
+            it = iter(idx)
+            for j in itertools.islice(it, window):
+                futs.append(ex.submit(self.ds.__getitem__, j))
+            for j in it:
+                yield futs.popleft().result()
+                futs.append(ex.submit(self.ds.__getitem__, j))
+            while futs:
+                yield futs.popleft().result()
 
     def __iter__(self) -> Iterator:
         idx = list(range(self.shard_id, len(self.ds), self.num_shards))
         if self.shuffle:
             rng = np.random.default_rng(self.seed)
             rng.shuffle(idx)
+        items = self._items(idx)
+        import itertools
         for i in range(0, len(idx), self.batch_size):
-            chunk = idx[i : i + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
+            chunk = list(itertools.islice(items, self.batch_size))
+            if not chunk or (self.drop_last and len(chunk) < self.batch_size):
                 return
-            yield collate_batch([self.ds[j] for j in chunk], self.quantum)
+            yield collate_batch(chunk, self.quantum)

@@ -69,6 +69,12 @@ def _lib() -> ctypes.CDLL:
         ]
         lib.qasr_beam_stream_reset.argtypes = [ctypes.c_void_p]
         lib.qasr_beam_stream_free.argtypes = [ctypes.c_void_p]
+        lib.qasr_beam_stream_feed_batch.restype = ctypes.c_int
+        lib.qasr_beam_stream_feed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
         _LIB = lib
     return _LIB
 
@@ -230,6 +236,58 @@ class StreamingBeamDecoder:
                 _lib().qasr_beam_stream_free(self._h)
             except Exception:
                 pass
+
+
+class StreamingBeamBatch:
+    """S concurrent streaming beam searches advanced by one device batch of
+    log-prob chunks per tick — the serving shape: many live sessions, one
+    (S, T_chunk, V+1) tensor out of the chip, one C++ call into a shared
+    work-stealing thread pool (qasr_beam_stream_feed_batch).  Each session's
+    search state is bit-identical to feeding its stream alone."""
+
+    def __init__(self, n_streams: int, vocab: Sequence[str],
+                 beam_width: int = 128, alpha: float = 0.0, beta: float = 0.0,
+                 lm: Optional["BeamSearchDecoderWithLM"] = None,
+                 cutoff_prob: float = 1.0, cutoff_top_n: int = 40,
+                 num_threads: int = 4):
+        self.streams = [
+            StreamingBeamDecoder(vocab, beam_width, alpha, beta, lm,
+                                 cutoff_prob, cutoff_top_n)
+            for _ in range(n_streams)
+        ]
+        self.num_threads = num_threads
+        self._v = len(vocab) + 1
+        self._handles = (ctypes.c_void_p * n_streams)(
+            *[s._h for s in self.streams])
+
+    def __len__(self):
+        return len(self.streams)
+
+    def feed(self, log_probs: np.ndarray,
+             lengths: Optional[np.ndarray] = None) -> None:
+        """Advance every stream: log_probs (S, T, V+1) float32; lengths (S,)
+        valid frames per stream (default: all T)."""
+        lp = np.ascontiguousarray(np.asarray(log_probs, np.float32))
+        s, t, v = lp.shape
+        assert s == len(self.streams) and v == self._v, lp.shape
+        if lengths is None:
+            lengths = np.full((s,), t, np.int32)
+        lens = np.ascontiguousarray(np.asarray(lengths, np.int32))
+        rc = _lib().qasr_beam_stream_feed_batch(
+            self._handles, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            s, t, v, self.num_threads)
+        if rc != 0:
+            raise RuntimeError(f"batched beam stream feed failed: rc={rc}")
+        for st, n in zip(self.streams, lens):
+            st._frames += int(n)
+
+    def best(self, n_best: int = 1) -> List[List[Tuple[float, str]]]:
+        return [s.best(n_best) for s in self.streams]
+
+    def reset(self) -> None:
+        for s in self.streams:
+            s.reset()
 
 
 # ---------------------------------------------------------------------------

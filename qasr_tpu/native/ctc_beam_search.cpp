@@ -14,6 +14,7 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC ctc_beam_search.cpp -o libctc_beam.so -pthread
 
+#include <atomic>
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
@@ -567,15 +568,55 @@ int qasr_beam_search_batch(const float* log_probs, const int32_t* lengths,
     }
   };
 
+  // dynamic work-stealing: utterance lengths vary, so a static stride
+  // assignment load-imbalances the pool (the longest utterances can land
+  // on one thread); an atomic counter keeps every thread busy to the end
   int nt = std::max(1, std::min(num_threads, B));
+  std::atomic<int> next(0);
   std::vector<std::thread> threads;
   for (int t = 0; t < nt; ++t) {
-    threads.emplace_back([&, t]() {
-      for (int b = t; b < B; b += nt) work(b);
+    threads.emplace_back([&]() {
+      int b;
+      while ((b = next.fetch_add(1)) < B) work(b);
     });
   }
   for (auto& th : threads) th.join();
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batched streaming: advance S independent streams by one chunk each with a
+// shared thread pool — the serving shape (many concurrent live sessions,
+// one device batch of log-probs per tick).  Each stream's result is
+// bit-identical to feeding it alone.
+// ---------------------------------------------------------------------------
+
+int qasr_beam_stream_feed_batch(void** streams, const float* log_probs,
+                                const int32_t* t_lens, int S, int T_stride,
+                                int V, int num_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> bad(0);
+  int nt = std::max(1, std::min(num_threads, S));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&]() {
+      int s;
+      while ((s = next.fetch_add(1)) < S) {
+        auto* bs = reinterpret_cast<BeamStream*>(streams[s]);
+        if (!bs || bs->bp.V != V) {
+          bad.store(1);
+          continue;
+        }
+        const float* lp = log_probs + (size_t)s * T_stride * V;
+        int T = std::min(t_lens[s], T_stride);
+        for (int ft = 0; ft < T; ++ft)
+          beam_step(bs->bp, bs->vocab, bs->beams, lp + (size_t)ft * V,
+                    bs->idx);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return bad.load() ? -1 : 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -253,3 +253,37 @@ def test_streaming_transcriber_beam(rng):
     got = st.transcribe_beam(audio, beam_width=8, partials=partials)
     assert got == offline
     assert len(partials) >= 2
+
+
+def test_batched_streaming_beam_matches_sequential(rng):
+    """StreamingBeamBatch: S concurrent streams advanced by one batched C++
+    call per chunk (work-stealing pool) — every stream's n-best must equal
+    feeding its chunks alone AND the offline batch decode of its frames."""
+    from qasr_tpu.decode.beam_search import (StreamingBeamBatch,
+                                             StreamingBeamDecoder)
+
+    vocab = [" ", "a", "b", "c"]
+    v = len(vocab) + 1
+    s, t_total = 6, 24
+    lp = rng.normal(size=(s, t_total, v)).astype(np.float32) * 2.0
+    lp = lp - np.log(np.sum(np.exp(lp), -1, keepdims=True))
+    lens = np.asarray([24, 20, 17, 24, 9, 13], np.int32)
+
+    batch = StreamingBeamBatch(s, vocab, beam_width=16, num_threads=3)
+    chunk = 5
+    for start in range(0, t_total, chunk):
+        step = np.minimum(np.maximum(lens - start, 0), chunk).astype(np.int32)
+        batch.feed(lp[:, start:start + chunk], step)
+    got = batch.best(2)
+
+    offline = BeamSearchDecoderWithLM(vocab, beam_width=16)(lp, lens, n_best=2)
+    for i in range(s):
+        seq = StreamingBeamDecoder(vocab, beam_width=16)
+        pos = 0
+        while pos < int(lens[i]):
+            n = min(chunk, int(lens[i]) - pos)
+            seq.feed(lp[i, pos:pos + n])
+            pos += n
+        assert got[i] == seq.best(2), i
+        assert got[i][0][1] == offline[i][0][1], i
+        np.testing.assert_allclose(got[i][0][0], offline[i][0][0], rtol=1e-9)

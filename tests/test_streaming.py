@@ -48,3 +48,20 @@ def test_streaming_transcribe_smoke(rng):
     st = StreamingTranscriber(m, chunk_frames=96)
     text = st.transcribe((rng.normal(size=40000) * 0.1).astype(np.float32))
     assert isinstance(text, str)
+
+
+def test_streaming_latency_report(rng):
+    """latency_report measures per-chunk latencies and sustained streaming
+    RTFx for greedy and beam streaming (the serving-latency observables;
+    chip numbers are recorded in PERF.md)."""
+    m = _model()
+    m.set_quant_mode("none")
+    st = StreamingTranscriber(m, chunk_frames=96, context_frames=64)
+    audio = (rng.normal(size=96000) * 0.1).astype(np.float32)
+    for beam in (False, True):
+        rep = st.latency_report(audio, beam=beam, beam_width=4)
+        assert rep["chunks"] >= 3
+        assert rep["chunk_audio_s"] > 0
+        assert rep["first_chunk_latency_ms"] > 0
+        assert rep["p95_chunk_latency_ms"] >= rep["steady_chunk_latency_ms"] * 0.5
+        assert rep["streaming_rtfx"] > 0
