@@ -5,6 +5,8 @@ speech_to_text.py:62-76): loads the same model YAML schema
 (conf/quartznet_15x5.yaml), applies dotted key=value overrides
 (hydra-style, e.g. model.train_ds.manifest_filepath=...), builds the model,
 and runs the mesh trainer with exp_manager checkpointing/resume.
+--tokenizer switches to the BPE model + dataset (the
+examples/asr/speech_to_text_bpe.py role: Citrinet/BPE CTC training).
 """
 from __future__ import annotations
 
@@ -32,6 +34,9 @@ def main(argv=None):
     parser = ArgumentParser(description=__doc__)
     parser.add_argument("--config-path", dest="config_path", type=str, required=True,
                         help="model YAML (reference conf/ schema)")
+    parser.add_argument("--tokenizer", type=str, default=None,
+                        help="BPE tokenizer json -> EncDecCTCModelBPE "
+                             "(speech_to_text_bpe.py role); default = chars")
     parser.add_argument("overrides", nargs="*",
                         help="dotted key=value overrides (hydra-style)")
     args = parser.parse_args(argv)
@@ -53,7 +58,17 @@ def main(argv=None):
         raw = yaml.safe_load(f)
     raw = apply_overrides(raw, args.overrides)
     mcfg = raw["model"]
-    model = ASRModel.from_config(ModelConfig.from_dict(mcfg))
+    tokenizer = None
+    if args.tokenizer:
+        from qasr_tpu.data.tokenizers import BPETokenizer
+        from qasr_tpu.models.ctc_bpe_model import EncDecCTCModelBPE
+
+        tokenizer = BPETokenizer(args.tokenizer)
+        model = EncDecCTCModelBPE.from_config_and_tokenizer(
+            ModelConfig.from_dict(mcfg), tokenizer)
+        mcfg = dict(mcfg, labels=list(tokenizer.vocab))
+    else:
+        model = ASRModel.from_config(ModelConfig.from_dict(mcfg))
 
     opt = mcfg.get("optim", {})
     sched = opt.get("sched", {})
@@ -94,21 +109,33 @@ def main(argv=None):
         model.params, trainer.opt_state, trainer.step = params, opt_state, step
         logging.info(f"resumed from {resume} at step {step}")
 
+    def make_ds(dcfg):
+        if tokenizer is not None:
+            from qasr_tpu.models.ctc_bpe_model import AudioToBPEDataset
+
+            return AudioToBPEDataset(
+                manifest_filepath=dcfg["manifest_filepath"],
+                tokenizer=tokenizer,
+                sample_rate=dcfg.get("sample_rate", 16000),
+                max_duration=dcfg.get("max_duration"),
+                min_duration=dcfg.get("min_duration"),
+                trim=dcfg.get("trim_silence", False))
+        return AudioToCharDataset(
+            manifest_filepath=dcfg["manifest_filepath"], labels=mcfg["labels"],
+            sample_rate=dcfg.get("sample_rate", 16000),
+            max_duration=dcfg.get("max_duration"),
+            min_duration=dcfg.get("min_duration"),
+            trim=dcfg.get("trim_silence", False))
+
     tds = mcfg["train_ds"]
-    train_ds = AudioToCharDataset(
-        manifest_filepath=tds["manifest_filepath"], labels=mcfg["labels"],
-        sample_rate=tds.get("sample_rate", 16000),
-        max_duration=tds.get("max_duration"), min_duration=tds.get("min_duration"),
-        trim=tds.get("trim_silence", False))
+    train_ds = make_ds(tds)
     train_loader = DataLoader(train_ds, batch_size=tds.get("batch_size", 32),
                               shuffle=tds.get("shuffle", True), drop_last=True)
     val_loader = None
     vds = mcfg.get("validation_ds")
     if vds and vds.get("manifest_filepath"):
-        val_ds = AudioToCharDataset(
-            manifest_filepath=vds["manifest_filepath"], labels=mcfg["labels"],
-            sample_rate=vds.get("sample_rate", 16000))
-        val_loader = DataLoader(val_ds, batch_size=vds.get("batch_size", 32))
+        val_loader = DataLoader(make_ds(vds),
+                                batch_size=vds.get("batch_size", 32))
 
     def log_fn(msg):
         logging.info(msg)

@@ -116,6 +116,58 @@ class RNNTModel:
 
         return enc_fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
 
+    # -- checkpointing (ModelPT parity for the transducer family;
+    #    reference rnnt_models.py inherits .nemo save/restore) -------------
+
+    def save_to(self, path: str) -> None:
+        """'.qasr' archive: config + rnnt_cfg + encoder/pred/joint params
+        (+ tokenizer artifact for the BPE variant)."""
+        import dataclasses as dc
+
+        from qasr_tpu.models.config import config_to_dict
+        from qasr_tpu.utils.checkpoint import save_qasr
+
+        meta: Dict[str, Any] = {"family": "rnnt",
+                                "encoder_kind": self.encoder_kind,
+                                "rnnt_cfg": dc.asdict(self.rnnt_cfg)}
+        if self.encoder_kind == "conformer":
+            meta["conformer_cfg"] = dc.asdict(self.plan)
+        artifacts = {}
+        tok = getattr(self, "tokenizer", None)
+        if tok is not None and getattr(tok, "path", None):
+            artifacts["tokenizer.json"] = tok.path
+            meta["tokenizer"] = "tokenizer.json"
+        save_qasr(path, config_to_dict(self.cfg), self.params, None,
+                  meta=meta, artifacts=artifacts)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "RNNTModel":
+        from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
+
+        cfg_d, flat, artifacts = load_qasr(path)
+        meta = cfg_d.pop("_qasr_meta", {}) or {}
+        if meta.get("family") != "rnnt":
+            raise ValueError(f"{path} is not a transducer checkpoint "
+                             f"(family={meta.get('family')!r}); use the "
+                             f"owning model class's restore_from")
+        cfg = ModelConfig.from_dict(cfg_d)
+        rnnt_cfg = RNNTConfig(**meta["rnnt_cfg"])
+        if meta.get("encoder_kind") == "conformer":
+            from qasr_tpu.models.conformer import ConformerConfig
+
+            model = RNNTModel.conformer_transducer(
+                cfg, ConformerConfig(**meta["conformer_cfg"]),
+                rnnt_cfg=rnnt_cfg)
+        else:
+            model = RNNTModel.from_config(cfg, rnnt_cfg=rnnt_cfg)
+        model.params = unflatten_into(model.params, flat, "params/")
+        if meta.get("tokenizer") and meta["tokenizer"] in artifacts:
+            from qasr_tpu.data.tokenizers import BPETokenizer
+
+            model.__class__ = EncDecRNNTBPEModel
+            model.tokenizer = BPETokenizer(artifacts[meta["tokenizer"]])
+        return model
+
     def transcribe_greedy(self, audio, alens) -> List[str]:
         enc, enc_lens = self.encode(audio, alens)
         hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc, enc_lens)

@@ -164,3 +164,46 @@ ngram 2=2
                       "--decoder", "beam", "--beam_width", "8",
                       "--alpha", "0.5", "--lm_path", qlm])
     assert np.isfinite(wer)
+
+
+def test_train_cli_bpe(tmp_path, manifest):
+    """--tokenizer switches the training CLI to the BPE model + dataset
+    (the examples/asr/speech_to_text_bpe.py role)."""
+    import yaml
+    from qasr_tpu.cli.speech_to_text import main as train_main
+    from qasr_tpu.data.tokenizers import BPETokenizer
+
+    tok = BPETokenizer.train(["this is a test the cat sat"] * 20,
+                             vocab_size=40,
+                             save_path=str(tmp_path / "tok.json"))
+    nv = len(tok.vocab)
+    cfg = {
+        "model": {
+            "sample_rate": 16000,
+            "labels": [],  # BPE: label space comes from the tokenizer
+            "train_ds": {"manifest_filepath": manifest, "batch_size": 2,
+                         "shuffle": False},
+            "preprocessor": {"features": FEAT, "dither": 0.0},
+            "encoder": {
+                "feat_in": FEAT, "activation": "relu",
+                "jasper": [
+                    {"filters": 24, "repeat": 1, "kernel": [7], "stride": [2],
+                     "dilation": [1], "dropout": 0.0, "residual": False,
+                     "separable": True},
+                    {"filters": 32, "repeat": 1, "kernel": [1], "stride": [1],
+                     "dilation": [1], "dropout": 0.0, "residual": False},
+                ],
+            },
+            "decoder": {"feat_in": 32, "num_classes": nv},
+            "optim": {"name": "novograd", "lr": 0.01,
+                      "sched": {"name": "CosineAnnealing", "warmup_steps": 0}},
+        },
+        "trainer": {"max_steps": 2},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp"), "name": "bpe"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_main(["--config-path", str(cfg_path), "--tokenizer", tok.path])
+    root = tmp_path / "exp" / "bpe" / "version_0"
+    assert (root / "checkpoints" / "last.npz").exists()

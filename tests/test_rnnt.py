@@ -166,3 +166,55 @@ def test_rnnt_trainer_loss_decreases(rng):
     for _ in range(15):
         l = tr.train_step(batch)
     assert np.isfinite(l) and l < l0, (l0, l)
+
+
+def test_rnnt_model_save_restore_roundtrip(tmp_path, rng):
+    """Transducer checkpointing (.qasr): params + rnnt_cfg round-trip to an
+    identical model; the BPE variant restores its tokenizer artifact and
+    class (ModelPT save/restore parity for the RNNT family)."""
+    from qasr_tpu.data.tokenizers import BPETokenizer
+    from qasr_tpu.models.config import DecoderConfig, ModelConfig
+    from qasr_tpu.models.rnnt_model import EncDecRNNTBPEModel, RNNTModel
+    from tests.test_jasper_model import FEAT, tiny_encoder_cfg
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0})
+    m = RNNTModel.from_config(cfg, rnnt_cfg=RNNTConfig(
+        num_classes=28, enc_hidden=40, pred_hidden=16, joint_hidden=16),
+        seed=3)
+    audio = (rng.normal(size=(1, 8000)) * 0.1).astype(np.float32)
+    alens = np.asarray([8000], np.int32)
+    h1 = m.transcribe_greedy(audio, alens)
+    p = tmp_path / "rnnt.qasr"
+    m.save_to(str(p))
+    m2 = RNNTModel.restore_from(str(p))
+    assert m2.rnnt_cfg == m.rnnt_cfg
+    assert m2.transcribe_greedy(audio, alens) == h1
+
+    # BPE variant: tokenizer artifact + class restore
+    import os
+    tok = BPETokenizer.train(["hello world the cat sat"] * 20, vocab_size=40,
+                             save_path=str(tmp_path / "tok.json"))
+    import dataclasses as dc
+    bcfg = dc.replace(cfg, decoder=dc.replace(cfg.decoder, feat_in=40))
+    mb = EncDecRNNTBPEModel.from_config_and_tokenizer(
+        bcfg, tok, rnnt_cfg=RNNTConfig(num_classes=len(tok.vocab),
+                                       enc_hidden=40, pred_hidden=16,
+                                       joint_hidden=16), seed=4)
+    pb = tmp_path / "rnnt_bpe.qasr"
+    mb.save_to(str(pb))
+    os.remove(tok.path)  # restore must use the packed artifact
+    mb2 = RNNTModel.restore_from(str(pb))
+    assert isinstance(mb2, EncDecRNNTBPEModel)
+    ids = [1, 2, 3]
+    assert mb2.tokenizer.ids_to_text(ids) == mb.tokenizer.ids_to_text(ids)
+    assert mb2.transcribe_greedy(audio, alens) == mb.transcribe_greedy(audio, alens)
+
+    # family guard: a CTC archive refuses the transducer loader
+    from qasr_tpu.models.ctc_model import ASRModel
+    mc = ASRModel.from_config(cfg, seed=5)
+    pc = tmp_path / "ctc.qasr"
+    mc.save_to(str(pc))
+    with pytest.raises(ValueError, match="family"):
+        RNNTModel.restore_from(str(pc))
