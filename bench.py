@@ -12,6 +12,7 @@ Prints exactly one JSON line:
 import json
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -76,12 +77,115 @@ def main():
     }))
 
 
+def main_io(wall_target: Optional[float] = None, batch: int = 64,
+            n_files: int = 256, seconds: float = 15.0):
+    """End-to-end SERVING bench with real host I/O (VERDICT r2 item 4):
+    manifest -> wav decode -> collate -> device transfer -> mel frontend ->
+    frozen int8 encoder -> greedy argmax, sustained over >= `wall_target`
+    seconds of wall time.  Reports end-to-end RTFx and the chip-busy
+    fraction (vs the device-only step time measured in the same process).
+    The wav set (~245 MB) is generated once into a temp dir and is
+    page-cached after the first epoch — this measures the host *pipeline*
+    (decode + padding + feeding), the role DALI plays in the reference
+    (data/audio_to_text_dali.py:74-447), not disk bandwidth."""
+    import os
+    import tempfile
+
+    import jax
+
+    if wall_target is None:
+        wall_target = float(os.environ.get("QASR_IO_WALL", "60"))
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _calibrated_frozen_quartznet
+    from qasr_tpu.data.audio import write_wav
+    from qasr_tpu.data.dataset import (AudioToCharDataset, DataLoader,
+                                       PrefetchLoader)
+    from qasr_tpu.models.ctc_model import make_frozen_fn
+
+    model = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
+    fn = make_frozen_fn(model, model.freeze(), argmax=True)
+
+    n = int(16000 * seconds)
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="qasr_io_bench_")
+    man = os.path.join(tmp, "manifest.json")
+    with open(man, "w") as mf:
+        for i in range(n_files):
+            p = os.path.join(tmp, f"u{i:04d}.wav")
+            write_wav(p, (rng.normal(size=n) * 0.1).astype(np.float32))
+            mf.write(json.dumps({"audio_filepath": p, "duration": seconds,
+                                 "text": "a"}) + "\n")
+
+    ds = AudioToCharDataset(man, labels=[" ", "a"],
+                            normalize_transcripts=False)
+    workers = int(os.environ.get("QASR_IO_THREADS", "4"))
+    make_loader = lambda: PrefetchLoader(
+        DataLoader(ds, batch_size=batch, drop_last=True,
+                   num_workers=workers), prefetch=6)
+
+    # warmup/compile on one batch
+    for audio, alens, _, _ in make_loader():
+        jax.block_until_ready(fn(jnp.asarray(audio), jnp.asarray(alens)))
+        break
+
+    # device-only step time for the chip-busy denominator
+    a0 = jnp.asarray(audio)
+    l0 = jnp.asarray(alens)
+    jax.block_until_ready(fn(a0, l0))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        out = fn(a0, l0)
+    jax.block_until_ready(out)
+    dev_step = (time.perf_counter() - t0) / 8
+
+    # sustained serving loop: async dispatch, block only on the previous
+    # batch's result so host I/O overlaps device compute
+    processed_sec = 0.0
+    steps = 0
+    pending = None
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < wall_target:
+        for audio, alens, _, _ in make_loader():
+            out = fn(jnp.asarray(audio), jnp.asarray(alens))
+            if pending is not None:
+                jax.block_until_ready(pending)
+            pending = out
+            processed_sec += float(np.sum(alens)) / 16000.0
+            steps += 1
+            if time.perf_counter() - t0 >= wall_target:
+                break
+    jax.block_until_ready(pending)
+    wall = time.perf_counter() - t0
+
+    rtfx_io = processed_sec / wall
+    chip_busy = (steps * dev_step) / wall
+    print(json.dumps({
+        "metric": "quartznet15x5_w6a6_serving_rtfx_with_host_io",
+        "value": round(rtfx_io, 2),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(rtfx_io / 20.0, 3),
+        "wall_s": round(wall, 1),
+        "steps": steps,
+        "device_step_ms": round(dev_step * 1e3, 2),
+        "chip_busy_fraction": round(chip_busy, 3),
+        "pcm_gb_per_s": round(processed_sec * 16000 * 4 / wall / 1e9, 3),
+    }))
+
+
 if __name__ == "__main__":
     # the axon tunnel occasionally drops a request mid-run; one retry makes
     # the driver's bench robust to that transient
+    entry_fn = main_io if "--io" in sys.argv else main
     try:
-        main()
+        entry_fn()
     except Exception as e:  # noqa: BLE001
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
-        main()
+        entry_fn()

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -113,7 +114,11 @@ def _pw3_call(x3, wt, b, m, mask2, *, e, bits, relu, m16, interpret):
             b_ref = None
         # per-row dots staged through an int32 scratch: Mosaic supports the
         # (tm, bt) -> (tm, 1, bt) relayout for 32-bit lanes but not for
-        # packed int8, so the narrowing convert runs once on the full block
+        # packed int8, so the narrowing convert runs once on the full block.
+        # (Measured alternatives, both worse on v5e: raw-acc staging with one
+        # 3D epilogue pass loses the register-resident epilogue input
+        # [13.1k vs 14.0k RTFx]; a single multi-free-dim dot
+        # (tm,cin)@(cin,ROWS,bt) fails Mosaic compile.)
         for r in range(ROWS):
             acc = jax.lax.dot_general(
                 w_ref[:], x_ref[:, r, :], (((1,), (0,)), ((), ())),
@@ -278,6 +283,250 @@ def fused_dw_win_cm(x3, band2, j_min: int, b_sz: int, bias, mask2, m, e: int,
                         b_sz=b_sz, n_d=n_d, j_min=int(j_min), e=int(e),
                         bits=bits, relu=relu, m16=m16, tc=tc,
                         interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# int32-input depthwise kernel: consumes the pointwise dot's RAW int32
+# accumulator and performs the producer-side epilogue (bias -> relu -> mask
+# -> requant m1 -> clamp -> int8) in VMEM before the window rolls — the
+# XLA-side requant chain between pw dot and dw kernel (and its HBM
+# round-trip + boundary copy) disappears, at the cost of 4x input DMA
+# bytes and the extra VPU pass inside the kernel.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b_sz", "n_d", "j_min", "e1", "e2", "bits", "relu_in", "relu_out",
+    "m16", "tc", "interpret"))
+def _dw_win_i32_call(x32, band2, b, m1v, m2v, mask2, tcol, *, b_sz, n_d,
+                     j_min, e1, e2, bits, relu_in, relu_out, m16, tc,
+                     interpret):
+    c, _, bt = x32.shape
+    n_t = bt // b_sz
+    kd = band2.shape[1]
+    has_bias = b is not None
+
+    def kern(*refs):
+        if has_bias:
+            x_ref, band_ref, b_ref, m1_ref, m2_ref, mask_ref, tcol_ref, \
+                o_ref = refs
+        else:
+            x_ref, band_ref, m1_ref, m2_ref, mask_ref, tcol_ref, o_ref = refs
+            b_ref = None
+        # producer-side epilogue on the whole int32 block -> int8
+        xall = _epilogue(
+            x_ref[:], b_ref[:][:, :, None] if has_bias else None,
+            mask_ref[:][None], m1_ref[:][:, :, None], e=e1, bits=bits,
+            relu=relu_in, m16=m16)
+        tcol = tcol_ref[:]
+        band_masks = []
+        for j in range(n_d):
+            delta = j + j_min
+            lo = jnp.int32(max(0, -delta))
+            hi = jnp.int32(n_t - max(0, delta))
+            band_masks.append((tcol >= lo) & (tcol < hi))
+
+        def lane_roll_i8(xv, shift, axis):
+            if interpret:
+                return pltpu.roll(xv, shift, axis)
+            v32 = pltpu.bitcast(xv, jnp.int32)
+            return pltpu.bitcast(pltpu.roll(v32, shift, axis), jnp.int8)
+
+        xjs = []
+        for j in range(n_d):
+            delta = j + j_min
+            xj = xall if delta == 0 else lane_roll_i8(xall, -delta % bt, 2)
+            xjs.append(jnp.where(band_masks[j][None], xj, jnp.int8(0)))
+        for ci in range(tc):
+            band_c = band_ref[ci * 128:(ci + 1) * 128, :]
+            acc = None
+            for j in range(n_d):
+                part = jax.lax.dot_general(
+                    band_c[:, j * 128:(j + 1) * 128], xjs[j][ci],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = part if acc is None else acc + part
+            o_ref[ci] = _epilogue(
+                acc, None, mask_ref[:], m2_ref[ci, 0], e=e2, bits=bits,
+                relu=relu_out, m16=m16)
+
+    in_specs = [
+        pl.BlockSpec((tc, 128, bt), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc * 128, kd), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x32, band2]
+    if has_bias:
+        # bias/m1 are consumed as (tc,1,1) vector broadcasts by the input
+        # epilogue -> VMEM (SMEM allows scalar loads only); m2 stays SMEM
+        # (read per-channel as scalars like _dw_win_call)
+        in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b)
+    in_specs += [
+        pl.BlockSpec((tc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((128, bt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [m1v, m2v, mask2, tcol]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((c, 128, bt), jnp.int8),
+        grid=(c // tc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tc, 128, bt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_dw_win_i32(x32, band2, j_min: int, b_sz: int, bias, mask2, m1,
+                     e1: int, m2, e2: int, bits: int, relu_in: bool,
+                     relu_out: bool = False, m16: bool = False,
+                     interpret=None) -> Array:
+    """Stride-1 depthwise conv over a RAW int32 producer accumulator.
+
+    x32: (C, 128, B*n_t) int32 (the pw dot's output, no bias applied);
+    bias/m1/e1: the producer-side epilogue (bias -> relu_in -> mask ->
+    requant -> clamp -> int8); m2/e2: the consumer requant of the dw
+    output.  Bit-identical to [XLA chain -> fused_dw_win_cm]."""
+    if interpret is None:
+        interpret = _should_interpret()
+    c, r, bt = x32.shape
+    n_d = band2.shape[1] // 128
+    n_t = bt // b_sz
+    bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
+    m1v = jnp.asarray(m1, jnp.int32).reshape(-1, 1)
+    m2v = jnp.asarray(m2, jnp.int32).reshape(-1, 1)
+    tcol = jnp.tile(jnp.arange(n_t, dtype=jnp.int32), b_sz).reshape(1, bt)
+    tc = 8
+    while c % tc:
+        tc //= 2
+    return _dw_win_i32_call(x32, band2, bias2, m1v, m2v,
+                            mask2.astype(jnp.int32), tcol, b_sz=b_sz,
+                            n_d=n_d, j_min=int(j_min), e1=int(e1), e2=int(e2),
+                            bits=bits, relu_in=relu_in, relu_out=relu_out,
+                            m16=m16, tc=tc, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Tile-major depthwise kernel: operands logically (bt, C, 128).
+#
+# The dw-only fused pipeline's remaining tax was 2 layout copies per site
+# (14 ms/step at B=64): XLA's dot/requant fusions place the int8
+# (C, 128, bt) activations in layout {1,0,2} — physically row-major
+# (bt, C, 128) — while pallas pins operands to the default layout of their
+# LOGICAL shape.  This kernel simply declares the XLA-preferred form AS its
+# logical shape, so the executor's transposes around it lower to layout
+# bitcasts and both boundaries go copy-free.  Window assembly also gets
+# simpler: the tile axis is now a major dimension, so the per-band-group
+# shift is a native int32 sublane roll of the *dot result* (packed-int8
+# lane rolls and their bitcast trick are gone), and each (bt, 128) @
+# (128, 128) band dot is a well-shaped MXU matmul.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b_sz", "n_d", "j_min", "e", "bits", "relu", "m16", "tc", "interpret"))
+def _dw_tm_call(x, band2t, b, m, mask, *, b_sz, n_d, j_min, e, bits,
+                relu, m16, tc, interpret):
+    bt, c, _ = x.shape
+    n_t = bt // b_sz
+    kd = n_d * 128
+    has_bias = b is not None
+
+    def kern(*refs):
+        if has_bias:
+            x_ref, band_ref, b_ref, m_ref, mask_ref, o_ref = refs
+        else:
+            x_ref, band_ref, m_ref, mask_ref, o_ref = refs
+            b_ref = None
+        # per-bt-position tile index within its sample (validity of shifted
+        # contributions: out tile i takes group j only if 0 <= i+delta < n_t,
+        # the conv's zero padding at sample edges)
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) % n_t
+        for ci in range(tc):
+            xall = x_ref[:, ci, :]                       # (bt, 128) int8
+            acc = None
+            for j in range(n_d):
+                delta = j + j_min
+                band_cj = band_ref[ci * kd + j * 128:
+                                   ci * kd + (j + 1) * 128, :]  # (128, 128)
+                y = jax.lax.dot_general(
+                    xall, band_cj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)    # (bt, 128)
+                if delta:
+                    # out position p needs y[p + delta]: int32 sublane roll
+                    y = pltpu.roll(y, (-delta) % bt, 0)
+                valid = (tcol + delta >= 0) & (tcol + delta < n_t)
+                y = jnp.where(valid, y, 0)
+                acc = y if acc is None else acc + y
+            o_ref[:, ci, :] = _epilogue(
+                acc, b_ref[ci, 0] if has_bias else None, mask_ref[:],
+                m_ref[ci, 0], e=e, bits=bits, relu=relu, m16=m16)
+
+    in_specs = [
+        pl.BlockSpec((bt, tc, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc * kd, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, band2t]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((tc, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(b)
+    in_specs += [
+        pl.BlockSpec((tc, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((bt, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [m, mask]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bt, c, 128), jnp.int8),
+        grid=(c // tc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, tc, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def band_tiles_tm(band2: np.ndarray) -> np.ndarray:
+    """(C*128, n_d*128) row-out-major band -> (C*n_d*128, 128) transposed
+    tiles for the tile-major kernel: rows are (c, j, r_in), cols r_out."""
+    c128, kd = band2.shape
+    c = c128 // 128
+    b3 = band2.reshape(c, 128, kd)            # [c, r_out, col]
+    bt = b3.transpose(0, 2, 1)                 # [c, col, r_out]
+    return np.ascontiguousarray(bt.reshape(c * kd, 128))
+
+
+def fused_dw_win_tm(x_tm, band2t, j_min: int, b_sz: int, bias, mask_tm, m,
+                    e: int, bits: int, relu: bool, m16: bool = False,
+                    interpret=None) -> Array:
+    """Stride-1 depthwise banded conv + consumer requant, tile-major form.
+
+    x_tm: (B*n_t, C, 128) int8 — the {1,0,2}-layout bitcast of the usual
+    (C, 128, B*n_t); band2t from band_tiles_tm; mask_tm: (bt, 128) int32.
+    Returns (bt, C, 128) int8, bit-identical to fused_dw_win_cm up to the
+    layout transpose (tests/test_pallas_depthwise.py).
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    bt, c, _ = x_tm.shape
+    n_d = band2t.shape[0] // c // 128
+    bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
+    m2 = jnp.asarray(m, jnp.int32).reshape(-1, 1)
+    tc = 8
+    while c % tc:
+        tc //= 2
+    return _dw_tm_call(x_tm, band2t, bias2, m2, mask_tm.astype(jnp.int32),
+                       b_sz=b_sz, n_d=n_d, j_min=int(j_min), e=int(e),
+                       bits=bits, relu=relu, m16=m16, tc=tc,
+                       interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,24 @@ def make_frozen_fn(model, tables, argmax: bool = False,
             # normalization copies before the pallas kernels)
             bands = {k: jnp.asarray(v.reshape(-1, v.shape[2]))
                      for k, v in bands_np.items()}
+            # opt-in: measured SLOWER on v5e (11.7k vs 15.9k RTFx) — the
+            # (bt, tc, 128) blocking puts channels on sublanes, so the
+            # kernel's per-channel slabs are sublane-strided loads; kept as
+            # a recorded experiment (PERF.md round 3c)
+            if os.environ.get("QASR_DW_TM", "0") == "1":
+                # tile-major kernel variants for stride-1 sites: operands
+                # logically (bt, C, 128) = XLA's preferred physical layout
+                # of the activations — removes the 2 layout copies/site
+                from qasr_tpu.kernels.cm_fused import band_tiles_tm
+
+                stride1 = {f"{bi}.convs.{i}"
+                           for bi, bp in enumerate(plan.blocks)
+                           for i, spec in enumerate(bp.convs)
+                           if spec.stride == 1}
+                for k, v in bands_np.items():
+                    if k in stride1:
+                        bands[k + "#tm"] = jnp.asarray(
+                            band_tiles_tm(v.reshape(-1, v.shape[2])))
         else:
             bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
         mult = 128 * _plan_total_stride(plan)
@@ -412,7 +430,8 @@ class ASRModel:
         # are part of the cache key too, so toggling them on a live model
         # rebuilds the executor instead of silently reusing the old one
         exec_env = tuple(os.environ.get(v, "") for v in
-                         ("QASR_DW_MXU", "QASR_CM", "QASR_CM_FUSED"))
+                         ("QASR_DW_MXU", "QASR_CM", "QASR_CM_FUSED",
+                          "QASR_DW_TM"))
         key = (mode, self.qcfg,
                (dyadic,) + exec_env if mode == "frozen" else None)
         if key in self._jit_cache:

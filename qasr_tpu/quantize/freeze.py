@@ -816,6 +816,13 @@ class FrozenExecCMF(FrozenExecCM):
     def _mask2(self, lens, n_t: int, tile0=0):
         return cm_mask(lens, n_t, tile0).reshape(128, lens.shape[0] * n_t)
 
+    def _mask_tm(self, lens, n_t: int, tile0=0):
+        """(B*n_t, 128) validity mask for the tile-major kernel;
+        t = (tile0 + tile)*128 + row."""
+        t_idx = (128 * (tile0 + jnp.arange(n_t))[None, :, None]
+                 + jnp.arange(128)[None, None, :])       # (1, n_t, 128)
+        return (t_idx < lens[:, None, None]).reshape(-1, 128)
+
     def _x4(self, p: _PendingConv):
         c, _, bt = p.xq.shape
         return p.xq.reshape(c, 128, p.b_sz, bt // p.b_sz)
@@ -844,6 +851,21 @@ class FrozenExecCMF(FrozenExecCM):
         j_min = self.dw_jmins[p.key]
         band2 = self.dw_bands_cm[p.key]
         hl, hr = self._dw_halos(p.key, p.spec.stride)
+        band2t = self.dw_bands_cm.get(p.key + "#tm")
+        if (p.spec.stride == 1 and band2t is not None
+                and not (hl or hr)):
+            # tile-major kernel: operands logically (bt, C, 128) — the
+            # physical form XLA's dot/requant fusions already prefer, so
+            # the transposes around it lower to layout bitcasts and the
+            # 2-copies-per-site layout tax disappears (PERF.md round 3c)
+            from qasr_tpu.kernels.cm_fused import fused_dw_win_tm
+
+            x_tm = jnp.transpose(p.xq, (2, 0, 1))
+            out_tm = fused_dw_win_tm(
+                x_tm, band2t, j_min, p.b_sz, bias,
+                self._mask_tm(lens, n_t, self._sp_tile0(n_t)), m, e, bits,
+                p.relu, m16=self.m16)
+            return jnp.transpose(out_tm, (1, 2, 0))
         if p.spec.stride == 1 and band2.ndim == 2:
             if hl or hr:
                 # SP: run the fused kernel on the halo-extended shard (its

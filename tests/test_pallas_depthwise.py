@@ -264,3 +264,47 @@ def test_frozen_batch_invariance(rng, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(lp_b)[i, :n], np.asarray(lp_1)[0, :n],
             err_msg=f"utt {i}")
+
+
+@pytest.mark.parametrize("b,n_t,c,k,d,bias,relu,m16", [
+    (2, 3, 64, 33, 1, True, True, False),
+    (3, 2, 32, 87, 1, False, False, False),   # j_min=-1, n_d=3 tail shape
+    (1, 4, 64, 29, 2, True, True, True),      # dilation + 16-bit mantissas
+])
+def test_fused_dw_tm_matches_lane_kernel(b, n_t, c, k, d, bias, relu, m16,
+                                         rng):
+    """The tile-major kernel (operands (bt, C, 128), int32 sublane rolls)
+    must be bit-identical to the lane-roll kernel up to the layout
+    transpose, across bias/relu/dilation/m16."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.kernels.cm_fused import (band_tiles_tm, fused_dw_win_cm,
+                                           fused_dw_win_tm)
+    from qasr_tpu.kernels.dw_mxu import band_tiles_cm
+
+    bt = b * n_t
+    pad = (d * k) // 2 - 1 if d > 1 else k // 2
+    x3 = jnp.asarray(rng.integers(-128, 128, (c, 128, bt)), jnp.int8)
+    w = rng.integers(-31, 32, (k, 1, c)).astype(np.int8)
+    band3, j_min = band_tiles_cm(w, 1, d, pad)
+    band2 = jnp.asarray(band3.reshape(-1, band3.shape[2]))
+    lens = rng.integers(40, n_t * 128 + 1, (b,)).astype(np.int32)
+    m = jnp.asarray(rng.integers(2, 2**15, (c,)), jnp.int32)
+    e, bits = 17, 7
+    bias_v = (jnp.asarray(rng.integers(-1000, 1000, (c,)), jnp.int32)
+              if bias else None)
+
+    from qasr_tpu.quantize.freeze import cm_mask
+    mask2 = cm_mask(jnp.asarray(lens), n_t).reshape(128, bt)
+    ref = fused_dw_win_cm(x3, band2, j_min, b, bias_v, mask2, m, e, bits,
+                          relu, m16=m16, interpret=True)
+
+    t_idx = (128 * np.arange(n_t)[None, :, None]
+             + np.arange(128)[None, None, :])
+    mask_tm = jnp.asarray((t_idx < lens[:, None, None]).reshape(-1, 128))
+    got_tm = fused_dw_win_tm(jnp.transpose(x3, (2, 0, 1)),
+                             jnp.asarray(band_tiles_tm(np.asarray(band2))),
+                             j_min, b, bias_v, mask_tm, m, e, bits, relu,
+                             m16=m16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(jnp.transpose(got_tm, (1, 2, 0))),
+                                  np.asarray(ref))
