@@ -123,17 +123,28 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
             mf.write(json.dumps({"audio_filepath": p, "duration": seconds,
                                  "text": "a"}) + "\n")
 
+    pcm16 = os.environ.get("QASR_IO_PCM16", "1") == "1"
     ds = AudioToCharDataset(man, labels=[" ", "a"],
-                            normalize_transcripts=False)
-    workers = int(os.environ.get("QASR_IO_THREADS", "4"))
-    make_loader = lambda: PrefetchLoader(
-        DataLoader(ds, batch_size=batch, drop_last=True,
-                   num_workers=workers), prefetch=6)
+                            normalize_transcripts=False, pcm16=pcm16)
+    workers = int(os.environ.get("QASR_IO_THREADS", "8"))
+    dl = DataLoader(ds, batch_size=batch, drop_last=True,
+                    num_workers=workers)
+
+    class _Cycle:
+        """Endless epoch stream so the prefetch thread never restarts
+        (per-epoch loader re-creation was itself the dominant stall in the
+        first --io measurement: thread spin-up + pipeline drain every
+        len(ds)/batch batches)."""
+
+        def __iter__(self):
+            while True:
+                yield from dl
+
+    stream = iter(PrefetchLoader(_Cycle(), prefetch=6))
 
     # warmup/compile on one batch
-    for audio, alens, _, _ in make_loader():
-        jax.block_until_ready(fn(jnp.asarray(audio), jnp.asarray(alens)))
-        break
+    audio, alens, _, _ = next(stream)
+    jax.block_until_ready(fn(jnp.asarray(audio), jnp.asarray(alens)))
 
     # device-only step time for the chip-busy denominator
     a0 = jnp.asarray(audio)
@@ -152,15 +163,13 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
     pending = None
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < wall_target:
-        for audio, alens, _, _ in make_loader():
-            out = fn(jnp.asarray(audio), jnp.asarray(alens))
-            if pending is not None:
-                jax.block_until_ready(pending)
-            pending = out
-            processed_sec += float(np.sum(alens)) / 16000.0
-            steps += 1
-            if time.perf_counter() - t0 >= wall_target:
-                break
+        audio, alens, _, _ = next(stream)
+        out = fn(jnp.asarray(audio), jnp.asarray(alens))
+        if pending is not None:
+            jax.block_until_ready(pending)
+        pending = out
+        processed_sec += float(np.sum(alens)) / 16000.0
+        steps += 1
     jax.block_until_ready(pending)
     wall = time.perf_counter() - t0
 
@@ -175,7 +184,10 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
         "steps": steps,
         "device_step_ms": round(dev_step * 1e3, 2),
         "chip_busy_fraction": round(chip_busy, 3),
-        "pcm_gb_per_s": round(processed_sec * 16000 * 4 / wall / 1e9, 3),
+        "pcm16_ingest": pcm16,
+        "io_threads": workers,
+        "pcm_gb_per_s": round(
+            processed_sec * 16000 * (2 if pcm16 else 4) / wall / 1e9, 3),
     }))
 
 

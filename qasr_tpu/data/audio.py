@@ -37,6 +37,33 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return x, sr
 
 
+def read_wav_pcm16(path: str) -> Tuple[np.ndarray, int]:
+    """Returns (int16 mono samples, sample_rate) WITHOUT the float decode.
+
+    For 16-bit mono wavs (the ASR-corpus norm) this is a frombuffer view —
+    no astype pass, no divide — so the host pipeline moves bytes instead of
+    converting samples; the device applies the exact 2**-15 scaling inside
+    the jitted frontend (models/ctc_model.py::_pcm_f32).  Other widths /
+    multichannel fall back through the float decode and re-grid (exact for
+    the values a 16-bit writer can produce)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2 and ch == 1:
+        return np.frombuffer(raw, dtype="<i2"), sr
+    x, sr = read_wav(path)
+    return float_to_pcm16(x), sr
+
+
+def float_to_pcm16(x: np.ndarray) -> np.ndarray:
+    """Exact inverse of the /32768 decode for int16-representable floats;
+    rounds (ties to even) and clips otherwise."""
+    return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
 def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return x
@@ -78,6 +105,26 @@ def read_audio(path: str, target_sr: int = 16000, offset: float = 0.0,
     if trim:
         x = trim_silence(x)
     return x
+
+
+def read_audio_pcm16(path: str, target_sr: int = 16000, offset: float = 0.0,
+                     duration: Optional[float] = None,
+                     trim: bool = False) -> np.ndarray:
+    """read_audio that keeps samples as int16 PCM (device-side scaling
+    path).  16-bit mono at the target rate is zero-copy; resample/trim
+    force a float round-trip and an exact re-grid."""
+    x16, sr = read_wav_pcm16(path)
+    if offset:
+        x16 = x16[int(offset * sr):]
+    if duration:
+        x16 = x16[: int(duration * sr)]
+    if sr == target_sr and not trim:
+        return x16
+    x = x16.astype(np.float32) / 32768.0
+    x = resample(x, sr, target_sr)
+    if trim:
+        x = trim_silence(x)
+    return float_to_pcm16(x)
 
 
 def write_wav(path: str, x: np.ndarray, sr: int = 16000) -> None:

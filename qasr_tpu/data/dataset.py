@@ -68,11 +68,17 @@ class AudioToCharDataset:
         normalize_transcripts: bool = True,
         parser: str = "en",
         augmentor=None,
+        pcm16: bool = False,
     ):
         self.labels = list(labels)
         self.sample_rate = sample_rate
         self.trim = trim
         self.augmentor = augmentor
+        # pcm16: yield int16 samples (no host float decode); the frozen
+        # serving fn scales on-device (ctc_model._pcm_f32).  Serving-path
+        # option — augmentors need float, so they force the float decode
+        # and an exact re-grid.
+        self.pcm16 = pcm16
         self.parser = make_parser(self.labels, parser,
                                   do_normalize=normalize_transcripts)
         entries = []
@@ -97,10 +103,22 @@ class AudioToCharDataset:
 
     def __getitem__(self, i: int):
         e, tokens = self.items[i]
+        if self.pcm16 and self.augmentor is None:
+            from qasr_tpu.data.audio import read_audio_pcm16
+
+            sig = read_audio_pcm16(e.audio_file, self.sample_rate,
+                                   offset=e.offset,
+                                   duration=e.duration or None,
+                                   trim=self.trim)
+            return sig, np.asarray(tokens, np.int32)
         sig = read_audio(e.audio_file, self.sample_rate, offset=e.offset,
                          duration=e.duration or None, trim=self.trim)
         if self.augmentor is not None:
             sig = self.augmentor.perturb(sig, self.sample_rate)
+        if self.pcm16:
+            from qasr_tpu.data.audio import float_to_pcm16
+
+            sig = float_to_pcm16(sig)
         return sig, np.asarray(tokens, np.int32)
 
 
@@ -116,7 +134,7 @@ def bucket_pad(signals: Sequence[np.ndarray], quantum: int = BUCKET_QUANTUM
     """
     lens = np.asarray([len(s) for s in signals], np.int32)
     t = int(max(1, -(-int(lens.max()) // quantum)) * quantum)
-    out = np.zeros((len(signals), t), np.float32)
+    out = np.zeros((len(signals), t), signals[0].dtype)
     for i, s in enumerate(signals):
         out[i, : len(s)] = s
     return out, lens

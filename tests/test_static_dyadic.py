@@ -195,3 +195,46 @@ def test_static_e16_overflow_falls_back(rng):
     t2 = freeze_model(plan2, folded2, dec2, ex2.new_qstate, qcfg, dec_cfg2,
                       dyadic_mode="static_e16")
     assert t2["dyadic16"] is True
+
+
+def test_int16_pcm_ingest_bit_exact(rng, monkeypatch):
+    """make_frozen_fn accepts int16 PCM and scales it on-device
+    (ctc_model._pcm_f32); since wav decode is x_i16/32768 and the device
+    applies x_i16 * 2**-15 in f32 (both exact), the log-probs must be
+    bit-identical to feeding the host-decoded float32.  This is the
+    half-the-ingest-bytes serving path (PERF.md round 3d)."""
+    from qasr_tpu.models.config import (
+        BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.ctc_model import ASRModel, make_frozen_fn
+    from qasr_tpu.models.jasper import fabricate_qstate
+
+    blocks = (
+        BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
+                    residual=False, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(33,), residual=True,
+                    separable=True),
+    )
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=64, blocks=blocks, activation="relu"),
+        decoder=DecoderConfig(feat_in=64, num_classes=28),
+        preprocessor={"features": 64, "dither": 1e-5})
+    pcm16 = rng.integers(-3000, 3000, (2, 16000)).astype(np.int16)
+    audio = pcm16.astype(np.float32) / 32768.0   # read_wav's decode
+    lens = np.asarray([16000, 12000], np.int32)
+    monkeypatch.setenv("QASR_DW_MXU", "1")
+    monkeypatch.setenv("QASR_CM", "1")
+
+    m = ASRModel.from_config(cfg, seed=0)
+    m.set_quant_bit(6, "all")
+    m.bn_folding()
+    m.qstate = fabricate_qstate(m.plan)
+    tables = m.freeze()
+    for fused in ("0", "1"):
+        monkeypatch.setenv("QASR_CM_FUSED", fused)
+        fn = make_frozen_fn(m, tables)
+        lp_f32, el_f32 = fn(jnp.asarray(audio), jnp.asarray(lens))
+        lp_i16, el_i16 = fn(jnp.asarray(pcm16), jnp.asarray(lens))
+        np.testing.assert_array_equal(np.asarray(el_f32), np.asarray(el_i16))
+        np.testing.assert_array_equal(np.asarray(lp_f32), np.asarray(lp_i16),
+                                      err_msg=f"fused={fused}")
