@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 
 
-def main():
+def _setup_cache():
     import os
 
     import jax
@@ -30,7 +30,58 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def _make_bench_loop(fn3, audio, lengths, bands):
+    """One jitted executable running `n_iter` chained model steps in a
+    lax.fori_loop.  Timing rule on this setup (PERF.md round 3d): the axon
+    tunnel's block_until_ready returns before execution finishes, so the
+    only trustworthy clock is dispatch -> host FETCH of an output; chaining
+    N steps inside one executable amortizes that round trip, and the slope
+    between two trip counts cancels it exactly.  Each iteration's input is
+    perturbed by one LSB derived from the previous iteration's argmax ids
+    (runtime 0/1, not provably constant), so XLA can neither hoist the
+    model out of the loop nor constant-fold it."""
+    import jax
     import jax.numpy as jnp
+
+    ids_sds = jax.eval_shape(fn3, audio, lengths, bands)[0]
+
+    @jax.jit
+    def loop(audio, lengths, bands, n_iter):
+        def body(_, carry):
+            c, _ids = carry
+            bump = (c & 1).astype(audio.dtype)
+            a2 = audio.at[0, 0].add(bump)
+            ids, _el = fn3(a2, lengths, bands)
+            return ids.sum().astype(jnp.int32), ids
+
+        init = (jnp.int32(0), jnp.zeros(ids_sds.shape, ids_sds.dtype))
+        return jax.lax.fori_loop(0, n_iter, body, init)
+
+    return loop
+
+
+def _device_step_seconds(loop, audio, lengths, bands, lo=2, hi=12, reps=3):
+    """Per-step device time via the fetch-forced two-point slope."""
+    import jax.numpy as jnp
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = loop(audio, lengths, bands, jnp.int32(k))
+            np.asarray(out[0])  # fetch forces true completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(hi) - timed(lo)) / (hi - lo)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    _setup_cache()
 
     from __graft_entry__ import _calibrated_frozen_quartznet
     from qasr_tpu.models.ctc_model import make_frozen_fn
@@ -38,8 +89,9 @@ def main():
     model = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
     # host-numpy tables closed over as constants: the static-exponent dyadic
     # shifts must stay Python ints (compile-time constants); the banded
-    # MXU depthwise tiles ride as jit runtime args inside make_frozen_fn
-    fn = make_frozen_fn(model, model.freeze(), argmax=True)
+    # MXU depthwise tiles ride as jit runtime args
+    fn3, bands = make_frozen_fn(model, model.freeze(), argmax=True,
+                                return_band_args=True)
 
     # batch 64 x 15 s: the best-measured serving configuration on one v5e
     # with the fused dw kernels (B=32: 12948, B=64: 15822, B=96: 14762 —
@@ -52,23 +104,17 @@ def main():
     audio = jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32) * 0.1)
     lengths = jnp.full((batch,), n, jnp.int32)
 
-    # warmup/compile
-    jax.block_until_ready(fn(audio, lengths))
-    jax.block_until_ready(fn(audio, lengths))
+    loop = _make_bench_loop(fn3, audio, lengths, bands)
 
-    # best of 3 windows: the axon tunnel's dispatch jitter occasionally
-    # stretches one window; steady-state device time is what we report
-    iters = 12
-    elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(audio, lengths)
-        jax.block_until_ready(out)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+    # warmup/compile (first post-compile execution on the tunnel is slow)
+    _, ids = loop(audio, lengths, bands, jnp.int32(2))
+    ids = np.asarray(ids)
+    # liveness gate: a degenerate or constant-folded model must FAIL the
+    # bench, not inflate it (the round-3d failure mode)
+    assert len(np.unique(ids)) > 1, "model output is degenerate"
 
-    audio_seconds = batch * seconds * iters
-    rtfx = audio_seconds / elapsed
+    step = _device_step_seconds(loop, audio, lengths, bands)
+    rtfx = batch * seconds / step
     print(json.dumps({
         "metric": "quartznet15x5_w6a6_int8_rtfx_per_chip",
         "value": round(rtfx, 2),
@@ -95,11 +141,7 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
 
     if wall_target is None:
         wall_target = float(os.environ.get("QASR_IO_WALL", "60"))
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _setup_cache()
 
     import jax.numpy as jnp
 
@@ -110,7 +152,9 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
     from qasr_tpu.models.ctc_model import make_frozen_fn
 
     model = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
-    fn = make_frozen_fn(model, model.freeze(), argmax=True)
+    fn3, bands = make_frozen_fn(model, model.freeze(), argmax=True,
+                                return_band_args=True)
+    fn = lambda a, l: fn3(a, l, bands)  # noqa: E731
 
     n = int(16000 * seconds)
     rng = np.random.default_rng(0)
@@ -142,22 +186,42 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
 
     stream = iter(PrefetchLoader(_Cycle(), prefetch=6))
 
-    # warmup/compile on one batch
-    audio, alens, _, _ = next(stream)
-    jax.block_until_ready(fn(jnp.asarray(audio), jnp.asarray(alens)))
+    # host-pipeline-only throughput (manifest -> decode -> collate), before
+    # any device execution: proves the host side can feed the chip
+    t0 = time.perf_counter()
+    host_bytes = 0
+    for _ in range(8):
+        audio, alens, _, _ = next(stream)
+        host_bytes += int(np.sum(alens)) * audio.dtype.itemsize
+    host_gbs = host_bytes / (time.perf_counter() - t0) / 1e9
 
-    # device-only step time for the chip-busy denominator
+    # upload bandwidth probe.  NB block_until_ready is NOT a completion
+    # barrier on the axon tunnel (PERF.md round 3d) — fetching one element
+    # back is; it adds one RPC round trip, so this slightly understates.
+    buf = jnp.asarray(audio)
+    np.asarray(buf[0, :1])
+    t0 = time.perf_counter()
+    b2 = jnp.asarray(audio)
+    np.asarray(b2[0, :1])
+    upload_pre_gbs = audio.nbytes / (time.perf_counter() - t0) / 1e9
+
+    # device-only step time for the chip-busy denominator: fetch-forced
+    # two-point slope over a chained-steps executable, same dtype/shape as
+    # the served batches
     a0 = jnp.asarray(audio)
     l0 = jnp.asarray(alens)
-    jax.block_until_ready(fn(a0, l0))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        out = fn(a0, l0)
-    jax.block_until_ready(out)
-    dev_step = (time.perf_counter() - t0) / 8
+    loop = _make_bench_loop(fn3, a0, l0, bands)
+    _, ids = loop(a0, l0, bands, jnp.int32(2))
+    assert len(np.unique(np.asarray(ids))) > 1, "model output is degenerate"
+    dev_step = _device_step_seconds(loop, a0, l0, bands)
 
-    # sustained serving loop: async dispatch, block only on the previous
-    # batch's result so host I/O overlaps device compute
+    # warm the serving executable (separate jit: un-looped single step)
+    out = fn(a0, l0)
+    np.asarray(out[1])
+
+    # sustained serving loop: dispatch batch k+1, then force completion of
+    # batch k by fetching its (small) length vector — host decode + upload
+    # overlap the device's execution of the previous batch
     processed_sec = 0.0
     steps = 0
     pending = None
@@ -166,15 +230,22 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
         audio, alens, _, _ = next(stream)
         out = fn(jnp.asarray(audio), jnp.asarray(alens))
         if pending is not None:
-            jax.block_until_ready(pending)
+            np.asarray(pending[1])
         pending = out
         processed_sec += float(np.sum(alens)) / 16000.0
         steps += 1
-    jax.block_until_ready(pending)
+    np.asarray(pending[1])
     wall = time.perf_counter() - t0
 
     rtfx_io = processed_sec / wall
     chip_busy = (steps * dev_step) / wall
+    # what the same loop achieves when ingest runs at the pre-exec upload
+    # bandwidth (≈ a real PCIe host, where upload is faster still): host
+    # decode and upload overlap device compute, so the step time is the max
+    bytes_per_batch = float(np.sum(alens)) * (2 if pcm16 else 4)
+    step_pcie = max(dev_step, bytes_per_batch / max(upload_pre_gbs, 1e-9) / 1e9,
+                    bytes_per_batch / max(host_gbs, 1e-9) / 1e9)
+    rtfx_projected = (processed_sec / steps) / step_pcie
     print(json.dumps({
         "metric": "quartznet15x5_w6a6_serving_rtfx_with_host_io",
         "value": round(rtfx_io, 2),
@@ -188,6 +259,9 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
         "io_threads": workers,
         "pcm_gb_per_s": round(
             processed_sec * 16000 * (2 if pcm16 else 4) / wall / 1e9, 3),
+        "host_pipeline_gb_per_s": round(host_gbs, 3),
+        "upload_pre_exec_gb_per_s": round(upload_pre_gbs, 3),
+        "rtfx_at_unthrottled_ingest": round(rtfx_projected, 2),
     }))
 
 

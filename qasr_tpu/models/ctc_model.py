@@ -562,6 +562,55 @@ class ASRModel:
             feats_batches.append((np.asarray(feats), np.asarray(feat_lens)))
         self.calibrate(feats_batches)
 
+    def calibrate_on_noise(self, batches: int = 2, batch_size: int = 2,
+                           seconds: float = 1.0, seed: int = 0) -> None:
+        """Calibrate activation ranges on seeded Gaussian noise audio.
+
+        For benchmarks, compile checks, and executor bit-identity tests with
+        random weights: ranges must match the network's actual activation
+        statistics, site by site — fixed fabricated ranges (the old
+        ``fabricate_qstate``) make a deep random-weight stack degenerate
+        (activations fall below one quantization step within a few blocks,
+        every integer rounds to 0, and XLA constant-folds the whole frozen
+        graph; PERF.md round 3d).  Real workflows calibrate on synthetic or
+        real data instead (inference.py:121-130)."""
+        n = int(self.cfg.sample_rate * seconds)
+        rng = np.random.default_rng(seed)
+        loader = [
+            (rng.normal(size=(batch_size, n)).astype(np.float32) * 0.1,
+             np.full((batch_size,), n, np.int32))
+            for _ in range(batches)
+        ]
+        self.calibrate_on_audio(loader)
+
+    def qstate_to_json(self) -> str:
+        """Serialize the (scalar-leaved) activation-range pytree as JSON —
+        the cacheable artifact behind bench.py/__graft_entry__ (so the
+        flagship model's noise calibration runs once, not per process)."""
+        import json
+
+        def conv(t):
+            if isinstance(t, dict):
+                return {k: conv(v) for k, v in t.items()}
+            if isinstance(t, (list, tuple)):
+                return [conv(v) for v in t]
+            return float(np.asarray(t))
+
+        return json.dumps(conv(self.qstate))
+
+    def qstate_from_json(self, text: str) -> None:
+        import json
+
+        def conv(t):
+            if isinstance(t, dict):
+                return {k: conv(v) for k, v in t.items()}
+            if isinstance(t, list):
+                return [conv(v) for v in t]
+            return np.float32(t)
+
+        self.qstate = conv(json.loads(text))
+        self._jit_cache.clear()
+
     def freeze(self, dyadic_mode: str = "static_e"):
         if not self.folded:
             raise RuntimeError("call bn_folding() before freeze()")

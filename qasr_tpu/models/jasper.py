@@ -260,22 +260,6 @@ def fold_bn_encoder(params: Dict[str, Any]) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def fabricate_qstate(plan: EncoderPlan, lo: float = -4.0, hi: float = 4.0) -> Dict[str, Any]:
-    """Host-fabricated activation ranges (for benchmarks/compile checks with
-    random weights — the frozen integer graph's structure and cost don't
-    depend on range values).  Real workflows use calibrate()."""
-    z = lambda: {"x_min": np.float32(lo), "x_max": np.float32(hi)}
-    return {
-        "blocks": [
-            {"convs": [z() for _ in bp.convs],
-             "res": [z() for _ in bp.res],
-             "res_act": z()}
-            for bp in plan.blocks
-        ],
-        "decoder_act": z(),
-    }
-
-
 def init_qstate(plan: EncoderPlan) -> Dict[str, Any]:
     z = lambda: {"x_min": np.zeros((), np.float32), "x_max": np.zeros((), np.float32)}
     return {

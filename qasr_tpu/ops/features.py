@@ -199,12 +199,18 @@ class MelFrontend:
         if cfg.window != "hann":
             raise NotImplementedError("only hann window is supported")
         self.cfg = cfg
-        self.window = jnp.asarray(hann_window(cfg.win_length, cfg.n_fft))
-        self.fb = jnp.asarray(mel_filterbank(
-            cfg.sample_rate, cfg.n_fft, cfg.features, cfg.lowfreq, cfg.highfreq))
+        # kept as HOST numpy on purpose: a jit that closes over these then
+        # embeds them as HLO literals.  As pre-committed device buffers
+        # (jnp.asarray here) they become captured-constant buffers in the
+        # executable, which permanently degrades this process's host->device
+        # transfer bandwidth ~70x under the axon TPU tunnel (PERF.md round
+        # 3d bisect: any executed program holding a captured device buffer
+        # — even a scalar — triggers it; numpy-literal closures don't).
+        self.window = hann_window(cfg.win_length, cfg.n_fft)
+        self.fb = mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.features, cfg.lowfreq, cfg.highfreq)
         if cfg.stft_matmul:
-            cos_m, sin_m = dft_matrices(cfg.n_fft)
-            self.cos_m, self.sin_m = jnp.asarray(cos_m), jnp.asarray(sin_m)
+            self.cos_m, self.sin_m = dft_matrices(cfg.n_fft)
 
     def out_length(self, lengths: Array) -> Array:
         # ceil(len / hop)  (features.py:327-328)
@@ -276,7 +282,8 @@ class MFCCFrontend(MelFrontend):
     def __init__(self, cfg: FeatureConfig, n_mfcc: int = 64):
         super().__init__(cfg)
         self.n_mfcc = n_mfcc
-        self.dct = jnp.asarray(dct_matrix(n_mfcc, cfg.features))
+        # host numpy, same captured-device-constant hazard as MelFrontend
+        self.dct = dct_matrix(n_mfcc, cfg.features)
 
     def __call__(self, x, lengths, *, rng=None, dither=None):
         mel, seq_len = super().__call__(x, lengths, rng=rng, dither=dither)

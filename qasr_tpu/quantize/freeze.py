@@ -262,7 +262,23 @@ def freeze_model(plan: EncoderPlan, enc_params, dec_params, qstate,
         "w": w_int.astype(np.int8), "b": b_int,
         "out_scale": out_scale,
     }
-    return tables
+    return _tables_to_host(tables)
+
+
+def _tables_to_host(t):
+    """Force every array leaf to host numpy.  Executors close over the
+    tables inside jitted forwards; numpy closures lower to HLO literals,
+    while pre-committed device arrays become captured-constant buffers in
+    the executable — which permanently degrades the process's host->device
+    transfer bandwidth ~70x under the axon TPU tunnel (PERF.md round 3d).
+    Host tables are also the serializable form (utils/checkpoint)."""
+    if isinstance(t, dict):
+        return {k: _tables_to_host(v) for k, v in t.items()}
+    if isinstance(t, (list, tuple)):
+        return type(t)(_tables_to_host(v) for v in t)
+    if hasattr(t, "dtype") and hasattr(t, "shape"):
+        return np.asarray(t)
+    return t
 
 
 def _is_dw(spec: ConvSpec) -> bool:

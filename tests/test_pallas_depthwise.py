@@ -178,7 +178,6 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
         BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
     )
     from qasr_tpu.models.ctc_model import ASRModel
-    from qasr_tpu.models.jasper import fabricate_qstate
 
     blocks = (
         BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
@@ -195,6 +194,7 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
     audio = rng.normal(size=(2, 16000)).astype(np.float32) * 0.1
     lens = np.asarray([16000, 12000], np.int32)
 
+    qstate = None
     outs = {}
     for name, env in [("off", {"QASR_DW_MXU": "0"}),
                       ("btc", {"QASR_DW_MXU": "1", "QASR_CM": "0"}),
@@ -209,7 +209,11 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
         m = ASRModel.from_config(cfg, seed=0)
         m.set_quant_bit(6, "all")
         m.bn_folding()
-        m.qstate = fabricate_qstate(m.plan)
+        if qstate is None:
+            m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
+            qstate = m.qstate
+        else:
+            m.qstate = qstate
         outs[name] = m.forward(audio, lens, mode="frozen")
     for k in ("btc", "cm", "cmf-dw", "cmf-all"):
         for j in range(3):
@@ -228,7 +232,6 @@ def test_frozen_batch_invariance(rng, monkeypatch):
         BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
     )
     from qasr_tpu.models.ctc_model import ASRModel
-    from qasr_tpu.models.jasper import fabricate_qstate
 
     blocks = (
         BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
@@ -247,7 +250,7 @@ def test_frozen_batch_invariance(rng, monkeypatch):
     m = ASRModel.from_config(cfg, seed=0)
     m.set_quant_bit(6, "all")
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
 
     lens = np.asarray([16000, 11200, 7040], np.int32)
     audio = np.zeros((3, 16000), np.float32)

@@ -8,7 +8,6 @@ import jax.numpy as jnp
 
 from qasr_tpu.models.config import DecoderConfig, ModelConfig, QuantConfig
 from qasr_tpu.models.ctc_model import ASRModel
-from qasr_tpu.models.jasper import fabricate_qstate
 from qasr_tpu.parallel.eval import make_sharded_frozen_forward, synthesize_sharded
 from qasr_tpu.parallel.mesh import make_mesh
 from tests.test_jasper_model import tiny_encoder_cfg, FEAT
@@ -21,7 +20,7 @@ def _frozen_model():
     m = ASRModel.from_config(cfg)
     m.set_quant_bit(8, "all")
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
     return m
 
 
@@ -142,7 +141,7 @@ def _cm_frozen_model(monkeypatch):
     m = ASRModel.from_config(cfg, seed=0)
     m.set_quant_bit(6, "all")
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
     return m
 
 

@@ -114,13 +114,12 @@ def test_folded_qasr_roundtrip(tmp_path, rng):
     """A BN-folded + calibrated model's .qasr archive must restore to a
     numerically identical model (the quantization workflow's checkpoint)."""
     from qasr_tpu.models.config import ModelConfig
-    from qasr_tpu.models.jasper import fabricate_qstate
 
     cfg = ModelConfig.from_dict(_tiny_cfg_dict())
     m = ASRModel.from_config(cfg, seed=7)
     m.set_quant_bit(6, "all")
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.25)
     audio = rng.normal(size=(2, 4000)).astype(np.float32) * 0.1
     lens = np.asarray([4000, 3200], np.int32)
     lp1 = m.forward(audio, lens)[0]

@@ -114,7 +114,6 @@ def test_static_e16_whole_model_transcripts(rng, monkeypatch):
         BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
     )
     from qasr_tpu.models.ctc_model import ASRModel, make_frozen_fn
-    from qasr_tpu.models.jasper import fabricate_qstate
 
     blocks = (
         BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
@@ -135,7 +134,7 @@ def test_static_e16_whole_model_transcripts(rng, monkeypatch):
     m = ASRModel.from_config(cfg, seed=0)
     m.set_quant_bit(6, "all")
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
     ids = {}
     for mode in ("static_e", "static_e16"):
         fn = make_frozen_fn(m, m.freeze(dyadic_mode=mode), argmax=True)
@@ -207,7 +206,6 @@ def test_int16_pcm_ingest_bit_exact(rng, monkeypatch):
         BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
     )
     from qasr_tpu.models.ctc_model import ASRModel, make_frozen_fn
-    from qasr_tpu.models.jasper import fabricate_qstate
 
     blocks = (
         BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
@@ -228,7 +226,7 @@ def test_int16_pcm_ingest_bit_exact(rng, monkeypatch):
     m = ASRModel.from_config(cfg, seed=0)
     m.set_quant_bit(6, "all")
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
     tables = m.freeze()
     for fused in ("0", "1"):
         monkeypatch.setenv("QASR_CM_FUSED", fused)

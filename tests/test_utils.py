@@ -54,7 +54,6 @@ def test_export_roundtrip(rng):
 def test_export_frozen_ctc(tmp_path):
     from qasr_tpu.models.config import DecoderConfig, ModelConfig
     from qasr_tpu.models.ctc_model import ASRModel
-    from qasr_tpu.models.jasper import fabricate_qstate
     from qasr_tpu.utils.export import export_frozen_ctc, load_exported
     from tests.test_jasper_model import tiny_encoder_cfg, FEAT
 
@@ -63,7 +62,7 @@ def test_export_frozen_ctc(tmp_path):
                       preprocessor={"features": FEAT, "dither": 0.0})
     m = ASRModel.from_config(cfg)
     m.bn_folding()
-    m.qstate = fabricate_qstate(m.plan)
+    m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
     p = export_frozen_ctc(m, batch=1, num_samples=3200,
                           path=str(tmp_path / "model.stablehlo"))
     blob = open(p, "rb").read()
