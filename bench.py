@@ -239,13 +239,19 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
 
     rtfx_io = processed_sec / wall
     chip_busy = (steps * dev_step) / wall
-    # what the same loop achieves when ingest runs at the pre-exec upload
-    # bandwidth (≈ a real PCIe host, where upload is faster still): host
-    # decode and upload overlap device compute, so the step time is the max
+    # two projections for the overlap loop (step time = max of the stages):
+    #  - at the measured tunnel upload rate (what this wall-clock should be
+    #    if only dispatch overheads were removed)
+    #  - chip-bound: ingest at host-decode speed with transfers off the
+    #    critical path (a real PCIe host uploads 30 MB in ~3 ms; the axon
+    #    tunnel's ~0.04 GB/s upload ceiling is infrastructure, PERF.md
+    #    rounds 3d/3e)
     bytes_per_batch = float(np.sum(alens)) * (2 if pcm16 else 4)
     step_pcie = max(dev_step, bytes_per_batch / max(upload_pre_gbs, 1e-9) / 1e9,
                     bytes_per_batch / max(host_gbs, 1e-9) / 1e9)
     rtfx_projected = (processed_sec / steps) / step_pcie
+    step_chip = max(dev_step, bytes_per_batch / max(host_gbs, 1e-9) / 1e9)
+    rtfx_chip_bound = (processed_sec / steps) / step_chip
     print(json.dumps({
         "metric": "quartznet15x5_w6a6_serving_rtfx_with_host_io",
         "value": round(rtfx_io, 2),
@@ -261,7 +267,8 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
             processed_sec * 16000 * (2 if pcm16 else 4) / wall / 1e9, 3),
         "host_pipeline_gb_per_s": round(host_gbs, 3),
         "upload_pre_exec_gb_per_s": round(upload_pre_gbs, 3),
-        "rtfx_at_unthrottled_ingest": round(rtfx_projected, 2),
+        "rtfx_at_measured_upload": round(rtfx_projected, 2),
+        "rtfx_chip_bound": round(rtfx_chip_bound, 2),
     }))
 
 

@@ -65,6 +65,9 @@ def build_parser() -> ArgumentParser:
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
 
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
     from qasr_tpu.compat.pickle_io import load_synthetic
     from qasr_tpu.data.dataset import AudioToCharDataset, DataLoader
     from qasr_tpu.decode.ctc import WER, word_error_rate, ctc_collapse

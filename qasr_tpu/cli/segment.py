@@ -25,6 +25,9 @@ def main(argv=None):
                    help="permit a preset name with no cached checkpoint "
                         "(architecture-only random weights; testing)")
     args = p.parse_args(argv)
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
 
     import numpy as np
 

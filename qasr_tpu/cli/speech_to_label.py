@@ -48,6 +48,9 @@ def _scan_labels(manifest: str):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

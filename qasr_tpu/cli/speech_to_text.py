@@ -40,6 +40,9 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*",
                         help="dotted key=value overrides (hydra-style)")
     args = parser.parse_args(argv)
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
 
     import yaml
 

@@ -29,6 +29,9 @@ def build_parser() -> ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
     import numpy as np
 
     from qasr_tpu.data.dataset import AudioToCharDataset, DataLoader

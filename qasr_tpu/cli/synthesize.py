@@ -46,6 +46,9 @@ def build_parser() -> ArgumentParser:
 def main(argv=None) -> str:
     args = build_parser().parse_args(argv)
 
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
     from qasr_tpu.compat.pickle_io import save_synthetic, synthetic_filename
     from qasr_tpu.models.ctc_model import ASRModel
     from qasr_tpu.quantize.synth import get_synthetic_data

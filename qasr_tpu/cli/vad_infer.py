@@ -28,6 +28,9 @@ def build_parser() -> ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -127,6 +127,54 @@ def read_audio_pcm16(path: str, target_sr: int = 16000, offset: float = 0.0,
     return float_to_pcm16(x)
 
 
+def wav_pcm16_info(path: str) -> Optional[Tuple[int, int, int]]:
+    """Minimal RIFF scan for the serving fast path: (n_frames, sample_rate,
+    data_offset) when `path` is a plain 16-bit mono PCM WAV, else None (the
+    caller falls back to the general `wave`-module decoder).  One small read
+    per file — the batch decoder then `readinto`s the data chunk straight
+    into its row of the padded batch buffer (single copy, page cache ->
+    batch; the reference gets the same effect from DALI's device decode,
+    data/audio_to_text_dali.py:74-447)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                return None
+            fmt = None
+            while True:
+                ch = f.read(8)
+                if len(ch) < 8:
+                    return None
+                size = int.from_bytes(ch[4:8], "little")
+                if ch[:4] == b"fmt ":
+                    fmt = f.read(size + (size & 1))
+                elif ch[:4] == b"data":
+                    if fmt is None or len(fmt) < 16:
+                        return None
+                    if (int.from_bytes(fmt[0:2], "little") != 1      # PCM
+                            or int.from_bytes(fmt[2:4], "little") != 1  # mono
+                            or int.from_bytes(fmt[14:16], "little") != 16):
+                        return None
+                    return size // 2, int.from_bytes(fmt[4:8], "little"), f.tell()
+                else:
+                    f.seek(size + (size & 1), 1)
+    except OSError:
+        return None
+
+
+def read_pcm16_into(path: str, data_offset: int, out: np.ndarray) -> int:
+    """Read len(out) int16 frames at data_offset directly into `out` (a
+    contiguous int16 view, e.g. a batch-buffer row).  Returns frames read.
+    buffering=0 so the kernel copies page cache -> out with no BufferedReader
+    staging pass; releases the GIL, so batch rows decode in parallel under a
+    thread pool."""
+    mv = memoryview(out).cast("B")
+    with open(path, "rb", buffering=0) as f:
+        f.seek(data_offset)
+        n = f.readinto(mv)
+    return (n or 0) // 2
+
+
 def write_wav(path: str, x: np.ndarray, sr: int = 16000) -> None:
     x16 = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:

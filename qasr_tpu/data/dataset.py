@@ -101,6 +101,34 @@ class AudioToCharDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def batch_plan(self, idx):
+        """Single-copy batch-decode plan for the pcm16 serving path:
+        [(path, data_offset, n_frames, tokens), ...], or None when any item
+        needs the general decoder (augmentor, trim, manifest offset slices,
+        resampling, or a non-16-bit-mono file).  The loader then `readinto`s
+        each file's data chunk straight into its row of the padded batch
+        buffer — one copy total instead of wave-module chunked reads plus a
+        pad copy (~5x the host pipeline rate, PERF.md round 3e)."""
+        if not self.pcm16 or self.augmentor is not None or self.trim:
+            return None
+        from qasr_tpu.data.audio import wav_pcm16_info
+
+        plan = []
+        for j in idx:
+            e, tokens = self.items[j]
+            if e.offset:
+                return None
+            info = wav_pcm16_info(e.audio_file)
+            if info is None:
+                return None
+            n, sr, off = info
+            if sr != self.sample_rate:
+                return None
+            if e.duration:
+                n = min(n, int(e.duration * sr))
+            plan.append((e.audio_file, off, n, tokens))
+        return plan
+
     def __getitem__(self, i: int):
         e, tokens = self.items[i]
         if self.pcm16 and self.augmentor is None:
@@ -240,11 +268,63 @@ class DataLoader:
             while futs:
                 yield futs.popleft().result()
 
+    def _fast_batch(self, plan, pool):
+        """Decode a batch_plan: one readinto per file, each thread writing a
+        disjoint row of the (B, T) buffer (single copy, page cache -> batch)."""
+        from qasr_tpu.data.audio import read_pcm16_into
+
+        lens = np.asarray([n for _, _, n, _ in plan], np.int32)
+        t = int(max(1, -(-int(lens.max()) // self.quantum)) * self.quantum)
+        audio = np.empty((len(plan), t), np.int16)
+
+        def fill(i):
+            path, off, n, _ = plan[i]
+            got = read_pcm16_into(path, off, audio[i, :n])
+            audio[i, got:] = 0       # tail padding (+ short-read backstop)
+
+        if pool is None:
+            for i in range(len(plan)):
+                fill(i)
+        else:
+            list(pool.map(fill, range(len(plan))))
+        toks = [np.asarray(tk, np.int32) for _, _, _, tk in plan]
+        tl = np.asarray([len(tk) for tk in toks], np.int32)
+        lmax = int(max(1, -(-int(tl.max()) // 16)) * 16)
+        tokens = np.zeros((len(toks), lmax), np.int32)
+        for i, tk in enumerate(toks):
+            tokens[i, : len(tk)] = tk
+        return audio, lens, tokens, tl
+
     def __iter__(self) -> Iterator:
         idx = list(range(self.shard_id, len(self.ds), self.num_shards))
         if self.shuffle:
             rng = np.random.default_rng(self.seed)
             rng.shuffle(idx)
+
+        # pcm16 single-copy fast path: per chunk, decode straight into the
+        # padded batch buffer (falls back per chunk when a plan is refused)
+        if (hasattr(self.ds, "batch_plan")
+                and self.ds.batch_plan(idx[: self.batch_size]) is not None):
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = (ThreadPoolExecutor(self.num_workers)
+                    if self.num_workers > 1 else None)
+            try:
+                for i in range(0, len(idx), self.batch_size):
+                    chunk = idx[i:i + self.batch_size]
+                    if self.drop_last and len(chunk) < self.batch_size:
+                        return
+                    plan = self.ds.batch_plan(chunk)
+                    if plan is not None:
+                        yield self._fast_batch(plan, pool)
+                    else:
+                        yield collate_batch(
+                            [self.ds[j] for j in chunk], self.quantum)
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
+            return
+
         items = self._items(idx)
         import itertools
         for i in range(0, len(idx), self.batch_size):

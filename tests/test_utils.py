@@ -250,3 +250,20 @@ def test_exp_manager_kill_and_resume_trajectory(tmp_path, rng):
     tr2.model.params, tr2.opt_state, tr2.step = params, opt, step
     losses_resumed = [tr2.train_step(batch) for _ in range(3)]
     np.testing.assert_allclose(losses_resumed, losses_full[3:], rtol=1e-5)
+
+
+def test_compile_cache_setup(tmp_path, monkeypatch):
+    """setup_compile_cache points jax at the env-selected dir, creates it,
+    and '0' disables (no config churn)."""
+    import jax
+
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
+
+    d = tmp_path / "jx"
+    monkeypatch.setenv("QASR_COMPILE_CACHE", str(d))
+    assert setup_compile_cache() == str(d)
+    assert d.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(d)
+
+    monkeypatch.setenv("QASR_COMPILE_CACHE", "0")
+    assert setup_compile_cache() is None
