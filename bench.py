@@ -20,15 +20,17 @@ import numpy as np
 def _setup_cache():
     import os
 
-    import jax
+    from qasr_tpu.utils.compile_cache import setup_compile_cache
 
     # persistent compilation cache: the ~300 s whole-model compile happens
-    # once per shape, later bench runs start in seconds
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # once per shape, later bench runs start in seconds.  Default to the
+    # repo-local dir earlier bench runs already warmed; QASR_COMPILE_CACHE
+    # still overrides (or '0' disables) like every CLI.
+    os.environ.setdefault(
+        "QASR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    setup_compile_cache()
 
 
 def _make_bench_loop(fn3, audio, lengths, bands):

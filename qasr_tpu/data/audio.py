@@ -171,8 +171,15 @@ def read_pcm16_into(path: str, data_offset: int, out: np.ndarray) -> int:
     mv = memoryview(out).cast("B")
     with open(path, "rb", buffering=0) as f:
         f.seek(data_offset)
-        n = f.readinto(mv)
-    return (n or 0) // 2
+        # raw reads may legally return short (NFS/FUSE, EINTR): loop until
+        # the row is full or EOF, else real audio tail becomes silence
+        got = 0
+        while got < len(mv):
+            n = f.readinto(mv[got:])
+            if not n:
+                break
+            got += n
+    return got // 2
 
 
 def write_wav(path: str, x: np.ndarray, sr: int = 16000) -> None:

@@ -303,8 +303,9 @@ class DataLoader:
 
         # pcm16 single-copy fast path: per chunk, decode straight into the
         # padded batch buffer (falls back per chunk when a plan is refused)
-        if (hasattr(self.ds, "batch_plan")
-                and self.ds.batch_plan(idx[: self.batch_size]) is not None):
+        first_plan = (self.ds.batch_plan(idx[: self.batch_size])
+                      if hasattr(self.ds, "batch_plan") else None)
+        if first_plan is not None:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = (ThreadPoolExecutor(self.num_workers)
@@ -314,9 +315,15 @@ class DataLoader:
                     chunk = idx[i:i + self.batch_size]
                     if self.drop_last and len(chunk) < self.batch_size:
                         return
-                    plan = self.ds.batch_plan(chunk)
+                    # chunk 0 IS the probe chunk — reuse its plan instead of
+                    # re-scanning every file's RIFF header
+                    plan = first_plan if i == 0 else self.ds.batch_plan(chunk)
                     if plan is not None:
                         yield self._fast_batch(plan, pool)
+                    elif pool is not None:
+                        yield collate_batch(
+                            list(pool.map(self.ds.__getitem__, chunk)),
+                            self.quantum)
                     else:
                         yield collate_batch(
                             [self.ds[j] for j in chunk], self.quantum)

@@ -273,6 +273,11 @@ class StreamingBeamBatch:
         if lengths is None:
             lengths = np.full((s,), t, np.int32)
         lens = np.ascontiguousarray(np.asarray(lengths, np.int32))
+        if lens.size and int(lens.max()) > t:
+            # C++ would clamp to t while _frames counted the full request,
+            # silently diverging from the offline decode
+            raise ValueError(f"lengths.max()={int(lens.max())} exceeds "
+                             f"chunk frames T={t}")
         rc = _lib().qasr_beam_stream_feed_batch(
             self._handles, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -61,6 +61,7 @@ class StreamingTranscriber:
         self.chunk_frames = max(-(-self.chunk_frames // quantum) * quantum, quantum)
         self.context_frames = -(-self.context_frames // quantum) * quantum
         self.hop = fcfg.hop_length
+        self.sample_rate = fcfg.sample_rate
 
     def _chunks(self, audio: np.ndarray):
         """Yield per-chunk (log_probs, greedy_ids) for the valid center
@@ -121,7 +122,7 @@ class StreamingTranscriber:
             dec = StreamingBeamDecoder(self.model.vocabulary, **beam_kwargs)
         lat: List[float] = []
         chunks = self._chunks(audio)
-        audio_sec = len(audio) / (16000.0)
+        audio_sec = len(audio) / float(self.sample_rate)
         t_all0 = time.perf_counter()
         while True:
             t0 = time.perf_counter()
@@ -140,7 +141,7 @@ class StreamingTranscriber:
         lat_ms = np.asarray(lat) * 1e3
         return {
             "chunks": len(lat),
-            "chunk_audio_s": self.chunk_frames * self.hop / 16000.0,
+            "chunk_audio_s": self.chunk_frames * self.hop / self.sample_rate,
             "first_chunk_latency_ms": float(lat_ms[0]),
             "mean_chunk_latency_ms": float(lat_ms.mean()),
             "p95_chunk_latency_ms": float(np.percentile(lat_ms, 95)),

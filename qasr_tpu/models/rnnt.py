@@ -373,7 +373,9 @@ def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
 class Hypothesis:
     score: float
     y_sequence: List[int]   # leading blank = SOS, like the reference's
-    dec_state: Any          # LSTMState after consuming y_sequence[-1]
+    dec_state: Any          # LSTMState after consuming y_sequence[:-1]
+    #                         (the state y_sequence[-1] is fed FROM;
+    #                         _HypScorer.g_state steps it by y_sequence[-1])
     g: Any                  # (1, H) pred-net output for y_sequence[-1]
 
 

@@ -118,12 +118,11 @@ def make_sharded_frozen_forward_cm(model, tables, mesh: Mesh,
     """
     from jax import shard_map
 
-    from qasr_tpu.parallel.mesh import replicated
     from qasr_tpu.models.ctc_model import _conv_t, _plan_total_stride
     from qasr_tpu.models.jasper import pad_frames_aligned
     from qasr_tpu.quantize.freeze import (
-        FrozenExecCM, FrozenExecCMF, build_dw_bands_cm, plan_supports_cm,
-        tables_all_static_e,
+        FrozenExecCM, FrozenExecCMF, _tables_to_host, build_dw_bands_cm,
+        plan_supports_cm, tables_all_static_e,
     )
 
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
@@ -150,10 +149,11 @@ def make_sharded_frozen_forward_cm(model, tables, mesh: Mesh,
         bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
         band_spec = {k: P("model", None, None) if tp > 1 else P()
                      for k in bands}
-    repl = replicated(mesh)
-    dt = jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), repl)
-        if isinstance(x, (np.ndarray, jax.Array)) else x, tables)
+    # host numpy, NOT device_put: executors close over the tables, and
+    # pre-committed device arrays become captured-constant buffers in the
+    # executable — the exact pattern that degrades host->device bandwidth
+    # ~70x under the axon tunnel (freeze._tables_to_host, PERF.md round 3d).
+    dt = _tables_to_host(tables)
     # frames pad to a tile multiple at every stride level on every shard
     mult = 128 * _plan_total_stride(plan) * sp
 
@@ -216,9 +216,10 @@ def make_sharded_frozen_forward(model, tables, mesh: Mesh,
 
     executor: 'auto' picks the channel-major fast path (banded-MXU dw +
     fused Pallas kernels, the make_frozen_fn serving default) whenever the
-    plan is eligible and the request has no time sharding; 'cm' forces it;
+    plan is eligible — including under shard_time, where the CM path does
+    its own ppermute halo exchange inside shard_map; 'cm' forces it;
     'base' keeps the (B, T, C) FrozenExec under XLA's automatic partitioner
-    (required for shard_time, where XLA inserts the conv halo exchanges).
+    (XLA inserts the conv halo exchanges — useful to bisect CM SP issues).
 
     The tables are closed over as placed constants (not jit args) so the
     static dyadic exponents stay Python ints — compile-time shift constants.
@@ -226,7 +227,7 @@ def make_sharded_frozen_forward(model, tables, mesh: Mesh,
     'model' axis (TP) per parallel.mesh.param_specs; XLA SPMD inserts the
     implied collectives.
     """
-    from qasr_tpu.parallel.mesh import replicated, shard_frozen_tables
+    from qasr_tpu.parallel.mesh import shard_frozen_tables
     from qasr_tpu.quantize.freeze import plan_supports_cm
 
     frontend, plan, qcfg = model.frontend, model.plan, model.qcfg
@@ -240,12 +241,13 @@ def make_sharded_frozen_forward(model, tables, mesh: Mesh,
     audio_spec = P("data", "model") if shard_time else P("data")
 
     if shard_channels:
+        # TP: tables are deliberately placed channel-sharded device arrays
+        # (they cannot be replicated literals); TP serving processes accept
+        # the captured-constant upload penalty (PERF.md round 3d).
         dt = shard_frozen_tables(tables, mesh)
     else:
-        repl = replicated(mesh)
-        dt = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl)
-            if isinstance(x, (np.ndarray, jax.Array)) else x, tables)
+        from qasr_tpu.quantize.freeze import _tables_to_host
+        dt = _tables_to_host(tables)
 
     def fwd(audio, lengths):
         from qasr_tpu.models.jasper import pad_frames_aligned
