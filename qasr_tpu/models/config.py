@@ -192,8 +192,10 @@ class ModelConfig:
         labels = tuple(m.get("labels", DEFAULT_LABELS))
         enc = EncoderConfig.from_dict(m["encoder"])
         dec_d = dict(m["decoder"])
-        dec_d.setdefault("feat_in", enc.blocks[-1].filters)
-        if not dec_d.get("feat_in"):
+        # blocks may be empty for non-Jasper encoders (e.g. the Conformer
+        # transducer stores its encoder in meta and leaves blocks=()); the
+        # decoder feat_in default only exists when there is a block stack
+        if not dec_d.get("feat_in") and enc.blocks:
             dec_d["feat_in"] = enc.blocks[-1].filters
         dec_d.setdefault("num_classes", len(labels))
         if not dec_d.get("vocabulary"):

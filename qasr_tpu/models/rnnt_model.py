@@ -3,8 +3,10 @@
 Composes the mel frontend + a float encoder (Jasper/QuartzNet block stack or
 Conformer) + the RNNT prediction/joint networks, with the pure-JAX RNNT loss
 and greedy/beam decoding from models/rnnt.py.  The reference's RNNT path is
-inherited NeMo and unquantized (SURVEY.md §2.2); same here — quantization
-applies to the CTC family.
+inherited NeMo and unquantized (SURVEY.md §2.2).  This stack goes further:
+a Conformer encoder can be PTQ-quantized to int8 GEMMs via
+``quantize_encoder`` (quantize/conformer_ptq.py) — a capability the
+reference does not have.
 """
 from __future__ import annotations
 
@@ -36,6 +38,8 @@ class RNNTModel:
     frontend: MelFrontend
     params: Dict[str, Any]         # {'encoder', 'rnnt'}
     encoder_kind: str = "jasper"   # 'jasper' | 'conformer'
+    enc_qcfg: Any = None           # ConformerQuantConfig after quantize_encoder
+    enc_qstate: Any = None         # calibrated QuantAct ranges (host numpy)
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, rnnt_cfg: Optional[RNNTConfig] = None,
@@ -75,10 +79,56 @@ class RNNTModel:
                    frontend=MelFrontend(preprocessor_config_from_dict(cfg.preprocessor)),
                    params=params, encoder_kind="conformer")
 
+    def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,
+                         act_bit: int = 8, percentile: Optional[float] = None,
+                         dynamic: bool = False, momentum: float = 0.95) -> None:
+        """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
+        EMA QuantAct ranges over (audio, alens) calibration batches; eval
+        `_encode` then runs the int8-GEMM path.  The Jasper family
+        quantizes through ASRModel's calibrate/freeze instead.  The qstate
+        lives in memory (host numpy — re-calibration is a few batches);
+        pass dynamic=True for calibration-free per-batch ranges."""
+        if self.encoder_kind != "conformer":
+            raise ValueError("quantize_encoder is the Conformer PTQ path; "
+                             "the Jasper/QuartzNet family quantizes through "
+                             "ASRModel (models/ctc_model.py)")
+        from qasr_tpu.quantize.conformer_ptq import (
+            ConformerQuantConfig, calibrate_conformer,
+        )
+
+        qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
+                                    act_momentum=momentum,
+                                    percentile=percentile, dynamic=dynamic)
+
+        @jax.jit
+        def front(a, l):
+            return self.frontend(a, l, dither=0.0)
+
+        def feat_batches():
+            for audio, alens in calib_batches:
+                feats, fl = front(jnp.asarray(audio), jnp.asarray(alens))
+                yield feats, fl
+
+        qstate = calibrate_conformer(self.params["encoder"], self.plan,
+                                     qcfg, feat_batches())
+        # host numpy: the eval jit closes over the ranges as literals, not
+        # captured device buffers (PERF.md round 3d)
+        self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
+        self.enc_qcfg = qcfg
+
     def _encode(self, params, feats, feat_lens, train=False, rng=None):
         if self.encoder_kind == "conformer":
             from qasr_tpu.models.conformer import conformer_encoder_apply
 
+            if self.enc_qstate is not None and not train:
+                from qasr_tpu.quantize.conformer_ptq import (
+                    conformer_encoder_apply_ptq,
+                )
+
+                enc, lens, _ = conformer_encoder_apply_ptq(
+                    params["encoder"], self.plan, self.enc_qcfg,
+                    self.enc_qstate, feats, feat_lens)
+                return enc, lens
             return conformer_encoder_apply(params["encoder"], self.plan, feats,
                                            feat_lens, train=train, rng=rng)
         ex = FloatExec(params["encoder"], activation=self.plan.activation,

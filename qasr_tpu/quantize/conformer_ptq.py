@@ -1,0 +1,386 @@
+"""Post-training quantization for the Conformer encoder.
+
+Extends the Q-ASR recipe (reference quantize_model.py:40-117: QuantAct EMA
+calibration + symmetric per-channel weight quantization) beyond the
+reference's QuartzNet-only scope to the Conformer family
+(models/conformer.py): every projection/matmul weight is quantized
+per-out-channel, every matmul *input* activation goes through a calibrated
+QuantAct site (init-on-first-batch then EMA, quant_modules.py:127-141 —
+the exact `_ema_ranges` semantics the QuartzNet path uses), and the
+matmuls execute as REAL int8 x int8 -> int32 `dot_general`s on the MXU.
+
+Scope (deliberate, documented): the Conformer's glue ops — LayerNorm,
+softmax, GLU, swish, BatchNorm, residual adds — stay float32, and the two
+data-dependent attention matmuls (q·k, attn·v) stay float.  This is the
+"integer GEMM + float glue" serving scheme: >95% of the encoder FLOPs
+(QKV/out/pos projections, both FFN pairs, the conv module's pointwise
+pair, the depthwise conv) run on int8 inputs.  A fully integer pipeline
+(I-BERT-style polynomial softmax/LN) is a recorded future lever, not
+claimed here.
+
+Quantized sites per layer (input-activation quantizers):
+  ff1_in, ff1_mid        — FFN1 l1 / l2 inputs
+  att_in, att_ctx        — LN output into q/k/v (shared), context into out
+  conv_in, conv_glu,     — LN output into pw1, GLU output into depthwise,
+  conv_mid                 swish output into pw2
+  ff2_in, ff2_mid        — FFN2 l1 / l2 inputs
+plus `pre_out` (subsampler flatten into the d_model projection) and, when
+feat_out projects, `out_proj_in`.
+
+Activation ranges are computed on pad-masked tensors (padded frames zeroed
+first) so calibration and dynamic mode are batch-padding invariant.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qasr_tpu.models.conformer import (
+    ConformerConfig,
+    _layer_norm,
+    _sub_out_len_arr,
+    _swish,
+    rel_positional_encoding,
+)
+from qasr_tpu.models.jasper import _batch_ranges, _ema_ranges
+from qasr_tpu.ops.quant_prims import QTensor, quantize, symmetric_scale
+
+Array = jax.Array
+
+_LAYER_SITES = ("ff1_in", "ff1_mid", "att_in", "att_ctx", "conv_in",
+                "conv_glu", "conv_mid", "ff2_in", "ff2_mid")
+
+
+@dataclass(frozen=True)
+class ConformerQuantConfig:
+    """Mirror of the QuartzNet QuantConfig knobs that apply here."""
+
+    weight_bit: int = 8
+    act_bit: int = 8
+    act_momentum: float = 0.95
+    percentile: Optional[float] = None
+    dynamic: bool = False
+
+
+def init_conformer_qstate(cfg: ConformerConfig) -> Dict[str, Any]:
+    """Zeroed QuantAct ranges for every site; x_min == x_max == 0 marks
+    'uninitialised' for the init-on-first-batch rule (_ema_ranges)."""
+    z = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
+
+    def site():
+        return {k: v for k, v in z.items()}
+
+    st: Dict[str, Any] = {
+        "pre_out": site(),
+        "layers": [{s: site() for s in _LAYER_SITES}
+                   for _ in range(cfg.n_layers)],
+    }
+    if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:
+        st["out_proj_in"] = site()
+    return st
+
+
+# ---------------------------------------------------------------------------
+# int8 building blocks
+# ---------------------------------------------------------------------------
+
+
+def _weight_qparams(w: Array, wbit: int, reduce_axes: Tuple[int, ...]
+                    ) -> Tuple[Array, Array]:
+    """Per-out-channel symmetric weight quantization (out axis = last)."""
+    w_scale = symmetric_scale(jnp.min(w, axis=reduce_axes),
+                              jnp.max(w, axis=reduce_axes), wbit)
+    return quantize(w, w_scale, wbit).astype(jnp.int8), w_scale
+
+
+def _act_quant(state, x_f: Array, valid: Optional[Array],
+               qcfg: ConformerQuantConfig, update: bool
+               ) -> Tuple[QTensor, Dict[str, Array]]:
+    """QuantAct: per-tensor symmetric activation quantization with EMA
+    ranges (quant_modules.py:107-170).  `valid` (B, T) masks padded frames
+    out of the range statistics."""
+    xm = x_f if valid is None else x_f * valid[..., None]
+    if update or qcfg.dynamic:
+        bmin, bmax = _batch_ranges(xm, qcfg.percentile)
+    new_state = (_ema_ranges(state, bmin, bmax, qcfg.act_momentum)
+                 if update else state)
+    if qcfg.dynamic:
+        x_min, x_max = bmin, bmax
+    else:
+        x_min, x_max = new_state["x_min"], new_state["x_max"]
+    scale = symmetric_scale(x_min, x_max, qcfg.act_bit)
+    q = quantize(x_f, scale, qcfg.act_bit).astype(jnp.int8)
+    return QTensor(q, scale), new_state
+
+
+def _qlinear(p, xq: QTensor, wbit: int) -> Array:
+    """int8 x int8 -> int32 dot on the MXU, float epilogue.
+
+    Accepts either raw float params {"w", "b"} (weights quantized on the
+    fly — XLA folds the quantization of closed-over params) or pre-frozen
+    {"w_int8", "w_scale", "b"} from quantize_conformer_weights."""
+    if "w_int8" in p:
+        w_int8, w_scale = p["w_int8"], p["w_scale"]
+    else:
+        w_int8, w_scale = _weight_qparams(p["w"], wbit, (0,))
+    acc = jax.lax.dot_general(
+        xq.values, w_int8, (((xq.values.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (xq.scale * w_scale)
+    b = p.get("b")
+    return y if b is None else y + b
+
+
+def _qdepthwise(p, xq: QTensor, wbit: int) -> Array:
+    """int8 depthwise conv (W, 1, D kernel), SAME padding, int32 accum."""
+    if "w_int8" in p:
+        w_int8, w_scale = p["w_int8"], p["w_scale"]
+    else:
+        w_int8, w_scale = _weight_qparams(p["w"], wbit, (0, 1))
+    k = w_int8.shape[0]
+    acc = jax.lax.conv_general_dilated(
+        xq.values, w_int8, (1,), [((k - 1) // 2, (k - 1) // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=xq.values.shape[-1],
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (xq.scale * w_scale) + p["b"]
+
+
+def quantize_conformer_weights(params, cfg: ConformerConfig, wbit: int):
+    """Pre-freeze every quantized site's weights to int8 + per-channel
+    scales so serving does no per-step weight quantization.  Returns a new
+    params tree; non-quantized leaves (LN/BN, biases, pos biases, the
+    subsampler convs) are shared by reference."""
+
+    def frz_lin(p, axes=(0,)):
+        w_int8, w_scale = _weight_qparams(jnp.asarray(p["w"]), wbit, axes)
+        out = {"w_int8": w_int8, "w_scale": w_scale}
+        if "b" in p:
+            out["b"] = p["b"]
+        return out
+
+    new = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        nl = dict(lp)
+        nl["ff1"] = {"l1": frz_lin(lp["ff1"]["l1"]), "l2": frz_lin(lp["ff1"]["l2"])}
+        nl["ff2"] = {"l1": frz_lin(lp["ff2"]["l1"]), "l2": frz_lin(lp["ff2"]["l2"])}
+        nl["att"] = {k: frz_lin(lp["att"][k]) for k in ("q", "k", "v", "out", "pos")}
+        cv = lp["conv"]
+        nl["conv"] = {
+            # pw convs are (1, D, C) kernels — treat as linears on w[0]
+            "pw1": frz_lin({"w": cv["pw1"]["w"][0], "b": cv["pw1"]["b"]}),
+            "pw2": frz_lin({"w": cv["pw2"]["w"][0], "b": cv["pw2"]["b"]}),
+            "dw": frz_lin({"w": cv["dw"]["w"], "b": cv["dw"]["b"]}, axes=(0, 1)),
+            "bn": cv["bn"],
+        }
+        layers.append(nl)
+    new["layers"] = layers
+    if "out_proj" in params:
+        new["out_proj"] = frz_lin(params["out_proj"])
+    return new
+
+
+def _conv_pw(p, key):
+    """Conv-module pointwise params as a linear: raw (1, D, C) kernel or
+    already-frozen dict."""
+    q = p[key]
+    if "w_int8" in q:
+        return q
+    return {"w": q["w"][0], "b": q["b"]}
+
+
+# ---------------------------------------------------------------------------
+# quantized forward
+# ---------------------------------------------------------------------------
+
+
+def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
+                     pos_bias_u, pos_bias_v, n_heads: int,
+                     qcfg: ConformerQuantConfig, update: bool):
+    """rel_attention (models/conformer.py) with int8 projections.  The
+    q·k / attn·v matmuls and softmax stay float (module docstring)."""
+    b, t = xq.values.shape[:2]
+    d = (p["q"]["w_int8"] if "w_int8" in p["q"] else p["q"]["w"]).shape[-1]
+    d_k = d // n_heads
+    q = _qlinear(p["q"], xq, qcfg.weight_bit).reshape(b, t, n_heads, d_k)
+    k = _qlinear(p["k"], xq, qcfg.weight_bit).reshape(b, t, n_heads, d_k)
+    v = _qlinear(p["v"], xq, qcfg.weight_bit).reshape(b, t, n_heads, d_k)
+    # pos table is deterministic (sinusoids in [-1, 1]): quantize with its
+    # own exact range, no calibration site needed
+    pos_scale = symmetric_scale(jnp.min(pos_emb), jnp.max(pos_emb),
+                                qcfg.act_bit)
+    posq = QTensor(quantize(pos_emb, pos_scale, qcfg.act_bit).astype(jnp.int8),
+                   pos_scale)
+    pos = _qlinear(p["pos"], posq, qcfg.weight_bit).reshape(2 * t - 1,
+                                                            n_heads, d_k)
+    q_u = q + pos_bias_u
+    q_v = q + pos_bias_v
+    ac = jnp.einsum("bihd,bjhd->bhij", q_u, k)
+    bd_full = jnp.einsum("bihd,phd->bhip", q_v, pos)
+    idx = (t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :]
+    bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None], axis=-1)
+    scores = (ac + bd) / math.sqrt(d_k)
+    neg = jnp.finfo(scores.dtype).min
+    scores = jnp.where(att_mask[:, None], neg, scores)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(att_mask[:, None], 0.0, attn)
+    ctx = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, d)
+    cq, st["att_ctx"] = _act_quant(st["att_ctx"], ctx, valid, qcfg, update)
+    return _qlinear(p["out"], cq, qcfg.weight_bit), st
+
+
+def _q_conv_module(p, st, x: Array, pad_mask, valid,
+                   qcfg: ConformerQuantConfig, update: bool):
+    """conformer_conv_module with int8 pw1/dw/pw2 (BN/GLU/swish float)."""
+    xq, st["conv_in"] = _act_quant(st["conv_in"], x, valid, qcfg, update)
+    y = _qlinear(_conv_pw(p, "pw1"), xq, qcfg.weight_bit)
+    a, g = jnp.split(y, 2, axis=-1)
+    y = a * jax.nn.sigmoid(g)
+    y = jnp.where(pad_mask[:, :, None], 0.0, y)
+    yq, st["conv_glu"] = _act_quant(st["conv_glu"], y, valid, qcfg, update)
+    y = _qdepthwise(p["dw"], yq, qcfg.weight_bit)
+    bn = p["bn"]
+    y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] + bn["beta"]
+    y = _swish(y)
+    yq, st["conv_mid"] = _act_quant(st["conv_mid"], y, valid, qcfg, update)
+    return _qlinear(_conv_pw(p, "pw2"), yq, qcfg.weight_bit), st
+
+
+def _q_feed_forward(p, st, x, valid, pre, qcfg, update):
+    xq, st[f"{pre}_in"] = _act_quant(st[f"{pre}_in"], x, valid, qcfg, update)
+    y = _swish(_qlinear(p["l1"], xq, qcfg.weight_bit))
+    yq, st[f"{pre}_mid"] = _act_quant(st[f"{pre}_mid"], y, valid, qcfg, update)
+    return _qlinear(p["l2"], yq, qcfg.weight_bit), st
+
+
+def conformer_encoder_apply_ptq(params, cfg: ConformerConfig,
+                                qcfg: ConformerQuantConfig,
+                                qstate, x: Array, lens: Array,
+                                *, update: bool = False
+                                ) -> Tuple[Array, Array, Any]:
+    """Quantized conformer_encoder_apply (eval graph: no dropout).
+
+    update=True  -> calibration pass: returns EMA-updated qstate
+    update=False -> static eval with qstate ranges (or per-batch ranges
+                    when qcfg.dynamic)
+
+    Returns (encodings, lens, new_qstate).  The float skeleton mirrors
+    conformer_encoder_apply (models/conformer.py:275-328) — layer order,
+    masks, half-step FFNs, xscaling — with every projection routed through
+    the int8 path.  The subsampler's 2D convs stay float (one-time cost,
+    <2% of FLOPs); its flatten->d_model projection is quantized.
+    """
+    new_q = jax.tree_util.tree_map(lambda a: a, qstate)
+    if cfg.subsampling:
+        p_pre = params["pre_encode"]
+        # float 2D convs, then the big (c*f -> d) projection in int8
+        y = x[:, :, :, None]
+        for blk in p_pre["convs"]:
+            if cfg.subsampling == "vggnet":
+                y = jax.lax.conv_general_dilated(
+                    y, blk["c1"]["w"], (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
+                y = jax.nn.relu(y)
+                y = jax.lax.conv_general_dilated(
+                    y, blk["c2"]["w"], (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c2"]["b"]
+                y = jax.nn.relu(y)
+                pads = [(0, y.shape[1] % 2), (0, y.shape[2] % 2)]
+                y = jax.lax.reduce_window(
+                    y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    [(0, 0), pads[0], pads[1], (0, 0)])
+            else:
+                y = jax.lax.conv_general_dilated(
+                    y, blk["c1"]["w"], (2, 2), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
+                y = jax.nn.relu(y)
+            lens = _sub_out_len_arr(lens, cfg.subsampling)
+        b, t, f, c = y.shape
+        y = y.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+        valid0 = jnp.arange(t)[None, :] < lens[:, None]
+        yq, new_q["pre_out"] = _act_quant(new_q["pre_out"], y, valid0,
+                                          qcfg, update)
+        x = _qlinear(p_pre["out"], yq, qcfg.weight_bit)
+    else:
+        # feat_in projection: small; quantize via the pre_out site too
+        t = x.shape[1]
+        valid0 = jnp.arange(t)[None, :] < lens[:, None]
+        yq, new_q["pre_out"] = _act_quant(new_q["pre_out"], x, valid0,
+                                          qcfg, update)
+        x = _qlinear(params["pre_encode"]["linear"], yq, qcfg.weight_bit)
+
+    t = x.shape[1]
+    if cfg.xscaling:
+        x = x * math.sqrt(cfg.d_model)
+    pos_emb = jnp.asarray(rel_positional_encoding(t, cfg.d_model, None))
+
+    valid = jnp.arange(t)[None, :] < lens[:, None]
+    att_mask = ~(valid[:, :, None] & valid[:, None, :])
+    pad_mask = ~valid
+    vmask = valid.astype(jnp.float32)
+
+    u = params.get("pos_bias_u")
+    v = params.get("pos_bias_v")
+    for li, lp in enumerate(params["layers"]):
+        st = new_q["layers"][li]
+        bu = lp.get("pos_bias_u", u)
+        bv = lp.get("pos_bias_v", v)
+        r = x
+        y, st = _q_feed_forward(lp["ff1"], st,
+                                _layer_norm(lp["norm_ff1"], x),
+                                vmask, "ff1", qcfg, update)
+        x = 0.5 * y + r
+        r = x
+        y = _layer_norm(lp["norm_att"], x)
+        yq, st["att_in"] = _act_quant(st["att_in"], y, vmask, qcfg, update)
+        if cfg.self_attention_model == "rel_pos":
+            y, st = _q_rel_attention(lp["att"], st, yq, pos_emb, att_mask,
+                                     vmask, bu, bv, cfg.n_heads, qcfg, update)
+        else:
+            raise NotImplementedError(
+                "abs-pos attention under PTQ: add an att site per projection "
+                "(rel_pos is the Conformer default, conformer_encoder.py:199)")
+        x = y + r
+        r = x
+        y, st = _q_conv_module(lp["conv"], st,
+                               _layer_norm(lp["norm_conv"], x),
+                               pad_mask, vmask, qcfg, update)
+        x = y + r
+        r = x
+        y, st = _q_feed_forward(lp["ff2"], st,
+                                _layer_norm(lp["norm_ff2"], x),
+                                vmask, "ff2", qcfg, update)
+        x = 0.5 * y + r
+        x = _layer_norm(lp["norm_out"], x)
+        new_q["layers"][li] = st
+    if "out_proj" in params:
+        xq, new_q["out_proj_in"] = _act_quant(new_q["out_proj_in"], x,
+                                              vmask, qcfg, update)
+        x = _qlinear(params["out_proj"], xq, qcfg.weight_bit)
+    return x, lens, new_q
+
+
+def calibrate_conformer(params, cfg: ConformerConfig,
+                        qcfg: ConformerQuantConfig, batches,
+                        qstate=None):
+    """Run EMA calibration over an iterable of (feats (B,T,F), lens (B,))
+    batches; returns the final qstate (quantize_model.py:73-75 pattern).
+    One jitted executable, reused across batches (static shapes)."""
+    if qstate is None:
+        qstate = init_conformer_qstate(cfg)
+
+    @jax.jit
+    def step(qs, feats, lens):
+        _, _, nq = conformer_encoder_apply_ptq(params, cfg, qcfg, qs,
+                                               feats, lens, update=True)
+        return nq
+
+    for feats, lens in batches:
+        qstate = step(qstate, jnp.asarray(feats), jnp.asarray(lens))
+    return qstate

@@ -1,0 +1,211 @@
+"""Conformer PTQ: calibrated int8-GEMM encoder (quantize/conformer_ptq.py).
+
+Covers: calibration EMA semantics, W8A8 closeness to fp32, bit-width
+degradation ordering, pre-frozen == on-the-fly weight paths, integer-ness
+of the matmul path, batch-padding invariance of static eval, and dynamic
+mode's pad-masked ranges.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qasr_tpu.models.conformer import (
+    ConformerConfig,
+    conformer_encoder_apply,
+    init_conformer_params,
+)
+from qasr_tpu.quantize.conformer_ptq import (
+    ConformerQuantConfig,
+    calibrate_conformer,
+    conformer_encoder_apply_ptq,
+    init_conformer_qstate,
+    quantize_conformer_weights,
+)
+
+CFG = ConformerConfig(feat_in=32, n_layers=2, d_model=64, n_heads=4,
+                      subsampling="striding", subsampling_factor=4,
+                      subsampling_conv_channels=16, conv_kernel_size=9,
+                      dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_conformer_params(0, CFG)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(4, 50, 32)).astype(np.float32))
+    lens = jnp.asarray([50, 40, 33, 50], jnp.int32)
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8)
+    batches = [(rng.normal(size=(4, 50, 32)).astype(np.float32),
+                np.asarray([50, 44, 50, 37], np.int32)) for _ in range(4)]
+    qstate = calibrate_conformer(params, CFG, qcfg, batches)
+    return params, feats, lens, qcfg, qstate
+
+
+def test_calibration_populates_all_sites(setup):
+    _, _, _, _, qstate = setup
+    leaves = jax.tree_util.tree_leaves(qstate)
+    assert leaves, "empty qstate"
+    # every site saw data: x_min < x_max strictly after calibration
+    for layer in qstate["layers"]:
+        for name, st in layer.items():
+            assert float(st["x_max"]) > float(st["x_min"]), name
+    assert float(qstate["pre_out"]["x_max"]) > float(qstate["pre_out"]["x_min"])
+
+
+def test_ema_update_math(setup):
+    """Second calibration batch follows the init-then-EMA rule
+    (reference quant_modules.py:127-141)."""
+    params, feats, lens, qcfg, _ = setup
+    qs0 = init_conformer_qstate(CFG)
+    _, _, qs1 = conformer_encoder_apply_ptq(params, CFG, qcfg, qs0,
+                                            feats, lens, update=True)
+    _, _, qs2 = conformer_encoder_apply_ptq(params, CFG, qcfg, qs1,
+                                            feats, lens, update=True)
+    s1 = qs1["layers"][0]["ff1_in"]
+    s2 = qs2["layers"][0]["ff1_in"]
+    # same batch twice: EMA of identical ranges is a fixed point
+    np.testing.assert_allclose(float(s2["x_min"]),
+                               float(s1["x_min"]), rtol=1e-5)
+    np.testing.assert_allclose(float(s2["x_max"]),
+                               float(s1["x_max"]), rtol=1e-5)
+
+
+def test_w8a8_close_to_fp32(setup):
+    params, feats, lens, qcfg, qstate = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qstate,
+                                                   feats, lens)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    # valid frames only
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(out_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.max() / scale < 0.15, err.max() / scale
+    assert err.mean() / scale < 0.02, err.mean() / scale
+
+
+def test_bit_width_degradation_ordering(setup):
+    params, feats, lens, _, _ = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    mask = np.broadcast_to(valid, ref.shape)
+
+    errs = {}
+    for wb, ab in ((8, 8), (6, 6), (4, 8)):
+        qcfg = ConformerQuantConfig(weight_bit=wb, act_bit=ab)
+        rng = np.random.default_rng(1)
+        batches = [(rng.normal(size=(4, 50, 32)).astype(np.float32),
+                    np.asarray([50, 44, 50, 37], np.int32)) for _ in range(4)]
+        qs = calibrate_conformer(params, CFG, qcfg, batches)
+        out, _, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qs,
+                                                feats, lens)
+        errs[(wb, ab)] = float(np.abs(np.asarray(out - ref))[mask].mean())
+    assert errs[(8, 8)] < errs[(6, 6)], errs
+    assert errs[(8, 8)] < errs[(4, 8)], errs
+
+
+def test_frozen_weights_bit_identical(setup):
+    params, feats, lens, qcfg, qstate = setup
+    out, _, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qstate,
+                                            feats, lens)
+    fz = quantize_conformer_weights(params, CFG, qcfg.weight_bit)
+    out2, _, _ = conformer_encoder_apply_ptq(fz, CFG, qcfg, qstate,
+                                             feats, lens)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_matmuls_are_integer(setup):
+    """The lowered HLO must contain s8 dots/convs with s32 accumulation —
+    real integer GEMMs, not fake-quant float matmuls."""
+    params, feats, lens, qcfg, qstate = setup
+    fz = quantize_conformer_weights(params, CFG, qcfg.weight_bit)
+
+    def f(x, l):
+        out, ol, _ = conformer_encoder_apply_ptq(fz, CFG, qcfg, qstate, x, l)
+        return out, ol
+
+    txt = jax.jit(f).lower(feats, lens).as_text()
+    # at least one dot taking i8 operands to an i32 result
+    assert any("dot" in ln and "xi8>" in ln and "xi32>" in ln
+               for ln in txt.splitlines()), "no i8->i32 dot found in HLO"
+    # the depthwise path lowers to an integer convolution
+    assert any("conv" in ln and "xi8>" in ln and "xi32>" in ln
+               for ln in txt.splitlines()), "no i8->i32 conv found in HLO"
+
+
+def test_batch_padding_invariance(setup):
+    """Static-scale eval of a padded copy matches the unpadded batch on
+    valid rows/frames (serving batches are length-bucketed)."""
+    params, feats, lens, qcfg, qstate = setup
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qstate,
+                                                   feats, lens)
+    pad_t = 14
+    feats_p = jnp.pad(feats, ((0, 2), (0, pad_t), (0, 0)))
+    lens_p = jnp.concatenate([lens, jnp.ones((2,), jnp.int32)])
+    out_p, lens_o, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qstate,
+                                                   feats_p, lens_p)
+    t = out.shape[1]
+    for i in range(4):
+        n = int(np.asarray(out_lens)[i])
+        np.testing.assert_allclose(np.asarray(out_p)[i, :n],
+                                   np.asarray(out)[i, :n],
+                                   rtol=2e-4, atol=2e-4)
+    assert out_p.shape[1] >= t
+
+
+def test_dynamic_mode_runs_and_tracks(setup):
+    params, feats, lens, _, qstate = setup
+    qcfg_d = ConformerQuantConfig(weight_bit=8, act_bit=8, dynamic=True)
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    out, _, _ = conformer_encoder_apply_ptq(params, CFG, qcfg_d, qstate,
+                                            feats, lens)
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.mean() / scale < 0.02, err.mean() / scale
+
+
+def test_conformer_transducer_quantize_encoder():
+    """Model-level wiring: quantize_encoder calibrates from raw audio and
+    eval encode/transcribe run the int8 path (models/rnnt_model.py)."""
+    from qasr_tpu.models.config import (
+        EncoderConfig, DecoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.rnnt_model import RNNTModel
+
+    labels = [" ", "a", "b", "c"]
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=tuple(labels),
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    model = RNNTModel.conformer_transducer(cfg, ccfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(2, 16000)).astype(np.float32) * 0.1
+    alens = np.asarray([16000, 12000], np.int32)
+
+    enc_f, lens_f = model.encode(audio, alens)
+    model.quantize_encoder([(audio, alens)], weight_bit=8, act_bit=8)
+    assert model.enc_qstate is not None
+    # qstate stored as host numpy (no captured device buffers)
+    for leaf in jax.tree_util.tree_leaves(model.enc_qstate):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    enc_q, lens_q = model.encode(audio, alens)
+    np.testing.assert_array_equal(np.asarray(lens_f), np.asarray(lens_q))
+    scale = float(np.abs(np.asarray(enc_f)).max())
+    n0 = int(np.asarray(lens_f)[0])
+    err = np.abs(np.asarray(enc_q - enc_f))[:, :n0].mean()
+    assert err / scale < 0.05, err / scale
+    hyps = model.transcribe_greedy(audio, alens)
+    assert len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
