@@ -182,13 +182,15 @@ class RNNTModel:
                                 "rnnt_cfg": dc.asdict(self.rnnt_cfg)}
         if self.encoder_kind == "conformer":
             meta["conformer_cfg"] = dc.asdict(self.plan)
+        if self.enc_qcfg is not None:
+            meta["enc_qcfg"] = dc.asdict(self.enc_qcfg)
         artifacts = {}
         tok = getattr(self, "tokenizer", None)
         if tok is not None and getattr(tok, "path", None):
             artifacts["tokenizer.json"] = tok.path
             meta["tokenizer"] = "tokenizer.json"
-        save_qasr(path, config_to_dict(self.cfg), self.params, None,
-                  meta=meta, artifacts=artifacts)
+        save_qasr(path, config_to_dict(self.cfg), self.params,
+                  self.enc_qstate, meta=meta, artifacts=artifacts)
 
     @classmethod
     def restore_from(cls, path: str) -> "RNNTModel":
@@ -211,6 +213,15 @@ class RNNTModel:
         else:
             model = RNNTModel.from_config(cfg, rnnt_cfg=rnnt_cfg)
         model.params = unflatten_into(model.params, flat, "params/")
+        if meta.get("enc_qcfg") and any(k.startswith("qstate/") for k in flat):
+            from qasr_tpu.quantize.conformer_ptq import (
+                ConformerQuantConfig, init_conformer_qstate,
+            )
+
+            model.enc_qcfg = ConformerQuantConfig(**meta["enc_qcfg"])
+            tmpl = jax.tree_util.tree_map(np.asarray,
+                                          init_conformer_qstate(model.plan))
+            model.enc_qstate = unflatten_into(tmpl, flat, "qstate/")
         if meta.get("tokenizer") and meta["tokenizer"] in artifacts:
             from qasr_tpu.data.tokenizers import BPETokenizer
 

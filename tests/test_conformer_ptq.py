@@ -209,3 +209,39 @@ def test_conformer_transducer_quantize_encoder():
     assert err / scale < 0.05, err / scale
     hyps = model.transcribe_greedy(audio, alens)
     assert len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """save_to/restore_from carries the calibrated qstate + quant config:
+    the restored model transcribes identically through the int8 path."""
+    from qasr_tpu.models.config import (
+        EncoderConfig, DecoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.rnnt_model import RNNTModel
+
+    labels = [" ", "a", "b", "c"]
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=tuple(labels),
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    model = RNNTModel.conformer_transducer(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(2, 16000)).astype(np.float32) * 0.1
+    alens = np.asarray([16000, 12000], np.int32)
+    model.quantize_encoder([(audio, alens)], weight_bit=6, act_bit=6)
+    enc_q, _ = model.encode(audio, alens)
+    p = str(tmp_path / "q.qasr")
+    model.save_to(p)
+
+    m2 = RNNTModel.restore_from(p)
+    assert m2.enc_qcfg is not None and m2.enc_qcfg.weight_bit == 6
+    enc_r, _ = m2.encode(audio, alens)
+    np.testing.assert_array_equal(np.asarray(enc_q), np.asarray(enc_r))
+    assert m2.transcribe_greedy(audio, alens) == \
+        model.transcribe_greedy(audio, alens)
