@@ -81,7 +81,8 @@ class RNNTModel:
 
     def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,
                          act_bit: int = 8, percentile: Optional[float] = None,
-                         dynamic: bool = False, momentum: float = 0.95) -> None:
+                         dynamic: bool = False, momentum: float = 0.95,
+                         quantize_attention: bool = False) -> None:
         """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
         EMA QuantAct ranges over (audio, alens) calibration batches; eval
         `_encode` then runs the int8-GEMM path.  The Jasper family
@@ -98,7 +99,8 @@ class RNNTModel:
 
         qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
                                     act_momentum=momentum,
-                                    percentile=percentile, dynamic=dynamic)
+                                    percentile=percentile, dynamic=dynamic,
+                                    quantize_attention=quantize_attention)
 
         @jax.jit
         def front(a, l):

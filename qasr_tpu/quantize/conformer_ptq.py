@@ -10,11 +10,14 @@ the exact `_ema_ranges` semantics the QuartzNet path uses), and the
 matmuls execute as REAL int8 x int8 -> int32 `dot_general`s on the MXU.
 
 Scope (deliberate, documented): the Conformer's glue ops — LayerNorm,
-softmax, GLU, swish, BatchNorm, residual adds — stay float32, and the two
-data-dependent attention matmuls (q·k, attn·v) stay float.  This is the
-"integer GEMM + float glue" serving scheme: >95% of the encoder FLOPs
-(QKV/out/pos projections, both FFN pairs, the conv module's pointwise
-pair, the depthwise conv) run on int8 inputs.  A fully integer pipeline
+softmax, GLU, swish, BatchNorm, residual adds — stay float32.  The two
+data-dependent attention matmuls (q·k incl. rel-pos, attn·v) default to
+float but run int8 with dynamic per-tensor scales under
+``quantize_attention=True`` (softmax's [0, 1] output uses its exact
+constant scale).  This is the "integer GEMM + float glue" serving scheme:
+all encoder matmul FLOPs (QKV/out/pos projections, both FFN pairs, the
+conv module's pointwise pair, the depthwise conv, optionally the score /
+context einsums) run on int8 inputs.  A fully integer pipeline
 (I-BERT-style polynomial softmax/LN) is a recorded future lever, not
 claimed here.
 
@@ -58,13 +61,20 @@ _LAYER_SITES = ("ff1_in", "ff1_mid", "att_in", "att_ctx", "conv_in",
 
 @dataclass(frozen=True)
 class ConformerQuantConfig:
-    """Mirror of the QuartzNet QuantConfig knobs that apply here."""
+    """Mirror of the QuartzNet QuantConfig knobs that apply here.
+
+    quantize_attention=True additionally runs the two data-dependent
+    attention matmuls (q·k incl. the rel-pos term, attn·v) in int8 with
+    *dynamic* per-tensor scales (pad-masked); softmax stays float.  The
+    softmax output has a known [0, 1] range, so its scale is the exact
+    1/(2^(act_bit-1)-1) constant — no calibration site needed."""
 
     weight_bit: int = 8
     act_bit: int = 8
     act_momentum: float = 0.95
     percentile: Optional[float] = None
     dynamic: bool = False
+    quantize_attention: bool = False
 
 
 def init_conformer_qstate(cfg: ConformerConfig) -> Dict[str, Any]:
@@ -221,8 +231,28 @@ def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
                                                             n_heads, d_k)
     q_u = q + pos_bias_u
     q_v = q + pos_bias_v
-    ac = jnp.einsum("bihd,bjhd->bhij", q_u, k)
-    bd_full = jnp.einsum("bihd,phd->bhip", q_v, pos)
+    if qcfg.quantize_attention:
+        # dynamic per-tensor int8 with pad-masked ranges: scores/context
+        # ride the MXU as i8 x i8 -> i32 einsums
+        vm = valid[..., None, None]  # (b, t, 1, 1)
+
+        def dyn8(x):
+            s = symmetric_scale(jnp.min(x), jnp.max(x), qcfg.act_bit)
+            return QTensor(quantize(x, s, qcfg.act_bit).astype(jnp.int8), s)
+
+        qu8 = dyn8(q_u * vm)
+        qv8 = dyn8(q_v * vm)
+        k8 = dyn8(k * vm)
+        p8 = dyn8(pos)
+        ac = jnp.einsum("bihd,bjhd->bhij", qu8.values, k8.values,
+                        preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * (qu8.scale * k8.scale)
+        bd_full = jnp.einsum("bihd,phd->bhip", qv8.values, p8.values,
+                             preferred_element_type=jnp.int32
+                             ).astype(jnp.float32) * (qv8.scale * p8.scale)
+    else:
+        ac = jnp.einsum("bihd,bjhd->bhij", q_u, k)
+        bd_full = jnp.einsum("bihd,phd->bhip", q_v, pos)
     idx = (t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :]
     bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None], axis=-1)
     scores = (ac + bd) / math.sqrt(d_k)
@@ -230,7 +260,16 @@ def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
     scores = jnp.where(att_mask[:, None], neg, scores)
     attn = jax.nn.softmax(scores, axis=-1)
     attn = jnp.where(att_mask[:, None], 0.0, attn)
-    ctx = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, d)
+    if qcfg.quantize_attention:
+        n = 2 ** (qcfg.act_bit - 1) - 1
+        a8 = jnp.round(attn * n).astype(jnp.int8)  # exact [0,1] range
+        v8 = dyn8(v * valid[..., None, None])
+        ctx = (jnp.einsum("bhij,bjhd->bihd", a8, v8.values,
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32) * (v8.scale / n)
+               ).reshape(b, t, d)
+    else:
+        ctx = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, d)
     cq, st["att_ctx"] = _act_quant(st["att_ctx"], ctx, valid, qcfg, update)
     return _qlinear(p["out"], cq, qcfg.weight_bit), st
 

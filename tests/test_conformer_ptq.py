@@ -245,3 +245,51 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(enc_q), np.asarray(enc_r))
     assert m2.transcribe_greedy(audio, alens) == \
         model.transcribe_greedy(audio, alens)
+
+
+def test_quantized_attention_close_and_integer(setup):
+    """quantize_attention=True: score/context matmuls lower to i8->i32
+    einsums; accuracy stays near the projection-only int8 path."""
+    params, feats, lens, _, qstate = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    qcfg_a = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                  quantize_attention=True)
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg_a,
+                                                   qstate, feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.mean() / scale < 0.03, err.mean() / scale
+
+    def f(x, l):
+        o, ol, _ = conformer_encoder_apply_ptq(params, CFG, qcfg_a, qstate,
+                                               x, l)
+        return o, ol
+
+    txt = jax.jit(f).lower(feats, lens).as_text()
+    n_i8_dots = sum("dot" in ln and "xi8>" in ln and "xi32>" in ln
+                    for ln in txt.splitlines())
+    # per layer: 5 projections (q/k/v/pos/out) + 2 FFN pairs + 2 pw +
+    # pre_out, PLUS 3 attention einsums (ac, bd, ctx)
+    assert n_i8_dots >= CFG.n_layers * 12, n_i8_dots
+
+
+def test_quantized_attention_padding_invariance(setup):
+    """Dynamic attention scales are pad-masked: padding the batch must not
+    change valid outputs."""
+    params, feats, lens, _, qstate = setup
+    qcfg_a = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                  quantize_attention=True)
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg_a,
+                                                   qstate, feats, lens)
+    feats_p = jnp.pad(feats, ((0, 1), (0, 10), (0, 0)))
+    lens_p = jnp.concatenate([lens, jnp.ones((1,), jnp.int32)])
+    out_p, _, _ = conformer_encoder_apply_ptq(params, CFG, qcfg_a, qstate,
+                                              feats_p, lens_p)
+    for i in range(4):
+        n = int(np.asarray(out_lens)[i])
+        np.testing.assert_allclose(np.asarray(out_p)[i, :n],
+                                   np.asarray(out)[i, :n],
+                                   rtol=2e-4, atol=2e-4)
