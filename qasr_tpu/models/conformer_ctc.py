@@ -1,0 +1,212 @@
+"""Conformer-CTC model: Conformer encoder + linear CTC head.
+
+The architecture NeMo ships as EncDecCTCModel(Conformer) — the reference
+repo has the pieces (modules/conformer_encoder.py + ConvASRDecoder) but no
+composed Conformer-CTC; this class completes the model-family matrix
+{Jasper/QuartzNet, Conformer} x {CTC, Transducer} and gives the Conformer
+PTQ path (quantize/conformer_ptq.py) a WER-measurable CTC surface.
+
+API mirrors ASRModel/RNNTModel: from_config / loss_fn / forward /
+transcribe_greedy / quantize_encoder / save_to / restore_from.  Under
+``quantize_encoder`` the encoder runs the calibrated int8-GEMM path and
+the CTC head's own input gets a QuantAct site ('dec_in'), so every
+matmul from features to logits is an int8 dot.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qasr_tpu.models.config import ModelConfig, preprocessor_config_from_dict
+from qasr_tpu.models.conformer import (
+    ConformerConfig, conformer_encoder_apply, init_conformer_params,
+)
+from qasr_tpu.ops.features import MelFrontend
+from qasr_tpu.train.ctc_loss import ctc_loss
+
+
+@dataclass
+class ConformerCTC:
+    cfg: ModelConfig               # labels / preprocessor / training knobs
+    ccfg: ConformerConfig
+    frontend: MelFrontend
+    params: Dict[str, Any]         # {'encoder', 'decoder': {'w', 'b'}}
+    enc_qcfg: Any = None
+    enc_qstate: Any = None         # encoder QuantAct ranges + 'dec_in' site
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, ccfg: ConformerConfig,
+                    seed: int = 0) -> "ConformerCTC":
+        from qasr_tpu.models.conformer import _linear
+
+        rng = np.random.default_rng(seed)
+        d_out = ccfg.feat_out if ccfg.feat_out > 0 else ccfg.d_model
+        params = {
+            "encoder": init_conformer_params(rng, ccfg),
+            # CTC head: d -> V+1 (blank last, like ConvASRDecoder)
+            "decoder": _linear(rng, d_out, len(cfg.labels) + 1),
+        }
+        return cls(cfg=cfg, ccfg=ccfg,
+                   frontend=MelFrontend(
+                       preprocessor_config_from_dict(cfg.preprocessor)),
+                   params=params)
+
+    @property
+    def vocabulary(self):
+        return list(self.cfg.labels)
+
+    @property
+    def blank_id(self) -> int:
+        return len(self.cfg.labels)
+
+    # -- forward --------------------------------------------------------------
+
+    def _decoder_apply(self, params, enc):
+        if (self.enc_qstate is not None
+                and "dec_in" in self.enc_qstate):
+            from qasr_tpu.quantize.conformer_ptq import _act_quant, _qlinear
+
+            eq, _ = _act_quant(self.enc_qstate["dec_in"], enc, None,
+                               self.enc_qcfg, update=False)
+            return _qlinear(params["decoder"], eq, self.enc_qcfg.weight_bit)
+        return enc @ params["decoder"]["w"] + params["decoder"]["b"]
+
+    def _apply(self, params, feats, feat_lens, train=False, rng=None):
+        if self.enc_qstate is not None and not train:
+            from qasr_tpu.quantize.conformer_ptq import (
+                conformer_encoder_apply_ptq,
+            )
+
+            enc, enc_lens, _ = conformer_encoder_apply_ptq(
+                params["encoder"], self.ccfg, self.enc_qcfg,
+                self.enc_qstate, feats, feat_lens)
+        else:
+            enc, enc_lens = conformer_encoder_apply(
+                params["encoder"], self.ccfg, feats, feat_lens,
+                train=train, rng=rng)
+        logits = self._decoder_apply(params, enc)
+        return jax.nn.log_softmax(logits, axis=-1), enc_lens
+
+    def forward(self, audio, alens):
+        @jax.jit
+        def fn(params, audio, alens):
+            feats, feat_lens = self.frontend(audio, alens, dither=0.0)
+            return self._apply(params, feats, feat_lens)
+
+        return fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
+
+    # -- training --------------------------------------------------------------
+
+    def loss_fn(self, params, audio, alens, targets, tlens, rng=None,
+                spec_aug=None):
+        if rng is not None:
+            k_front, k_spec, k_drop = jax.random.split(rng, 3)
+        else:
+            k_front = k_spec = k_drop = None
+        feats, feat_lens = self.frontend(audio, alens, rng=k_front)
+        if spec_aug is not None and k_spec is not None:
+            from qasr_tpu.ops.spec_augment import spec_augment
+
+            feats = spec_augment(k_spec, feats, spec_aug)
+        log_probs, enc_lens = self._apply(params, feats, feat_lens,
+                                          train=rng is not None, rng=k_drop)
+        return ctc_loss(log_probs, enc_lens, targets, tlens, self.blank_id)
+
+    # -- inference --------------------------------------------------------------
+
+    def transcribe_greedy(self, audio, alens) -> List[str]:
+        from qasr_tpu.decode.ctc import ctc_collapse
+
+        log_probs, enc_lens = self.forward(audio, alens)
+        ids = np.asarray(jnp.argmax(log_probs, axis=-1))
+        out = []
+        for i in range(ids.shape[0]):
+            row = ids[i, : int(enc_lens[i])]
+            out.append(ctc_collapse(row[None], self.blank_id,
+                                    self.vocabulary)[0])
+        return out
+
+    # -- quantization -----------------------------------------------------------
+
+    def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,
+                         act_bit: int = 8, percentile: Optional[float] = None,
+                         dynamic: bool = False, momentum: float = 0.95,
+                         quantize_attention: bool = False) -> None:
+        """PTQ-calibrate encoder + CTC-head input (quantize/conformer_ptq.py);
+        subsequent eval runs int8 GEMMs end to end."""
+        from qasr_tpu.quantize.conformer_ptq import (
+            ConformerQuantConfig, _ema_ranges, conformer_encoder_apply_ptq,
+            init_conformer_qstate,
+        )
+
+        qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
+                                    act_momentum=momentum,
+                                    percentile=percentile, dynamic=dynamic,
+                                    quantize_attention=quantize_attention)
+        qstate = init_conformer_qstate(self.ccfg)
+        qstate["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
+
+        @jax.jit
+        def step(qs, audio, al):
+            feats, fl = self.frontend(audio, al, dither=0.0)
+            enc, el, nq = conformer_encoder_apply_ptq(
+                self.params["encoder"], self.ccfg, qcfg, qs, feats, fl,
+                update=True)
+            # pad-masked ranges, like every encoder site
+            vm = (jnp.arange(enc.shape[1])[None, :]
+                  < el[:, None]).astype(enc.dtype)[..., None]
+            em = enc * vm
+            nq["dec_in"] = _ema_ranges(qs["dec_in"], jnp.min(em),
+                                       jnp.max(em), qcfg.act_momentum)
+            return nq
+
+        for audio, alens in calib_batches:
+            qstate = step(qstate, jnp.asarray(audio), jnp.asarray(alens))
+        # host numpy (no captured device buffers, PERF.md round 3d)
+        self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
+        self.enc_qcfg = qcfg
+
+    # -- checkpointing -----------------------------------------------------------
+
+    def save_to(self, path: str) -> None:
+        import dataclasses as dc
+
+        from qasr_tpu.models.config import config_to_dict
+        from qasr_tpu.utils.checkpoint import save_qasr
+
+        meta: Dict[str, Any] = {"family": "conformer_ctc",
+                                "conformer_cfg": dc.asdict(self.ccfg)}
+        if self.enc_qcfg is not None:
+            meta["enc_qcfg"] = dc.asdict(self.enc_qcfg)
+        save_qasr(path, config_to_dict(self.cfg), self.params,
+                  self.enc_qstate, meta=meta)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "ConformerCTC":
+        from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
+
+        cfg_d, flat, _ = load_qasr(path)
+        meta = cfg_d.pop("_qasr_meta", {}) or {}
+        if meta.get("family") != "conformer_ctc":
+            raise ValueError(f"{path} is not a Conformer-CTC checkpoint "
+                             f"(family={meta.get('family')!r})")
+        cfg = ModelConfig.from_dict(cfg_d)
+        model = cls.from_config(cfg, ConformerConfig(**meta["conformer_cfg"]))
+        model.params = unflatten_into(model.params, flat, "params/")
+        if meta.get("enc_qcfg") and any(k.startswith("qstate/") for k in flat):
+            from qasr_tpu.quantize.conformer_ptq import (
+                ConformerQuantConfig, init_conformer_qstate,
+            )
+
+            model.enc_qcfg = ConformerQuantConfig(**meta["enc_qcfg"])
+            tmpl = init_conformer_qstate(model.ccfg)
+            tmpl["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
+            tmpl = jax.tree_util.tree_map(np.asarray, tmpl)
+            model.enc_qstate = unflatten_into(tmpl, flat, "qstate/")
+        return model
