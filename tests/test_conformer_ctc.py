@@ -108,3 +108,65 @@ def test_checkpoint_roundtrip(tmp_path, data):
 
     with pytest.raises(ValueError):
         RNNTModel.restore_from(p)
+
+
+def test_corpus_wer_vs_bits():
+    """Corpus-scale accuracy for Conformer PTQ (the Conformer analogue of
+    the QuartzNet WER-vs-bits capstone, test_e2e_quantization_accuracy.py):
+    train to low WER on the 30-utterance procedural corpus, then assert
+    the int8 path preserves WER and lower bit widths degrade in order."""
+    from tests.corpus_utils import make_corpus, tokenize
+    from qasr_tpu.decode.ctc import WER
+
+    labels = tuple(" abcdefghijklmnopqrstuvwxyz")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    m = ConformerCTC.from_config(cfg, CCFG, seed=0)
+    texts, audio, lens = make_corpus(30, seed=3)
+    toks, tlens = tokenize(texts, labels)
+
+    opt = optax.adam(2e-3)
+    state = opt.init(m.params)
+
+    @jax.jit
+    def step(params, state, rng, a, al, tk, tl):
+        loss, g = jax.value_and_grad(m.loss_fn)(params, a, al, tk, tl,
+                                                rng=rng)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+    params = m.params
+    for i in range(350):
+        idx = nprng.choice(len(texts), size=10, replace=False)
+        rng, sub = jax.random.split(rng)
+        params, state, loss = step(params, state, sub, audio[idx],
+                                   lens[idx], toks[idx], tlens[idx])
+    m.params = params
+
+    def wer_of(model):
+        w = WER(list(labels))
+        for i in range(0, len(texts), 10):
+            sl = slice(i, i + 10)
+            lp, el = model.forward(audio[sl], lens[sl])
+            preds = np.asarray(jnp.argmax(lp, axis=-1))
+            w.update(preds, toks[sl], tlens[sl], np.asarray(el))
+        return w.compute()
+
+    wer_f = wer_of(m)
+    assert wer_f < 0.15, f"float model failed to train (WER {wer_f})"
+
+    calib = [(audio[i:i + 10], lens[i:i + 10]) for i in range(0, 30, 10)]
+    wers = {}
+    for wb, ab in ((8, 8), (4, 6)):
+        m.enc_qstate = None
+        m.quantize_encoder(calib, weight_bit=wb, act_bit=ab,
+                           quantize_attention=True)
+        wers[(wb, ab)] = wer_of(m)
+    assert wers[(8, 8)] <= wer_f + 0.05, (wers, wer_f)
+    assert wers[(8, 8)] <= wers[(4, 6)] + 1e-9, wers
