@@ -137,7 +137,8 @@ class ConformerCTC:
     def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,
                          act_bit: int = 8, percentile: Optional[float] = None,
                          dynamic: bool = False, momentum: float = 0.95,
-                         quantize_attention: bool = False) -> None:
+                         quantize_attention: bool = False,
+                         integer_softmax: bool = False) -> None:
         """PTQ-calibrate encoder + CTC-head input (quantize/conformer_ptq.py);
         subsequent eval runs int8 GEMMs end to end."""
         from qasr_tpu.quantize.conformer_ptq import (
@@ -148,7 +149,8 @@ class ConformerCTC:
         qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
                                     act_momentum=momentum,
                                     percentile=percentile, dynamic=dynamic,
-                                    quantize_attention=quantize_attention)
+                                    quantize_attention=quantize_attention,
+                                    integer_softmax=integer_softmax)
         qstate = init_conformer_qstate(self.ccfg)
         qstate["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
 

@@ -82,7 +82,8 @@ class RNNTModel:
     def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,
                          act_bit: int = 8, percentile: Optional[float] = None,
                          dynamic: bool = False, momentum: float = 0.95,
-                         quantize_attention: bool = False) -> None:
+                         quantize_attention: bool = False,
+                         integer_softmax: bool = False) -> None:
         """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
         EMA QuantAct ranges over (audio, alens) calibration batches; eval
         `_encode` then runs the int8-GEMM path.  The Jasper family
@@ -100,7 +101,8 @@ class RNNTModel:
         qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
                                     act_momentum=momentum,
                                     percentile=percentile, dynamic=dynamic,
-                                    quantize_attention=quantize_attention)
+                                    quantize_attention=quantize_attention,
+                                    integer_softmax=integer_softmax)
 
         @jax.jit
         def front(a, l):

@@ -1,0 +1,79 @@
+"""Integer-only softmax (the I-BERT i-softmax construction).
+
+The Q-ASR authors' companion work I-BERT (Kim et al., ICML 2021) replaces
+softmax's transcendental with integer arithmetic: range-decompose
+exp(x) = 2^-z * exp(p) with p in (-ln2, 0], evaluate exp(p) by a
+second-order integer polynomial a(p+b)^2 + c, and normalize by integer
+division.  This module applies that scheme to attention scores so the
+softmax between the two int8 attention GEMMs is itself integer arithmetic
+— no transcendental in the lowered graph — and its output is already the
+fixed-scale int8 tensor the attn·v GEMM consumes.
+
+Input quantization uses a FIXED granularity: scores are max-subtracted
+(so x <= 0) and quantized with S_IN = 20/16383 — anything below -20 has
+exp(x) < 3e-9, under half of the int8 output's resolution step (1/254),
+so the clip is output-exact.  Fixed S_IN makes every i-exp constant a
+compile-time integer and bounds all intermediates inside int32:
+  q in [-16383, 0]; z = q // q_ln2 <= 28 (< 31, shift-safe);
+  q_l = (p + q_b)^2 + q_c <= (1108)^2 + 643_985 < 2^21;
+  after the pre-shift, the T-length sum stays far from 2^31.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# i-exp polynomial (I-BERT §3.2): exp(x) ~ a(x + b)^2 + c on (-ln2, 0]
+_A, _B, _C = 0.3585, 1.353, 0.344
+_LN2 = 0.6931471805599453
+
+N_IN = 16383                 # 14-bit score granularity after max-subtract
+S_IN = 20.0 / N_IN           # fixed input scale (window [-20, 0])
+Q_LN2 = int(np.floor(-_LN2 / S_IN))            # -568
+Q_B = int(np.floor(_B / S_IN))                 # 1108
+Q_C = int(np.floor(_C / (_A * S_IN * S_IN)))   # 643_985
+_PRESHIFT = 4                # headroom for the length-T int32 sum
+
+
+def i_exp(q: Array) -> Array:
+    """exp(q * S_IN) * 2^~21ish as an int32, for q <= 0 int32.
+
+    Range decomposition + integer quadratic; the common positive scale
+    (_A * S_IN**2) cancels in the softmax ratio and is never materialized.
+    """
+    z = jnp.floor_divide(q, Q_LN2)             # >= 0, <= 28
+    p = q - z * Q_LN2                          # in (Q_LN2, 0]
+    q_l = (p + Q_B) ** 2 + Q_C
+    return jnp.right_shift(q_l, jnp.minimum(z, 30))
+
+
+def i_softmax(scores: Array, mask: Array | None = None, *,
+              out_bits: int = 8) -> Array:
+    """Integer softmax over the last axis.
+
+    scores: float array (any shape); mask: optional bool, True = masked.
+    Returns int32 probabilities q_out in [0, n] with implied scale 1/n,
+    n = 2**(out_bits-1) - 1 — ready to cast to int8 for an integer GEMM.
+    Everything after the single quantization step (round) is integer.
+    """
+    if mask is not None:
+        neg = jnp.finfo(scores.dtype).min
+        scores = jnp.where(mask, neg, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    # clip BEFORE the int cast: masked lanes hold float32 -max and would
+    # overflow int32
+    x = jnp.maximum((scores - m) / S_IN, -float(N_IN))
+    q = jnp.round(x).astype(jnp.int32)
+    q_exp = i_exp(q)
+    if mask is not None:
+        q_exp = jnp.where(mask, 0, q_exp)
+    q_exp = jnp.right_shift(q_exp, _PRESHIFT)
+    denom = jnp.maximum(jnp.sum(q_exp, axis=-1, keepdims=True), 1)
+    n = 2 ** (out_bits - 1) - 1
+    # round-half-up division: same (unbiased) quantization profile as the
+    # float path's round(softmax * n)
+    return jnp.floor_divide(q_exp * n + jnp.floor_divide(denom, 2), denom)

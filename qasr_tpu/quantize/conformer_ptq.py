@@ -75,6 +75,11 @@ class ConformerQuantConfig:
     percentile: Optional[float] = None
     dynamic: bool = False
     quantize_attention: bool = False
+    # integer_softmax=True (requires quantize_attention) computes the
+    # attention softmax itself in integer arithmetic — the I-BERT i-softmax
+    # (ops/integer_softmax.py): no transcendental between the two int8
+    # attention GEMMs, output already at the fixed int8 scale attn·v eats.
+    integer_softmax: bool = False
 
 
 def init_conformer_qstate(cfg: ConformerConfig) -> Dict[str, Any]:
@@ -256,13 +261,21 @@ def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
     idx = (t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :]
     bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None], axis=-1)
     scores = (ac + bd) / math.sqrt(d_k)
-    neg = jnp.finfo(scores.dtype).min
-    scores = jnp.where(att_mask[:, None], neg, scores)
-    attn = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.where(att_mask[:, None], 0.0, attn)
+    mask_h = att_mask[:, None]
+    n = 2 ** (qcfg.act_bit - 1) - 1
+    if qcfg.quantize_attention and qcfg.integer_softmax:
+        from qasr_tpu.ops.integer_softmax import i_softmax
+
+        a8 = i_softmax(scores, mask=mask_h,
+                       out_bits=qcfg.act_bit).astype(jnp.int8)
+    else:
+        neg = jnp.finfo(scores.dtype).min
+        scores = jnp.where(mask_h, neg, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(mask_h, 0.0, attn)
+        if qcfg.quantize_attention:
+            a8 = jnp.round(attn * n).astype(jnp.int8)  # exact [0,1] range
     if qcfg.quantize_attention:
-        n = 2 ** (qcfg.act_bit - 1) - 1
-        a8 = jnp.round(attn * n).astype(jnp.int8)  # exact [0,1] range
         v8 = dyn8(v * valid[..., None, None])
         ctx = (jnp.einsum("bhij,bjhd->bihd", a8, v8.values,
                           preferred_element_type=jnp.int32

@@ -293,3 +293,29 @@ def test_quantized_attention_padding_invariance(setup):
         np.testing.assert_allclose(np.asarray(out_p)[i, :n],
                                    np.asarray(out)[i, :n],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_integer_softmax_attention(setup):
+    """integer_softmax=True: i-softmax between the int8 attention GEMMs
+    stays close to the float-softmax quantized-attention path and to
+    fp32."""
+    params, feats, lens, _, qstate = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    qa = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                              quantize_attention=True)
+    qi = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                              quantize_attention=True, integer_softmax=True)
+    out_a, _, _ = conformer_encoder_apply_ptq(params, CFG, qa, qstate,
+                                              feats, lens)
+    out_i, lens_i, _ = conformer_encoder_apply_ptq(params, CFG, qi, qstate,
+                                                   feats, lens)
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    m = np.broadcast_to(valid, ref.shape)
+    scale = float(np.abs(np.asarray(ref)).max())
+    # i-softmax vs float-softmax inside the same int8 pipeline: small extra
+    # error from the quadratic exp approximation
+    d_pipe = np.abs(np.asarray(out_i - out_a))[m].mean() / scale
+    assert d_pipe < 0.02, d_pipe
+    d_ref = np.abs(np.asarray(out_i - ref))[m].mean() / scale
+    assert d_ref < 0.04, d_ref
