@@ -319,3 +319,39 @@ def test_integer_softmax_attention(setup):
     assert d_pipe < 0.02, d_pipe
     d_ref = np.abs(np.asarray(out_i - ref))[m].mean() / scale
     assert d_ref < 0.04, d_ref
+
+
+def test_dp_sharded_bit_identical(setup):
+    """Batch-sharded (dp=4) int8 conformer eval over a device mesh is
+    bit-identical to single-device — the Conformer-family counterpart of
+    the QuartzNet sharded-eval guarantees (tests/test_parallel.py).  The
+    dynamic attention scales reduce with exact min/max, so even
+    quantize_attention + integer_softmax shard without drift."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    params, feats, lens, _, qstate = setup
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(np.asarray(devs[:4]), ("data",))
+    for qcfg in (ConformerQuantConfig(weight_bit=8, act_bit=8),
+                 ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                      quantize_attention=True,
+                                      integer_softmax=True)):
+        def f(x, l, qcfg=qcfg):
+            return conformer_encoder_apply_ptq(params, CFG, qcfg, qstate,
+                                               x, l)[:2]
+
+        # compare jit vs jit: eager float glue (LN reductions) fuses
+        # differently and is not the serving artifact
+        ref, ref_lens = jax.jit(f)(feats, lens)
+        fn = jax.jit(
+            f,
+            in_shardings=(NamedSharding(mesh, P("data")),
+                          NamedSharding(mesh, P("data"))),
+            out_shardings=(NamedSharding(mesh, P("data")),
+                           NamedSharding(mesh, P("data"))),
+        )
+        out, el = fn(feats, lens)
+        np.testing.assert_array_equal(np.asarray(el), np.asarray(ref_lens))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
