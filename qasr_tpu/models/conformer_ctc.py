@@ -35,6 +35,7 @@ class ConformerCTC:
     ccfg: ConformerConfig
     frontend: MelFrontend
     params: Dict[str, Any]         # {'encoder', 'decoder': {'w', 'b'}}
+    decoder_kind: str = "linear"   # 'linear' (ConvASRDecoder role) | 'lstm'
     enc_qcfg: Any = None
     enc_qstate: Any = None         # encoder QuantAct ranges + 'dec_in' site
 
@@ -42,20 +43,33 @@ class ConformerCTC:
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, ccfg: ConformerConfig,
-                    seed: int = 0) -> "ConformerCTC":
+                    seed: int = 0, decoder_kind: str = "linear",
+                    lstm_hidden: int = 640, lstm_layers: int = 1,
+                    bidirectional: bool = False) -> "ConformerCTC":
         from qasr_tpu.models.conformer import _linear
 
         rng = np.random.default_rng(seed)
         d_out = ccfg.feat_out if ccfg.feat_out > 0 else ccfg.d_model
-        params = {
-            "encoder": init_conformer_params(rng, ccfg),
+        if decoder_kind == "lstm":
+            # the reference conformer configs pair the encoder with an
+            # LSTMDecoder head (conformer_char.yaml:100-107)
+            from qasr_tpu.models.lstm_decoder import init_lstm_decoder
+
+            dec = init_lstm_decoder(rng, d_out, len(cfg.labels),
+                                    hidden=lstm_hidden,
+                                    num_layers=lstm_layers,
+                                    bidirectional=bidirectional)
+        elif decoder_kind == "linear":
             # CTC head: d -> V+1 (blank last, like ConvASRDecoder)
-            "decoder": _linear(rng, d_out, len(cfg.labels) + 1),
-        }
+            dec = _linear(rng, d_out, len(cfg.labels) + 1)
+        else:
+            raise ValueError(decoder_kind)
+        params = {"encoder": init_conformer_params(rng, ccfg),
+                  "decoder": dec}
         return cls(cfg=cfg, ccfg=ccfg,
                    frontend=MelFrontend(
                        preprocessor_config_from_dict(cfg.preprocessor)),
-                   params=params)
+                   params=params, decoder_kind=decoder_kind)
 
     @property
     def vocabulary(self):
@@ -68,6 +82,11 @@ class ConformerCTC:
     # -- forward --------------------------------------------------------------
 
     def _decoder_apply(self, params, enc):
+        if self.decoder_kind == "lstm":
+            # recurrent head stays float (already log-softmaxed)
+            from qasr_tpu.models.lstm_decoder import lstm_decoder_forward
+
+            return lstm_decoder_forward(params["decoder"], enc)
         if (self.enc_qstate is not None
                 and "dec_in" in self.enc_qstate):
             from qasr_tpu.quantize.conformer_ptq import _act_quant, _qlinear
@@ -90,8 +109,10 @@ class ConformerCTC:
             enc, enc_lens = conformer_encoder_apply(
                 params["encoder"], self.ccfg, feats, feat_lens,
                 train=train, rng=rng)
-        logits = self._decoder_apply(params, enc)
-        return jax.nn.log_softmax(logits, axis=-1), enc_lens
+        out = self._decoder_apply(params, enc)
+        if self.decoder_kind != "lstm":  # lstm head is already log-softmaxed
+            out = jax.nn.log_softmax(out, axis=-1)
+        return out, enc_lens
 
     def forward(self, audio, alens):
         @jax.jit
@@ -183,7 +204,15 @@ class ConformerCTC:
         from qasr_tpu.utils.checkpoint import save_qasr
 
         meta: Dict[str, Any] = {"family": "conformer_ctc",
-                                "conformer_cfg": dc.asdict(self.ccfg)}
+                                "conformer_cfg": dc.asdict(self.ccfg),
+                                "decoder_kind": self.decoder_kind}
+        if self.decoder_kind == "lstm":
+            lstm0 = self.params["decoder"]["lstm"][0]
+            meta["lstm"] = {
+                "hidden": int(np.asarray(lstm0[0]["wh"]).shape[0]),
+                "layers": len(self.params["decoder"]["lstm"]),
+                "bidirectional": len(lstm0) == 2,
+            }
         if self.enc_qcfg is not None:
             meta["enc_qcfg"] = dc.asdict(self.enc_qcfg)
         save_qasr(path, config_to_dict(self.cfg), self.params,
@@ -199,7 +228,13 @@ class ConformerCTC:
             raise ValueError(f"{path} is not a Conformer-CTC checkpoint "
                              f"(family={meta.get('family')!r})")
         cfg = ModelConfig.from_dict(cfg_d)
-        model = cls.from_config(cfg, ConformerConfig(**meta["conformer_cfg"]))
+        lstm = meta.get("lstm") or {}
+        model = cls.from_config(
+            cfg, ConformerConfig(**meta["conformer_cfg"]),
+            decoder_kind=meta.get("decoder_kind", "linear"),
+            lstm_hidden=lstm.get("hidden", 640),
+            lstm_layers=lstm.get("layers", 1),
+            bidirectional=lstm.get("bidirectional", False))
         model.params = unflatten_into(model.params, flat, "params/")
         if meta.get("enc_qcfg") and any(k.startswith("qstate/") for k in flat):
             from qasr_tpu.quantize.conformer_ptq import (
@@ -212,3 +247,76 @@ class ConformerCTC:
             tmpl = jax.tree_util.tree_map(np.asarray, tmpl)
             model.enc_qstate = unflatten_into(tmpl, flat, "qstate/")
         return model
+
+
+# ---------------------------------------------------------------------------
+# reference YAML factory
+# ---------------------------------------------------------------------------
+
+
+def conformer_config_from_dict(d: Dict[str, Any]) -> ConformerConfig:
+    """Map the reference ConformerEncoder YAML section
+    (examples/asr/experimental/conformer/conformer_char.yaml:70-97) onto
+    ConformerConfig.  Field names match 1:1; -1 sentinels resolve like the
+    reference (subsampling_conv_channels=-1 -> d_model)."""
+    import dataclasses as dc
+
+    d = dict(d)
+    d.pop("_target_", None)
+    known = {f.name for f in dc.fields(ConformerConfig)}
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(f"unsupported ConformerEncoder fields: {unknown}")
+    if d.get("subsampling_conv_channels") == -1:
+        d["subsampling_conv_channels"] = d.get("d_model", 256)
+    return ConformerConfig(**d)
+
+
+def conformer_ctc_from_yaml(path: str, tokenizer=None,
+                            seed: int = 0) -> ConformerCTC:
+    """Build a Conformer-CTC from the reference's own conformer YAMLs
+    (conformer_char.yaml / conformer_bpe.yaml / conformer_linear_decoder_bpe
+    .yaml).  Char configs take labels from the YAML; BPE configs (labels
+    filled at runtime upstream) take them from `tokenizer.vocab`.  The
+    decoder _target_ picks the head: LSTMDecoder -> recurrent head
+    (models/lstm_decoder.py), ConvASRDecoder/linear -> the quantizable
+    linear head."""
+    import yaml
+
+    from qasr_tpu.models.config import (
+        DecoderConfig, EncoderConfig, resolve_interpolations,
+    )
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    m = resolve_interpolations(raw)["model"]
+    if tokenizer is not None:
+        labels = tuple(tokenizer.vocab)
+    else:
+        labels = tuple(m.get("labels") or ())
+        if not labels:
+            raise ValueError(f"{path} has no labels (a BPE config?) — pass "
+                             f"tokenizer=")
+    ccfg = conformer_config_from_dict(m["encoder"])
+    d_out = ccfg.feat_out if ccfg.feat_out > 0 else ccfg.d_model
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=ccfg.feat_in, blocks=()),
+        decoder=DecoderConfig(feat_in=d_out, num_classes=len(labels),
+                              vocabulary=labels),
+        preprocessor=m.get("preprocessor", {}),
+        spec_augment=m.get("spec_augment"),
+        labels=labels,
+        sample_rate=m.get("sample_rate", 16000),
+    )
+    dec = dict(m.get("decoder", {}))
+    if "LSTMDecoder" in dec.get("_target_", ""):
+        model = ConformerCTC.from_config(
+            cfg, ccfg, seed=seed, decoder_kind="lstm",
+            lstm_hidden=dec.get("lstm_hidden_size", 640),
+            lstm_layers=dec.get("num_layers", 1),
+            bidirectional=bool(dec.get("bidirectional", False)))
+    else:
+        model = ConformerCTC.from_config(cfg, ccfg, seed=seed)
+    if tokenizer is not None:
+        model.tokenizer = tokenizer
+    return model

@@ -37,12 +37,12 @@ def init_lstm_decoder(rng: np.random.Generator, feat_in: int, num_classes: int,
         layers.append([lstm_params(din, hidden) for _ in range(dirs)])
         din = hidden * dirs
     s = 1.0 / np.sqrt(din)
+    # arrays only: the tree is a grad input (hidden/bidirectional are
+    # recoverable from the weight shapes)
     return {
         "lstm": layers,
         "w": jnp.asarray(rng.uniform(-s, s, (din, num_classes + 1)), jnp.float32),
         "b": jnp.zeros((num_classes + 1,), jnp.float32),
-        "bidirectional": bidirectional,
-        "hidden": hidden,
     }
 
 

@@ -170,3 +170,73 @@ def test_corpus_wer_vs_bits():
         wers[(wb, ab)] = wer_of(m)
     assert wers[(8, 8)] <= wer_f + 0.05, (wers, wer_f)
     assert wers[(8, 8)] <= wers[(4, 6)] + 1e-9, wers
+
+
+REF_CONF_DIR = "/root/reference/examples/asr/experimental/conformer"
+
+
+@pytest.mark.parametrize("name", ["conformer_char.yaml",
+                                  "conformer_bpe.yaml",
+                                  "conformer_linear_decoder_bpe.yaml"])
+def test_reference_conformer_yamls_build(name):
+    """The reference's own conformer configs construct a working model
+    (char: labels from YAML + LSTMDecoder head; bpe: labels from the
+    tokenizer)."""
+    import os
+
+    from qasr_tpu.models.conformer_ctc import conformer_ctc_from_yaml
+
+    path = os.path.join(REF_CONF_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    tok = None
+    if "bpe" in name:
+        class _Tok:
+            vocab = [chr(ord("a") + i) for i in range(16)]
+        tok = _Tok()
+    m = conformer_ctc_from_yaml(path, tokenizer=tok, seed=0)
+    assert m.ccfg.n_layers == 16 and m.ccfg.d_model == 256
+    assert m.ccfg.feat_in == 80
+    # vggnet subsampling with conv channels resolved (-1 -> d_model in bpe)
+    assert m.ccfg.subsampling in ("vggnet", "striding")
+    if "linear_decoder" in name:
+        assert m.decoder_kind == "linear"
+    else:
+        assert m.decoder_kind == "lstm"
+        assert len(m.params["decoder"]["lstm"]) >= 1
+    # abstract forward: shapes thread without running 16 layers
+    audio = jax.ShapeDtypeStruct((2, 16000), jnp.float32)
+    alens = jax.ShapeDtypeStruct((2,), jnp.int32)
+
+    def f(a, l):
+        feats, fl = m.frontend(a, l, dither=0.0)
+        return m._apply(m.params, feats, fl)
+
+    lp, el = jax.eval_shape(f, audio, alens)
+    assert lp.shape[0] == 2 and lp.shape[2] == len(m.cfg.labels) + 1
+
+
+def test_lstm_decoder_head_roundtrip(tmp_path, data):
+    """decoder_kind='lstm' trains/infers and survives save/restore."""
+    audio, alens, _, _ = data
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(LABELS)),
+        labels=LABELS,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    m = ConformerCTC.from_config(cfg, CCFG, seed=0, decoder_kind="lstm",
+                                 lstm_hidden=32, lstm_layers=2,
+                                 bidirectional=True)
+    lp, el = m.forward(audio, alens)
+    assert lp.shape[2] == len(LABELS) + 1
+    np.testing.assert_allclose(np.asarray(jnp.exp(lp).sum(-1)), 1.0,
+                               rtol=1e-4)
+    # PTQ still quantizes the encoder; the recurrent head stays float
+    m.quantize_encoder([(audio, alens)])
+    hyps = m.transcribe_greedy(audio, alens)
+    p = str(tmp_path / "lstm.qasr")
+    m.save_to(p)
+    m2 = ConformerCTC.restore_from(p)
+    assert m2.decoder_kind == "lstm"
+    assert m2.transcribe_greedy(audio, alens) == hyps
