@@ -59,14 +59,29 @@ def main(argv=None):
 
     with open(args.config_path) as f:
         raw = yaml.safe_load(f)
-    raw = apply_overrides(raw, args.overrides)
+    from qasr_tpu.models.config import resolve_interpolations
+    raw = apply_overrides(resolve_interpolations(raw), args.overrides)
     mcfg = raw["model"]
     tokenizer = None
     if args.tokenizer:
         from qasr_tpu.data.tokenizers import BPETokenizer
-        from qasr_tpu.models.ctc_bpe_model import EncDecCTCModelBPE
 
         tokenizer = BPETokenizer(args.tokenizer)
+    # _target_-driven model dispatch, like the reference's hydra configs:
+    # ConformerEncoder sections build a Conformer-CTC
+    # (examples/asr/experimental/conformer/*.yaml run through the same
+    # speech_to_text.py upstream)
+    conformer = (mcfg.get("encoder") or {}).get(
+        "_target_", "").endswith("ConformerEncoder")
+    if conformer:
+        from qasr_tpu.models.conformer_ctc import conformer_ctc_from_dict
+
+        model = conformer_ctc_from_dict(mcfg, tokenizer=tokenizer)
+        if tokenizer is not None:
+            mcfg = dict(mcfg, labels=list(tokenizer.vocab))
+    elif tokenizer is not None:
+        from qasr_tpu.models.ctc_bpe_model import EncDecCTCModelBPE
+
         model = EncDecCTCModelBPE.from_config_and_tokenizer(
             ModelConfig.from_dict(mcfg), tokenizer)
         mcfg = dict(mcfg, labels=list(tokenizer.vocab))
@@ -101,7 +116,12 @@ def main(argv=None):
         if dp > 1:
             mesh = make_mesh(data=dp, model=1)
             logging.info(f"training on mesh {dict(mesh.shape)}")
-    trainer = Trainer(model, tcfg, mesh=mesh)
+    if conformer:
+        from qasr_tpu.train.trainer import ConformerCTCTrainer
+
+        trainer = ConformerCTCTrainer(model, tcfg, mesh=mesh)
+    else:
+        trainer = Trainer(model, tcfg, mesh=mesh)
 
     # resume if a checkpoint exists
     resume = exp.check_resume()

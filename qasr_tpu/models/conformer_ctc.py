@@ -146,11 +146,20 @@ class ConformerCTC:
 
         log_probs, enc_lens = self.forward(audio, alens)
         ids = np.asarray(jnp.argmax(log_probs, axis=-1))
+        tok = getattr(self, "tokenizer", None)
         out = []
         for i in range(ids.shape[0]):
             row = ids[i, : int(enc_lens[i])]
-            out.append(ctc_collapse(row[None], self.blank_id,
-                                    self.vocabulary)[0])
+            if tok is not None:  # BPE labels detokenize, not char-join
+                kept, prev = [], -1
+                for v in row:
+                    if v != prev and v != self.blank_id:
+                        kept.append(int(v))
+                    prev = v
+                out.append(tok.ids_to_text(kept))
+            else:
+                out.append(ctc_collapse(row[None], self.blank_id,
+                                        self.vocabulary)[0])
         return out
 
     # -- quantization -----------------------------------------------------------
@@ -283,20 +292,27 @@ def conformer_ctc_from_yaml(path: str, tokenizer=None,
     linear head."""
     import yaml
 
-    from qasr_tpu.models.config import (
-        DecoderConfig, EncoderConfig, resolve_interpolations,
-    )
+    from qasr_tpu.models.config import resolve_interpolations
 
     with open(path) as f:
         raw = yaml.safe_load(f)
     m = resolve_interpolations(raw)["model"]
+    return conformer_ctc_from_dict(m, tokenizer=tokenizer, seed=seed)
+
+
+def conformer_ctc_from_dict(m: Dict[str, Any], tokenizer=None,
+                            seed: int = 0) -> ConformerCTC:
+    """Dict form of conformer_ctc_from_yaml (the CLI applies hydra-style
+    overrides to the parsed dict before construction)."""
+    from qasr_tpu.models.config import DecoderConfig, EncoderConfig
+
     if tokenizer is not None:
         labels = tuple(tokenizer.vocab)
     else:
         labels = tuple(m.get("labels") or ())
         if not labels:
-            raise ValueError(f"{path} has no labels (a BPE config?) — pass "
-                             f"tokenizer=")
+            raise ValueError("config has no labels (a BPE config?) — pass "
+                             "tokenizer=")
     ccfg = conformer_config_from_dict(m["encoder"])
     d_out = ccfg.feat_out if ccfg.feat_out > 0 else ccfg.d_model
     cfg = ModelConfig(

@@ -231,3 +231,53 @@ class RNNTTrainer(Trainer):
                 from qasr_tpu.decode.ctc import edit_distance
                 wer.scores += edit_distance(h.split(), ref.split())
         return wer.compute()
+
+
+class ConformerCTCTrainer(Trainer):
+    """Conformer-CTC training: the same optimizer/schedule/mesh machinery
+    driving the model's own CTC loss (models/conformer_ctc.py).  The
+    reference trains its conformer configs through the identical
+    speech_to_text.py loop (hydra _target_ dispatch); cli/speech_to_text.py
+    mirrors that by selecting this trainer on ConformerEncoder configs."""
+
+    def __init__(self, model, cfg: TrainConfig,
+                 spec_aug: Optional[SpecAugmentConfig] = None, mesh=None):
+        self.cc_model = model
+
+        class _Shim:  # minimal ASRModel-like facade for the base class
+            params = model.params
+            cfg = model.cfg
+            frontend = model.frontend
+            plan = model.ccfg
+            blank_id = model.blank_id
+            vocabulary = model.vocabulary
+
+        super().__init__(_Shim(), cfg, spec_aug=spec_aug, mesh=mesh)
+
+    def _loss_fn(self, params, rng, audio, alens, tokens, tlens):
+        loss = self.cc_model.loss_fn(params, audio, alens, tokens, tlens,
+                                     rng=rng, spec_aug=self.spec_aug)
+        return loss, (None, None)
+
+    def train_step(self, batch, rng=None) -> float:
+        loss = super().train_step(batch, rng)
+        self.cc_model.params = self.model.params
+        return loss
+
+    def evaluate(self, loader: Iterable) -> float:
+        from qasr_tpu.decode.ctc import edit_distance
+
+        wer = WER(self.cc_model.vocabulary)
+        labels = self.cc_model.vocabulary
+        tok = getattr(self.cc_model, "tokenizer", None)
+        for audio, alens, tokens, tlens in loader:
+            hyps = self.cc_model.transcribe_greedy(audio, alens)
+            for i, h in enumerate(hyps):
+                ids = np.asarray(tokens)[i][: int(tlens[i])]
+                if tok is not None:
+                    ref = tok.ids_to_text([int(c) for c in ids])
+                else:
+                    ref = "".join(labels[int(c)] for c in ids)
+                wer.words += len(ref.split())
+                wer.scores += edit_distance(h.split(), ref.split())
+        return wer.compute()

@@ -240,3 +240,58 @@ def test_lstm_decoder_head_roundtrip(tmp_path, data):
     m2 = ConformerCTC.restore_from(p)
     assert m2.decoder_kind == "lstm"
     assert m2.transcribe_greedy(audio, alens) == hyps
+
+
+def test_speech_to_text_cli_trains_conformer(tmp_path):
+    """cli/speech_to_text.py dispatches ConformerEncoder configs to the
+    Conformer-CTC trainer (the reference runs its conformer YAMLs through
+    the same speech_to_text.py loop)."""
+    import json
+    import yaml
+
+    from qasr_tpu.data.audio import write_wav
+    from qasr_tpu.cli.speech_to_text import main as stt_main
+
+    rng = np.random.default_rng(0)
+    man = tmp_path / "manifest.json"
+    with open(man, "w") as f:
+        for i, text in enumerate(["ab", "ba", "aab"]):
+            p = tmp_path / f"u{i}.wav"
+            write_wav(str(p), (rng.normal(size=12000) * 0.05
+                               ).astype(np.float32))
+            f.write(json.dumps({"audio_filepath": str(p), "duration": 0.75,
+                                "text": text}) + "\n")
+    cfg = {
+        "model": {
+            "sample_rate": 16000,
+            "labels": [" ", "a", "b"],
+            "preprocessor": {"features": 32, "dither": 0.0},
+            "encoder": {
+                "_target_": "nemo.collections.asr.modules.ConformerEncoder",
+                "feat_in": 32, "n_layers": 1, "d_model": 32, "n_heads": 4,
+                "subsampling": "striding", "subsampling_factor": 4,
+                "subsampling_conv_channels": 16, "conv_kernel_size": 9,
+                "dropout": 0.0, "dropout_emb": 0.0, "dropout_att": 0.0},
+            "decoder": {
+                "_target_": "nemo.collections.asr.modules.ConvASRDecoder",
+                "num_classes": 3},
+            "train_ds": {"manifest_filepath": str(man), "batch_size": 3},
+            "optim": {"name": "novograd", "lr": 0.01,
+                      "sched": {"name": "CosineAnnealing",
+                                "warmup_steps": 0}},
+        },
+        "trainer": {"max_steps": 3},
+        "exp_manager": {"exp_dir": str(tmp_path / "exp")},
+    }
+    cpath = tmp_path / "tiny_conformer.yaml"
+    with open(cpath, "w") as f:
+        yaml.safe_dump(cfg, f)
+    stt_main(["--config-path", str(cpath),
+              f"model.validation_ds.manifest_filepath={man}",
+              "model.validation_ds.batch_size=3"])
+    # a checkpoint was written by exp_manager
+    import glob
+    assert glob.glob(str(tmp_path / "exp" / "**" / "*.ckpt*"),
+                     recursive=True) or \
+        glob.glob(str(tmp_path / "exp" / "**" / "checkpoints" / "*"),
+                  recursive=True)
