@@ -168,7 +168,8 @@ class ConformerCTC:
                          act_bit: int = 8, percentile: Optional[float] = None,
                          dynamic: bool = False, momentum: float = 0.95,
                          quantize_attention: bool = False,
-                         integer_softmax: bool = False) -> None:
+                         integer_softmax: bool = False,
+                         integer_layernorm: bool = False) -> None:
         """PTQ-calibrate encoder + CTC-head input (quantize/conformer_ptq.py);
         subsequent eval runs int8 GEMMs end to end."""
         from qasr_tpu.quantize.conformer_ptq import (
@@ -180,8 +181,9 @@ class ConformerCTC:
                                     act_momentum=momentum,
                                     percentile=percentile, dynamic=dynamic,
                                     quantize_attention=quantize_attention,
-                                    integer_softmax=integer_softmax)
-        qstate = init_conformer_qstate(self.ccfg)
+                                    integer_softmax=integer_softmax,
+                                    integer_layernorm=integer_layernorm)
+        qstate = init_conformer_qstate(self.ccfg, qcfg)
         qstate["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
 
         @jax.jit
@@ -251,7 +253,7 @@ class ConformerCTC:
             )
 
             model.enc_qcfg = ConformerQuantConfig(**meta["enc_qcfg"])
-            tmpl = init_conformer_qstate(model.ccfg)
+            tmpl = init_conformer_qstate(model.ccfg, model.enc_qcfg)
             tmpl["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
             tmpl = jax.tree_util.tree_map(np.asarray, tmpl)
             model.enc_qstate = unflatten_into(tmpl, flat, "qstate/")

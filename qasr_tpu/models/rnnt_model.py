@@ -83,7 +83,8 @@ class RNNTModel:
                          act_bit: int = 8, percentile: Optional[float] = None,
                          dynamic: bool = False, momentum: float = 0.95,
                          quantize_attention: bool = False,
-                         integer_softmax: bool = False) -> None:
+                         integer_softmax: bool = False,
+                         integer_layernorm: bool = False) -> None:
         """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
         EMA QuantAct ranges over (audio, alens) calibration batches; eval
         `_encode` then runs the int8-GEMM path.  The Jasper family
@@ -102,7 +103,8 @@ class RNNTModel:
                                     act_momentum=momentum,
                                     percentile=percentile, dynamic=dynamic,
                                     quantize_attention=quantize_attention,
-                                    integer_softmax=integer_softmax)
+                                    integer_softmax=integer_softmax,
+                                    integer_layernorm=integer_layernorm)
 
         @jax.jit
         def front(a, l):
@@ -223,8 +225,9 @@ class RNNTModel:
             )
 
             model.enc_qcfg = ConformerQuantConfig(**meta["enc_qcfg"])
-            tmpl = jax.tree_util.tree_map(np.asarray,
-                                          init_conformer_qstate(model.plan))
+            tmpl = jax.tree_util.tree_map(
+                np.asarray,
+                init_conformer_qstate(model.plan, model.enc_qcfg))
             model.enc_qstate = unflatten_into(tmpl, flat, "qstate/")
         if meta.get("tokenizer") and meta["tokenizer"] in artifacts:
             from qasr_tpu.data.tokenizers import BPETokenizer

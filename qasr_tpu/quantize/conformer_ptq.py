@@ -57,6 +57,7 @@ Array = jax.Array
 
 _LAYER_SITES = ("ff1_in", "ff1_mid", "att_in", "att_ctx", "conv_in",
                 "conv_glu", "conv_mid", "ff2_in", "ff2_mid")
+_LN_SITES = ("ln_ff1", "ln_att", "ln_conv", "ln_ff2", "ln_out")
 
 
 @dataclass(frozen=True)
@@ -80,19 +81,31 @@ class ConformerQuantConfig:
     # (ops/integer_softmax.py): no transcendental between the two int8
     # attention GEMMs, output already at the fixed int8 scale attn·v eats.
     integer_softmax: bool = False
+    # integer_layernorm=True replaces every LayerNorm's float statistics
+    # with integer mean/variance and an integer Newton sqrt (the I-BERT
+    # i-LayerNorm, ops/integer_layernorm.py) on a calibrated QuantAct of
+    # the LN input; only the gamma/beta affine stays float.  Adds five
+    # sites per layer (ln_ff1/ln_att/ln_conv/ln_ff2/ln_out).
+    integer_layernorm: bool = False
 
 
-def init_conformer_qstate(cfg: ConformerConfig) -> Dict[str, Any]:
+def init_conformer_qstate(cfg: ConformerConfig,
+                          qcfg: Optional["ConformerQuantConfig"] = None
+                          ) -> Dict[str, Any]:
     """Zeroed QuantAct ranges for every site; x_min == x_max == 0 marks
-    'uninitialised' for the init-on-first-batch rule (_ema_ranges)."""
+    'uninitialised' for the init-on-first-batch rule (_ema_ranges).
+    integer_layernorm adds the per-LN input sites."""
     z = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
 
     def site():
         return {k: v for k, v in z.items()}
 
+    sites = _LAYER_SITES
+    if qcfg is not None and qcfg.integer_layernorm:
+        sites = sites + _LN_SITES
     st: Dict[str, Any] = {
         "pre_out": site(),
-        "layers": [{s: site() for s in _LAYER_SITES}
+        "layers": [{s: site() for s in sites}
                    for _ in range(cfg.n_layers)],
     }
     if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:
@@ -304,6 +317,17 @@ def _q_conv_module(p, st, x: Array, pad_mask, valid,
     return _qlinear(_conv_pw(p, "pw2"), yq, qcfg.weight_bit), st
 
 
+def _q_layer_norm(p_ln, st, key, x, valid, qcfg, update):
+    """LayerNorm with optional integer statistics (i-LayerNorm): quantize
+    the LN input on its own site, normalize with integer mean/var/sqrt."""
+    if not qcfg.integer_layernorm:
+        return _layer_norm(p_ln, x), st
+    from qasr_tpu.ops.integer_layernorm import i_layernorm
+
+    xq, st[key] = _act_quant(st[key], x, valid, qcfg, update)
+    return i_layernorm(xq.values, p_ln["gamma"], p_ln["beta"]), st
+
+
 def _q_feed_forward(p, st, x, valid, pre, qcfg, update):
     xq, st[f"{pre}_in"] = _act_quant(st[f"{pre}_in"], x, valid, qcfg, update)
     y = _swish(_qlinear(p["l1"], xq, qcfg.weight_bit))
@@ -384,12 +408,13 @@ def conformer_encoder_apply_ptq(params, cfg: ConformerConfig,
         bu = lp.get("pos_bias_u", u)
         bv = lp.get("pos_bias_v", v)
         r = x
-        y, st = _q_feed_forward(lp["ff1"], st,
-                                _layer_norm(lp["norm_ff1"], x),
-                                vmask, "ff1", qcfg, update)
+        y, st = _q_layer_norm(lp["norm_ff1"], st, "ln_ff1", x, vmask,
+                              qcfg, update)
+        y, st = _q_feed_forward(lp["ff1"], st, y, vmask, "ff1", qcfg, update)
         x = 0.5 * y + r
         r = x
-        y = _layer_norm(lp["norm_att"], x)
+        y, st = _q_layer_norm(lp["norm_att"], st, "ln_att", x, vmask,
+                              qcfg, update)
         yq, st["att_in"] = _act_quant(st["att_in"], y, vmask, qcfg, update)
         if cfg.self_attention_model == "rel_pos":
             y, st = _q_rel_attention(lp["att"], st, yq, pos_emb, att_mask,
@@ -400,16 +425,18 @@ def conformer_encoder_apply_ptq(params, cfg: ConformerConfig,
                 "(rel_pos is the Conformer default, conformer_encoder.py:199)")
         x = y + r
         r = x
-        y, st = _q_conv_module(lp["conv"], st,
-                               _layer_norm(lp["norm_conv"], x),
-                               pad_mask, vmask, qcfg, update)
+        y, st = _q_layer_norm(lp["norm_conv"], st, "ln_conv", x, vmask,
+                              qcfg, update)
+        y, st = _q_conv_module(lp["conv"], st, y, pad_mask, vmask,
+                               qcfg, update)
         x = y + r
         r = x
-        y, st = _q_feed_forward(lp["ff2"], st,
-                                _layer_norm(lp["norm_ff2"], x),
-                                vmask, "ff2", qcfg, update)
+        y, st = _q_layer_norm(lp["norm_ff2"], st, "ln_ff2", x, vmask,
+                              qcfg, update)
+        y, st = _q_feed_forward(lp["ff2"], st, y, vmask, "ff2", qcfg, update)
         x = 0.5 * y + r
-        x = _layer_norm(lp["norm_out"], x)
+        x, st = _q_layer_norm(lp["norm_out"], st, "ln_out", x, vmask,
+                              qcfg, update)
         new_q["layers"][li] = st
     if "out_proj" in params:
         xq, new_q["out_proj_in"] = _act_quant(new_q["out_proj_in"], x,
@@ -425,7 +452,7 @@ def calibrate_conformer(params, cfg: ConformerConfig,
     batches; returns the final qstate (quantize_model.py:73-75 pattern).
     One jitted executable, reused across batches (static shapes)."""
     if qstate is None:
-        qstate = init_conformer_qstate(cfg)
+        qstate = init_conformer_qstate(cfg, qcfg)
 
     @jax.jit
     def step(qs, feats, lens):

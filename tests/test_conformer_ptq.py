@@ -355,3 +355,37 @@ def test_dp_sharded_bit_identical(setup):
         out, el = fn(feats, lens)
         np.testing.assert_array_equal(np.asarray(el), np.asarray(ref_lens))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_integer_layernorm_pipeline(setup):
+    """integer_layernorm=True: every LN runs integer statistics; output
+    stays close to fp32 and all ln sites calibrate."""
+    params, feats, lens, _, _ = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                quantize_attention=True,
+                                integer_softmax=True,
+                                integer_layernorm=True)
+    rng = np.random.default_rng(1)
+    batches = [(rng.normal(size=(4, 50, 32)).astype(np.float32),
+                np.asarray([50, 44, 50, 37], np.int32)) for _ in range(4)]
+    qs = calibrate_conformer(params, CFG, qcfg, batches)
+    for layer in qs["layers"]:
+        for name in ("ln_ff1", "ln_att", "ln_conv", "ln_ff2", "ln_out"):
+            assert float(layer[name]["x_max"]) > float(layer[name]["x_min"])
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qs,
+                                                   feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.mean() / scale < 0.05, err.mean() / scale
+    # every LayerNorm sqrt is gone; the only float sqrts left are the one
+    # eval-mode BatchNorm per conv module (constants, folded by XLA)
+    fz = quantize_conformer_weights(params, CFG, qcfg.weight_bit)
+    txt = jax.jit(lambda x, l: conformer_encoder_apply_ptq(
+        fz, CFG, qcfg, qs, x, l)[0]).lower(feats, lens).as_text()
+    n_sqrt = sum(("stablehlo.sqrt" in ln) or ("rsqrt" in ln)
+                 for ln in txt.splitlines())
+    assert n_sqrt <= CFG.n_layers, n_sqrt  # BN only — 0 of 10 LNs remain
