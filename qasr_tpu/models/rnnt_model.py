@@ -84,7 +84,8 @@ class RNNTModel:
                          dynamic: bool = False, momentum: float = 0.95,
                          quantize_attention: bool = False,
                          integer_softmax: bool = False,
-                         integer_layernorm: bool = False) -> None:
+                         integer_layernorm: bool = False,
+                         integer_activations: bool = False) -> None:
         """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
         EMA QuantAct ranges over (audio, alens) calibration batches; eval
         `_encode` then runs the int8-GEMM path.  The Jasper family
@@ -104,7 +105,8 @@ class RNNTModel:
                                     percentile=percentile, dynamic=dynamic,
                                     quantize_attention=quantize_attention,
                                     integer_softmax=integer_softmax,
-                                    integer_layernorm=integer_layernorm)
+                                    integer_layernorm=integer_layernorm,
+                                    integer_activations=integer_activations)
 
         @jax.jit
         def front(a, l):

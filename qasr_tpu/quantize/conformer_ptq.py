@@ -58,6 +58,7 @@ Array = jax.Array
 _LAYER_SITES = ("ff1_in", "ff1_mid", "att_in", "att_ctx", "conv_in",
                 "conv_glu", "conv_mid", "ff2_in", "ff2_mid")
 _LN_SITES = ("ln_ff1", "ln_att", "ln_conv", "ln_ff2", "ln_out")
+_ACT_SITES = ("ff1_act", "ff2_act", "conv_a", "conv_bn")
 
 
 @dataclass(frozen=True)
@@ -87,6 +88,12 @@ class ConformerQuantConfig:
     # the LN input; only the gamma/beta affine stays float.  Adds five
     # sites per layer (ln_ff1/ln_att/ln_conv/ln_ff2/ln_out).
     integer_layernorm: bool = False
+    # integer_activations=True computes every swish / GLU-sigmoid as an
+    # integer product: the sigmoid factor by the i-exp ratio
+    # (ops/integer_sigmoid.py), the linear factor as the activation's own
+    # quantized integers.  Adds four sites per layer
+    # (ff1_act/ff2_act/conv_a/conv_bn).
+    integer_activations: bool = False
 
 
 def init_conformer_qstate(cfg: ConformerConfig,
@@ -103,6 +110,8 @@ def init_conformer_qstate(cfg: ConformerConfig,
     sites = _LAYER_SITES
     if qcfg is not None and qcfg.integer_layernorm:
         sites = sites + _LN_SITES
+    if qcfg is not None and qcfg.integer_activations:
+        sites = sites + _ACT_SITES
     st: Dict[str, Any] = {
         "pre_out": site(),
         "layers": [{s: site() for s in sites}
@@ -306,13 +315,23 @@ def _q_conv_module(p, st, x: Array, pad_mask, valid,
     xq, st["conv_in"] = _act_quant(st["conv_in"], x, valid, qcfg, update)
     y = _qlinear(_conv_pw(p, "pw1"), xq, qcfg.weight_bit)
     a, g = jnp.split(y, 2, axis=-1)
-    y = a * jax.nn.sigmoid(g)
+    if qcfg.integer_activations:
+        from qasr_tpu.ops.integer_sigmoid import K_SIG, i_sigmoid_fp
+
+        aq, st["conv_a"] = _act_quant(st["conv_a"], a, valid, qcfg, update)
+        y_int = aq.values.astype(jnp.int32) * i_sigmoid_fp(g)
+        y = y_int.astype(jnp.float32) * (aq.scale / (1 << K_SIG))
+    else:
+        y = a * jax.nn.sigmoid(g)  # GLU over channel halves
     y = jnp.where(pad_mask[:, :, None], 0.0, y)
     yq, st["conv_glu"] = _act_quant(st["conv_glu"], y, valid, qcfg, update)
     y = _qdepthwise(p["dw"], yq, qcfg.weight_bit)
     bn = p["bn"]
     y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] + bn["beta"]
-    y = _swish(y)
+    if qcfg.integer_activations:
+        y, st = _i_swish(st, "conv_bn", y, valid, qcfg, update)
+    else:
+        y = _swish(y)
     yq, st["conv_mid"] = _act_quant(st["conv_mid"], y, valid, qcfg, update)
     return _qlinear(_conv_pw(p, "pw2"), yq, qcfg.weight_bit), st
 
@@ -328,9 +347,23 @@ def _q_layer_norm(p_ln, st, key, x, valid, qcfg, update):
     return i_layernorm(xq.values, p_ln["gamma"], p_ln["beta"]), st
 
 
+def _i_swish(st, key, x, valid, qcfg, update):
+    """Integer swish: x's own quantized integers times the i-exp sigmoid
+    fraction (ops/integer_sigmoid.py)."""
+    from qasr_tpu.ops.integer_sigmoid import K_SIG, i_swish_terms
+
+    xq, st[key] = _act_quant(st[key], x, valid, qcfg, update)
+    y = i_swish_terms(xq.values, xq.dequantize())
+    return y.astype(jnp.float32) * (xq.scale / (1 << K_SIG)), st
+
+
 def _q_feed_forward(p, st, x, valid, pre, qcfg, update):
     xq, st[f"{pre}_in"] = _act_quant(st[f"{pre}_in"], x, valid, qcfg, update)
-    y = _swish(_qlinear(p["l1"], xq, qcfg.weight_bit))
+    h = _qlinear(p["l1"], xq, qcfg.weight_bit)
+    if qcfg.integer_activations:
+        y, st = _i_swish(st, f"{pre}_act", h, valid, qcfg, update)
+    else:
+        y = _swish(h)
     yq, st[f"{pre}_mid"] = _act_quant(st[f"{pre}_mid"], y, valid, qcfg, update)
     return _qlinear(p["l2"], yq, qcfg.weight_bit), st
 

@@ -389,3 +389,42 @@ def test_integer_layernorm_pipeline(setup):
     n_sqrt = sum(("stablehlo.sqrt" in ln) or ("rsqrt" in ln)
                  for ln in txt.splitlines())
     assert n_sqrt <= CFG.n_layers, n_sqrt  # BN only — 0 of 10 LNs remain
+
+
+def test_fully_integer_glue_pipeline(setup):
+    """All three integer-glue flags together: integer softmax, LayerNorm,
+    and swish/GLU — the encoder graph keeps no exp/logistic/LN-sqrt —
+    while accuracy stays within the PTQ budget."""
+    params, feats, lens, _, _ = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                quantize_attention=True,
+                                integer_softmax=True,
+                                integer_layernorm=True,
+                                integer_activations=True)
+    rng = np.random.default_rng(1)
+    batches = [(rng.normal(size=(4, 50, 32)).astype(np.float32),
+                np.asarray([50, 44, 50, 37], np.int32)) for _ in range(4)]
+    qs = calibrate_conformer(params, CFG, qcfg, batches)
+    for layer in qs["layers"]:
+        for name in ("ff1_act", "ff2_act", "conv_a", "conv_bn"):
+            assert float(layer[name]["x_max"]) > float(layer[name]["x_min"])
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qs,
+                                                   feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.mean() / scale < 0.06, err.mean() / scale
+
+    fz = quantize_conformer_weights(params, CFG, qcfg.weight_bit)
+    txt = jax.jit(lambda x, l: conformer_encoder_apply_ptq(
+        fz, CFG, qcfg, qs, x, l)[0]).lower(feats, lens).as_text()
+    lines = txt.splitlines()
+    # no transcendentals anywhere in the encoder body: the only remaining
+    # exp/logistic would come from softmax/sigmoid/swish, all replaced
+    assert not any("exponential" in ln for ln in lines)
+    assert not any("logistic" in ln for ln in lines)
+    n_sqrt = sum(("stablehlo.sqrt" in ln) or ("rsqrt" in ln) for ln in lines)
+    assert n_sqrt <= CFG.n_layers, n_sqrt  # eval-BN constants only
