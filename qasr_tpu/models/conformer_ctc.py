@@ -184,7 +184,8 @@ class ConformerCTC:
                          quantize_attention: bool = False,
                          integer_softmax: bool = False,
                          integer_layernorm: bool = False,
-                         integer_activations: bool = False) -> None:
+                         integer_activations: bool = False,
+                         static_attention: bool = False) -> None:
         """PTQ-calibrate encoder + CTC-head input (quantize/conformer_ptq.py);
         subsequent eval runs int8 GEMMs end to end."""
         from qasr_tpu.quantize.conformer_ptq import (
@@ -198,7 +199,8 @@ class ConformerCTC:
                                     quantize_attention=quantize_attention,
                                     integer_softmax=integer_softmax,
                                     integer_layernorm=integer_layernorm,
-                                    integer_activations=integer_activations)
+                                    integer_activations=integer_activations,
+                                    static_attention=static_attention)
         qstate = init_conformer_qstate(self.ccfg, qcfg)
         qstate["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
 

@@ -85,7 +85,8 @@ class RNNTModel:
                          quantize_attention: bool = False,
                          integer_softmax: bool = False,
                          integer_layernorm: bool = False,
-                         integer_activations: bool = False) -> None:
+                         integer_activations: bool = False,
+                         static_attention: bool = False) -> None:
         """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
         EMA QuantAct ranges over (audio, alens) calibration batches; eval
         `_encode` then runs the int8-GEMM path.  The Jasper family
@@ -106,7 +107,8 @@ class RNNTModel:
                                     quantize_attention=quantize_attention,
                                     integer_softmax=integer_softmax,
                                     integer_layernorm=integer_layernorm,
-                                    integer_activations=integer_activations)
+                                    integer_activations=integer_activations,
+                                    static_attention=static_attention)
 
         @jax.jit
         def front(a, l):

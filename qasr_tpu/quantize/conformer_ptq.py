@@ -59,6 +59,7 @@ _LAYER_SITES = ("ff1_in", "ff1_mid", "att_in", "att_ctx", "conv_in",
                 "conv_glu", "conv_mid", "ff2_in", "ff2_mid")
 _LN_SITES = ("ln_ff1", "ln_att", "ln_conv", "ln_ff2", "ln_out")
 _ACT_SITES = ("ff1_act", "ff2_act", "conv_a", "conv_bn")
+_ATT_SITES = ("att_qu", "att_qv", "att_k", "att_v", "att_pos")
 
 
 @dataclass(frozen=True)
@@ -94,6 +95,11 @@ class ConformerQuantConfig:
     # quantized integers.  Adds four sites per layer
     # (ff1_act/ff2_act/conv_a/conv_bn).
     integer_activations: bool = False
+    # static_attention=True replaces the dynamic per-batch attention scales
+    # with CALIBRATED per-tensor sites on q+u, q+v, k, v and the projected
+    # pos table (att_qu/att_qv/att_k/att_v/att_pos) — the prerequisite for
+    # the fully frozen dyadic path (every scale known at freeze time).
+    static_attention: bool = False
 
 
 def init_conformer_qstate(cfg: ConformerConfig,
@@ -112,6 +118,8 @@ def init_conformer_qstate(cfg: ConformerConfig,
         sites = sites + _LN_SITES
     if qcfg is not None and qcfg.integer_activations:
         sites = sites + _ACT_SITES
+    if qcfg is not None and qcfg.static_attention:
+        sites = sites + _ATT_SITES
     st: Dict[str, Any] = {
         "pre_out": site(),
         "layers": [{s: site() for s in sites}
@@ -140,8 +148,12 @@ def _act_quant(state, x_f: Array, valid: Optional[Array],
                ) -> Tuple[QTensor, Dict[str, Array]]:
     """QuantAct: per-tensor symmetric activation quantization with EMA
     ranges (quant_modules.py:107-170).  `valid` (B, T) masks padded frames
-    out of the range statistics."""
-    xm = x_f if valid is None else x_f * valid[..., None]
+    out of the range statistics (broadcast over any trailing dims)."""
+    if valid is None:
+        xm = x_f
+    else:
+        vm = valid.reshape(valid.shape + (1,) * (x_f.ndim - valid.ndim))
+        xm = x_f * vm
     if update or qcfg.dynamic:
         bmin, bmax = _batch_ranges(xm, qcfg.percentile)
     new_state = (_ema_ranges(state, bmin, bmax, qcfg.act_momentum)
@@ -259,18 +271,29 @@ def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
     q_u = q + pos_bias_u
     q_v = q + pos_bias_v
     if qcfg.quantize_attention:
-        # dynamic per-tensor int8 with pad-masked ranges: scores/context
-        # ride the MXU as i8 x i8 -> i32 einsums
+        # int8 attention operands: scores/context ride the MXU as
+        # i8 x i8 -> i32 einsums.  static_attention uses CALIBRATED sites
+        # (freeze-compatible: every scale static); otherwise dynamic
+        # per-batch per-tensor scales, both pad-masked.
         vm = valid[..., None, None]  # (b, t, 1, 1)
 
         def dyn8(x):
             s = symmetric_scale(jnp.min(x), jnp.max(x), qcfg.act_bit)
             return QTensor(quantize(x, s, qcfg.act_bit).astype(jnp.int8), s)
 
-        qu8 = dyn8(q_u * vm)
-        qv8 = dyn8(q_v * vm)
-        k8 = dyn8(k * vm)
-        p8 = dyn8(pos)
+        if qcfg.static_attention:
+            qu8, st["att_qu"] = _act_quant(st["att_qu"], q_u, valid,
+                                           qcfg, update)
+            qv8, st["att_qv"] = _act_quant(st["att_qv"], q_v, valid,
+                                           qcfg, update)
+            k8, st["att_k"] = _act_quant(st["att_k"], k, valid, qcfg, update)
+            p8, st["att_pos"] = _act_quant(st["att_pos"], pos, None,
+                                           qcfg, update)
+        else:
+            qu8 = dyn8(q_u * vm)
+            qv8 = dyn8(q_v * vm)
+            k8 = dyn8(k * vm)
+            p8 = dyn8(pos)
         ac = jnp.einsum("bihd,bjhd->bhij", qu8.values, k8.values,
                         preferred_element_type=jnp.int32
                         ).astype(jnp.float32) * (qu8.scale * k8.scale)
@@ -298,7 +321,10 @@ def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
         if qcfg.quantize_attention:
             a8 = jnp.round(attn * n).astype(jnp.int8)  # exact [0,1] range
     if qcfg.quantize_attention:
-        v8 = dyn8(v * valid[..., None, None])
+        if qcfg.static_attention:
+            v8, st["att_v"] = _act_quant(st["att_v"], v, valid, qcfg, update)
+        else:
+            v8 = dyn8(v * valid[..., None, None])
         ctx = (jnp.einsum("bhij,bjhd->bihd", a8, v8.values,
                           preferred_element_type=jnp.int32
                           ).astype(jnp.float32) * (v8.scale / n)

@@ -428,3 +428,41 @@ def test_fully_integer_glue_pipeline(setup):
     assert not any("logistic" in ln for ln in lines)
     n_sqrt = sum(("stablehlo.sqrt" in ln) or ("rsqrt" in ln) for ln in lines)
     assert n_sqrt <= CFG.n_layers, n_sqrt  # eval-BN constants only
+
+
+def test_static_attention_sites(setup):
+    """static_attention: calibrated per-tensor sites replace the dynamic
+    attention scales; accuracy holds and padded batches stay invariant
+    (static scales cannot drift with batch content)."""
+    params, feats, lens, _, _ = setup
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                quantize_attention=True,
+                                integer_softmax=True,
+                                static_attention=True)
+    rng = np.random.default_rng(1)
+    batches = [(rng.normal(size=(4, 50, 32)).astype(np.float32),
+                np.asarray([50, 44, 50, 37], np.int32)) for _ in range(4)]
+    qs = calibrate_conformer(params, CFG, qcfg, batches)
+    for layer in qs["layers"]:
+        for name in ("att_qu", "att_qv", "att_k", "att_v", "att_pos"):
+            assert float(layer[name]["x_max"]) > float(layer[name]["x_min"])
+    out, out_lens, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qs,
+                                                   feats, lens)
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.mean() / scale < 0.04, err.mean() / scale
+
+    # batch-padding invariance is EXACT for the attention stage now (the
+    # scales are static); overall output matches within float-assoc noise
+    feats_p = jnp.pad(feats, ((0, 1), (0, 0), (0, 0)))
+    lens_p = jnp.concatenate([lens, jnp.ones((1,), jnp.int32)])
+    out_p, _, _ = conformer_encoder_apply_ptq(params, CFG, qcfg, qs,
+                                              feats_p, lens_p)
+    for i in range(4):
+        n0 = int(np.asarray(out_lens)[i])
+        np.testing.assert_allclose(np.asarray(out_p)[i, :n0],
+                                   np.asarray(out)[i, :n0],
+                                   rtol=2e-4, atol=2e-4)
