@@ -38,6 +38,7 @@ class ConformerCTC:
     decoder_kind: str = "linear"   # 'linear' (ConvASRDecoder role) | 'lstm'
     enc_qcfg: Any = None
     enc_qstate: Any = None         # encoder QuantAct ranges + 'dec_in' site
+    enc_frozen: Any = None         # dyadic tables after freeze()
 
     # -- construction --------------------------------------------------------
 
@@ -97,7 +98,15 @@ class ConformerCTC:
         return enc @ params["decoder"]["w"] + params["decoder"]["b"]
 
     def _apply(self, params, feats, feat_lens, train=False, rng=None):
-        if self.enc_qstate is not None and not train:
+        if self.enc_frozen is not None and not train:
+            from qasr_tpu.quantize.conformer_freeze import (
+                frozen_conformer_apply,
+            )
+
+            enc, enc_lens = frozen_conformer_apply(self.enc_frozen,
+                                                   self.ccfg, feats,
+                                                   feat_lens)
+        elif self.enc_qstate is not None and not train:
             from qasr_tpu.quantize.conformer_ptq import (
                 conformer_encoder_apply_ptq,
             )
@@ -223,6 +232,20 @@ class ConformerCTC:
         # host numpy (no captured device buffers, PERF.md round 3d)
         self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self.enc_qcfg = qcfg
+
+    def freeze(self):
+        """Freeze the encoder to the integer-only dyadic executor
+        (quantize/conformer_freeze.py); eval forwards then run it.
+        Requires quantize_encoder with every integer flag + static
+        attention (the flags' sites provide the static scales)."""
+        from qasr_tpu.quantize.conformer_freeze import freeze_conformer
+
+        if self.enc_qstate is None:
+            raise ValueError("calibrate first: quantize_encoder(...) with "
+                             "all integer flags and static_attention=True")
+        self.enc_frozen = freeze_conformer(self.params["encoder"], self.ccfg,
+                                           self.enc_qcfg, self.enc_qstate)
+        return self.enc_frozen
 
     # -- checkpointing -----------------------------------------------------------
 

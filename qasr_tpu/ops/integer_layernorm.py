@@ -42,13 +42,10 @@ def i_sqrt(n: Array, iters: int = 12) -> Array:
     return jnp.where(n <= 0, 0, x)
 
 
-def i_layernorm(q: Array, gamma: Array, beta: Array) -> Array:
-    """LayerNorm over the last axis of an integer tensor `q` (any scale —
-    it cancels).  Returns float: integer-normalized value * gamma + beta.
-
-    Matches float LayerNorm up to the input quantization granularity and
-    the 2^-K fractional resolution (eps is sub-integer at 8-bit scales and
-    is subsumed by the sigma >= 1 guard)."""
+def i_layernorm_core(q: Array) -> Array:
+    """Integer-normalized (x - mu)/sigma at 2^-_K fixed point: int32 with
+    implied scale 2^-_K (the affine is the caller's — float gamma/beta in
+    the PTQ path, a dyadic requant in the frozen path)."""
     d_ax = q.shape[-1]
     q = q.astype(jnp.int32)
     s = jnp.sum(q, axis=-1, keepdims=True)
@@ -61,5 +58,15 @@ def i_layernorm(q: Array, gamma: Array, beta: Array) -> Array:
     # int32 headroom requires |q - mu| <= ~1023 (act_bit <= 10), the range
     # the int8 PTQ path produces: var <= 2^18, << 12 -> < 2^30.
     sigma_s = jnp.maximum(i_sqrt(var << (2 * _SB)), 1)
-    y = (d << (_K + _SB)) // sigma_s
+    return (d << (_K + _SB)) // sigma_s
+
+
+def i_layernorm(q: Array, gamma: Array, beta: Array) -> Array:
+    """LayerNorm over the last axis of an integer tensor `q` (any scale —
+    it cancels).  Returns float: integer-normalized value * gamma + beta.
+
+    Matches float LayerNorm up to the input quantization granularity and
+    the 2^-K fractional resolution (eps is sub-integer at 8-bit scales and
+    is subsumed by the sigma >= 1 guard)."""
+    y = i_layernorm_core(q)
     return y.astype(jnp.float32) * (1.0 / (1 << _K)) * gamma + beta

@@ -36,6 +36,14 @@ def i_sigmoid_fp(x: Array) -> Array:
     """
     q = jnp.clip(jnp.round(x / S_IN), -float(N_IN), float(N_IN)
                  ).astype(jnp.int32)
+    return i_sigmoid_grid(q)
+
+
+def i_sigmoid_grid(q: Array) -> Array:
+    """Sigmoid fraction from int32 values already on the S_IN grid (the
+    frozen path requants activations onto the grid with a static dyadic
+    multiplier, so the whole op stays integer)."""
+    q = jnp.clip(q, -N_IN, N_IN)
     e = i_exp(-jnp.abs(q))
     den = e + _E0
     s_neg = ((e << K_SIG) + (den >> 1)) // den      # sigmoid(-|x|)

@@ -68,6 +68,23 @@ def i_softmax(scores: Array, mask: Array | None = None, *,
     # overflow int32
     x = jnp.maximum((scores - m) / S_IN, -float(N_IN))
     q = jnp.round(x).astype(jnp.int32)
+    return _softmax_core(q, mask, out_bits)
+
+
+def i_softmax_grid(q_grid: Array, mask: Array | None = None, *,
+                   out_bits: int = 8) -> Array:
+    """Fully integer softmax: `q_grid` is int32 scores already on the S_IN
+    grid (any common offset — max-subtraction happens here in integer).
+    The frozen conformer path produces q_grid by a static dyadic requant of
+    the int32 score accumulators, so no float exists anywhere."""
+    if mask is not None:
+        q_grid = jnp.where(mask, jnp.int32(-(1 << 30)), q_grid)
+    m = jnp.max(q_grid, axis=-1, keepdims=True)
+    q = jnp.maximum(q_grid - m, -N_IN)
+    return _softmax_core(q, mask, out_bits)
+
+
+def _softmax_core(q: Array, mask: Array | None, out_bits: int) -> Array:
     q_exp = i_exp(q)
     if mask is not None:
         q_exp = jnp.where(mask, 0, q_exp)

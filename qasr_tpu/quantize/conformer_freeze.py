@@ -1,0 +1,455 @@
+"""Frozen integer-only Conformer encoder.
+
+The Conformer counterpart of the QuartzNet freeze (quantize/freeze.py):
+after calibration, every scale in the encoder is static, so every scale
+conversion becomes an exact dyadic integer requant
+(ops/quant_prims.py::dyadic_requant_static — the same two-limb scheme the
+QuartzNet serving path uses, reference quant_utils.py:121-147 semantics),
+every bias an int32 added in the accumulator domain, and the residual
+stream itself an int8 tensor.  Combined with the integer glue ops
+(i-softmax / i-LayerNorm / i-sigmoid), the layer stack is INTEGER-ONLY:
+
+  float ops remaining: the one-time subsampler convs (<2% of FLOPs, like
+  the QuartzNet frontend), the single quantization of the subsampler
+  output onto the first site, and the final LayerNorm's float affine on
+  the returned encodings.  Between those boundaries there is no float
+  multiply, no exp, no sqrt.
+
+Freeze requires calibration with ConformerQuantConfig(quantize_attention,
+integer_softmax, integer_layernorm, integer_activations, static_attention
+all True): each flag contributes the calibrated sites whose static scales
+the dyadic tables are computed from.
+
+Layer dataflow (stream = int8 at the next LN site's scale):
+  x@S_ln_ff1 -> iLN -> rq -> FFN(int8 GEMM, i-swish) -> acc --+
+  x ------------------------------------------------- rq -> (+) -> x@S_ln_att
+  ... (attention, conv module, FFN2 joins identical in shape)
+  last layer: iLN(x@S_ln_out) -> float gamma/beta -> encodings
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qasr_tpu.models.conformer import ConformerConfig, rel_positional_encoding
+from qasr_tpu.ops.integer_layernorm import _K as _K_LN
+from qasr_tpu.ops.integer_layernorm import i_layernorm_core
+from qasr_tpu.ops.integer_sigmoid import K_SIG, i_sigmoid_grid
+from qasr_tpu.ops.integer_softmax import S_IN, i_softmax_grid
+from qasr_tpu.ops.quant_prims import (
+    dyadic_from_scale_host_static_e,
+    dyadic_requant_static,
+)
+from qasr_tpu.quantize.conformer_ptq import ConformerQuantConfig
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# freeze-time (host numpy) helpers
+# ---------------------------------------------------------------------------
+
+
+def _site_scale(site: Dict[str, Any], act_bit: int) -> float:
+    """The static per-tensor activation scale a calibrated site implies
+    (symmetric_scale semantics, quant_utils.py:28-54)."""
+    n = 2 ** (act_bit - 1) - 1
+    sat = max(abs(float(site["x_min"])), abs(float(site["x_max"])), 1e-8)
+    return sat / n
+
+
+def _w_quant(w: np.ndarray, wbit: int, axes: Tuple[int, ...]):
+    """Host per-out-channel symmetric weight quantization."""
+    w = np.asarray(w, np.float64)
+    n = 2 ** (wbit - 1) - 1
+    sat = np.maximum(np.abs(w.min(axis=axes)), np.abs(w.max(axis=axes)))
+    scale = np.clip(sat, 1e-8, None) / n
+    w_int = np.clip(np.round(w / scale), -n, n - 1).astype(np.int8)
+    return w_int, scale  # scale: (out_ch,) float64
+
+
+def _rq_table(scale_in, scale_out: float):
+    """Dyadic (m int32 per channel, e python int) for scale_in/scale_out."""
+    m, e = dyadic_from_scale_host_static_e(
+        np.asarray(scale_in, np.float64) / float(scale_out))
+    return np.asarray(m, np.int32), int(e)
+
+
+def _lin_table(p, in_scale: float, out_scale: float, wbit: int,
+               extra_bias: Optional[np.ndarray] = None,
+               gain: float = 1.0) -> Dict[str, Any]:
+    """Freeze one linear site: int8 weights, acc-domain int32 bias, and the
+    dyadic requant from (in_scale * w_scale * gain) to out_scale."""
+    w = np.asarray(p["w"], np.float64)
+    w_int, w_scale = _w_quant(w, wbit, (0,))
+    acc_scale = in_scale * w_scale
+    b = np.asarray(p.get("b", np.zeros(w.shape[1])), np.float64)
+    if extra_bias is not None:
+        b = b + np.asarray(extra_bias, np.float64)
+    b_acc = np.round(b / acc_scale).astype(np.int32)
+    m, e = _rq_table(acc_scale * gain, out_scale)
+    return {"w": w_int, "b": b_acc, "m": m, "e": e}
+
+
+def _affine_rq(k: np.ndarray, c: np.ndarray, out_scale: float):
+    """Freeze a per-channel affine y = acc*k + c into (sign, acc-domain
+    bias, dyadic |k|/out_scale) — used for i-LN gamma/beta and BN folds."""
+    k = np.asarray(k, np.float64)
+    c = np.asarray(c, np.float64)
+    sgn = np.where(k < 0, -1, 1).astype(np.int32)
+    ka = np.clip(np.abs(k), 1e-8, None)
+    b2 = np.clip(np.round(c / ka), -(1 << 27), 1 << 27).astype(np.int32)
+    m, e = _rq_table(ka, out_scale)
+    return {"sgn": sgn, "b": b2, "m": m, "e": e}
+
+
+def _apply_rq(z: Array, t: Dict[str, Any], bits: int) -> Array:
+    """acc-domain bias + exact dyadic requant + activation clamp -> int8."""
+    n = 2 ** (bits - 1) - 1
+    q = dyadic_requant_static(z + t["b"] if "b" in t else z,
+                              jnp.asarray(t["m"]), t["e"])
+    return jnp.clip(q, -n, n - 1).astype(jnp.int8)
+
+
+def _apply_affine_rq(y: Array, t: Dict[str, Any], bits: int) -> Array:
+    n = 2 ** (bits - 1) - 1
+    acc2 = t["sgn"] * y + t["b"]
+    q = dyadic_requant_static(acc2, jnp.asarray(t["m"]), t["e"])
+    return jnp.clip(q, -n, n - 1).astype(jnp.int8)
+
+
+def _dot8(x8: Array, w_int8) -> Array:
+    return jax.lax.dot_general(
+        x8, jnp.asarray(w_int8), (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# freeze
+# ---------------------------------------------------------------------------
+
+
+def freeze_conformer(params, cfg: ConformerConfig,
+                     qcfg: ConformerQuantConfig, qstate) -> Dict[str, Any]:
+    """Build the frozen integer tables from calibrated qstate (host)."""
+    for flag in ("quantize_attention", "integer_softmax",
+                 "integer_layernorm", "integer_activations",
+                 "static_attention"):
+        if not getattr(qcfg, flag):
+            raise ValueError(f"freeze_conformer requires {flag}=True at "
+                             f"calibration (the flag's sites provide the "
+                             f"static scales)")
+    if qcfg.dynamic:
+        raise ValueError("dynamic mode has no static scales to freeze")
+    if cfg.feat_out > 0 and cfg.feat_out != cfg.d_model:
+        raise NotImplementedError("feat_out projection under freeze")
+    if cfg.self_attention_model != "rel_pos":
+        raise NotImplementedError("frozen abs-pos attention")
+
+    ab, wb = qcfg.act_bit, qcfg.weight_bit
+    d, h = cfg.d_model, cfg.n_heads
+    d_k = d // h
+
+    def s(site):
+        return _site_scale(site, ab)
+
+    layers: List[Dict[str, Any]] = []
+    n_l = cfg.n_layers
+    for li in range(n_l):
+        lp = params["layers"][li]
+        st = qstate["layers"][li]
+        S = {k: s(st[k]) for k in st}
+        # stream scales: entry + the three interior joins + the ln_out join
+        S_next = (s(qstate["layers"][li + 1]["ln_ff1"]) if li + 1 < n_l
+                  else None)
+        bu = np.asarray(lp.get("pos_bias_u", params.get("pos_bias_u")),
+                        np.float64).reshape(-1)
+        bv = np.asarray(lp.get("pos_bias_v", params.get("pos_bias_v")),
+                        np.float64).reshape(-1)
+        g2k = 1 << _K_LN
+
+        def ln_tbl(name, out_scale):
+            p_ln = lp[name]
+            gamma = np.asarray(p_ln["gamma"], np.float64)
+            beta = np.asarray(p_ln["beta"], np.float64)
+            return _affine_rq(gamma / g2k, beta, out_scale)
+
+        cv = lp["conv"]
+        bn = {k: np.asarray(cv["bn"][k], np.float64) for k in cv["bn"]}
+        g_eff = bn["gamma"] / np.sqrt(bn["var"] + 1e-5)
+        # dw+BN fold: y = acc*(S_glu*w_sc)*g' + ((b - mean)*g' + beta)
+        w_dw_int, w_dw_sc = _w_quant(np.asarray(cv["dw"]["w"], np.float64),
+                                     wb, (0, 1))
+        k_dw = S["conv_glu"] * w_dw_sc * g_eff
+        c_dw = (np.asarray(cv["dw"]["b"], np.float64) - bn["mean"]) * g_eff \
+            + bn["beta"]
+
+        att = lp["att"]
+        tbl = {
+            # i-LN affines: stream -> sublayer input sites
+            "ln_ff1": ln_tbl("norm_ff1", S["ff1_in"]),
+            "ln_att": ln_tbl("norm_att", S["att_in"]),
+            "ln_conv": ln_tbl("norm_conv", S["conv_in"]),
+            "ln_ff2": ln_tbl("norm_ff2", S["ff2_in"]),
+            # ln_out feeds the next layer's stream (None for the last)
+            "ln_out": (ln_tbl("norm_out", S_next)
+                       if S_next is not None else
+                       {"gamma": np.asarray(lp["norm_out"]["gamma"],
+                                            np.float32),
+                        "beta": np.asarray(lp["norm_out"]["beta"],
+                                           np.float32)}),
+            # FFN halves: l1 -> swish-grid handled at apply; l1 requants to
+            # the act site, l2's join requant folds the 0.5 half-step
+            "ff1_l1": _lin_table(lp["ff1"]["l1"], S["ff1_in"],
+                                 S["ff1_act"], wb),
+            "ff1_l2": _lin_table(lp["ff1"]["l2"], S["ff1_mid"],
+                                 S["ln_att"], wb, gain=0.5),
+            "ff2_l1": _lin_table(lp["ff2"]["l1"], S["ff2_in"],
+                                 S["ff2_act"], wb),
+            "ff2_l2": _lin_table(lp["ff2"]["l2"], S["ff2_mid"],
+                                 S_next if S_next is not None
+                                 else s(st["ln_out"]), wb, gain=0.5),
+            # swish: act-site int8 -> S_IN grid (scalar dyadic), product
+            # rescales (S_act/2^K_SIG) -> mid site
+            "ff1_grid": _rq_table(S["ff1_act"], S_IN),
+            "ff1_prod": _rq_table(S["ff1_act"] / (1 << K_SIG), S["ff1_mid"]),
+            "ff2_grid": _rq_table(S["ff2_act"], S_IN),
+            "ff2_prod": _rq_table(S["ff2_act"] / (1 << K_SIG), S["ff2_mid"]),
+            # attention projections -> static operand sites
+            "att_q_u": _lin_table(att["q"], S["att_in"], S["att_qu"], wb,
+                                  extra_bias=bu),
+            "att_q_v": _lin_table(att["q"], S["att_in"], S["att_qv"], wb,
+                                  extra_bias=bv),
+            "att_k": _lin_table(att["k"], S["att_in"], S["att_k"], wb),
+            "att_v": _lin_table(att["v"], S["att_in"], S["att_v"], wb),
+            # pos projection table is built per length at apply (the pos
+            # table's own scale depends on T); store weights + target scale
+            "att_pos_w": _w_quant(np.asarray(att["pos"]["w"], np.float64),
+                                  wb, (0,)),
+            "S_att_pos": S["att_pos"],
+            # score -> S_IN grid: (S_qu*S_k / sqrt(d_k)) / S_IN, and the
+            # rel-pos term's grid multiplier
+            "ac_grid": _rq_table(S["att_qu"] * S["att_k"] / np.sqrt(d_k),
+                                 S_IN),
+            "bd_grid": _rq_table(S["att_qv"] * S["att_pos"] / np.sqrt(d_k),
+                                 S_IN),
+            # ctx (attn@v, scale S_v/n) -> att_ctx site
+            "ctx_rq": _rq_table(S["att_v"] / (2 ** (ab - 1) - 1),
+                                S["att_ctx"]),
+            "att_out": _lin_table(att["out"], S["att_ctx"], S["ln_conv"],
+                                  wb),
+            # conv module
+            "pw1_a": _lin_table({"w": np.asarray(cv["pw1"]["w"][0])[:, :d],
+                                 "b": np.asarray(cv["pw1"]["b"])[:d]},
+                                S["conv_in"], S["conv_a"], wb),
+            # gate half requants per-channel onto the sigmoid grid
+            "pw1_g": _lin_table({"w": np.asarray(cv["pw1"]["w"][0])[:, d:],
+                                 "b": np.asarray(cv["pw1"]["b"])[d:]},
+                                S["conv_in"], S_IN, wb),
+            "glu_prod": _rq_table(S["conv_a"] / (1 << K_SIG), S["conv_glu"]),
+            "dw_w": w_dw_int,
+            "dw_bn": _affine_rq(k_dw, c_dw, S["conv_bn"]),
+            "bn_grid": _rq_table(S["conv_bn"], S_IN),
+            "bn_prod": _rq_table(S["conv_bn"] / (1 << K_SIG), S["conv_mid"]),
+            "pw2": _lin_table({"w": np.asarray(cv["pw2"]["w"][0]),
+                               "b": np.asarray(cv["pw2"]["b"])},
+                              S["conv_mid"], S["ln_ff2"], wb),
+            # stream requants at the four joins
+            "j1_stream": _rq_table(S["ln_ff1"], S["ln_att"]),
+            "j2_stream": _rq_table(S["ln_att"], S["ln_conv"]),
+            "j3_stream": _rq_table(S["ln_conv"], S["ln_ff2"]),
+            "j4_stream": _rq_table(S["ln_ff2"],
+                                   S_next if S_next is not None
+                                   else s(st["ln_out"])),
+            "S_ln_out_site": s(st["ln_out"]),
+        }
+        layers.append(tbl)
+
+    # pre-encode: float subsampler; its flatten quantizes at pre_out and
+    # the projection requants (with the sqrt(d) xscale folded) into the
+    # first stream scale
+    s_pre = _site_scale(qstate["pre_out"], ab)
+    s_l0 = _site_scale(qstate["layers"][0]["ln_ff1"], ab)
+    xgain = float(np.sqrt(cfg.d_model)) if cfg.xscaling else 1.0
+    pre = _lin_table(params["pre_encode"]["out"]
+                     if cfg.subsampling else
+                     params["pre_encode"]["linear"],
+                     s_pre, s_l0, wb, gain=xgain)
+    return {
+        "layers": layers,
+        "pre": pre,
+        "S_pre": s_pre,
+        "subsampler": params["pre_encode"] if cfg.subsampling else None,
+        "act_bit": ab,
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
+                           lens: Array) -> Tuple[Array, Array]:
+    """Run the frozen integer encoder.  Returns (float encodings, lens) —
+    the final LayerNorm's gamma/beta affine is the one float op at the
+    output boundary."""
+    from qasr_tpu.models.conformer import _sub_out_len_arr
+
+    ab = tables["act_bit"]
+    n = 2 ** (ab - 1) - 1
+    d, h = cfg.d_model, cfg.n_heads
+    d_k = d // h
+
+    # ---- float region: subsampler (one-time, like the QuartzNet frontend)
+    if cfg.subsampling:
+        p_pre = tables["subsampler"]
+        y = feats[:, :, :, None]
+        for blk in p_pre["convs"]:
+            if cfg.subsampling == "vggnet":
+                y = jax.lax.conv_general_dilated(
+                    y, blk["c1"]["w"], (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
+                y = jax.nn.relu(y)
+                y = jax.lax.conv_general_dilated(
+                    y, blk["c2"]["w"], (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c2"]["b"]
+                y = jax.nn.relu(y)
+                pads = [(0, y.shape[1] % 2), (0, y.shape[2] % 2)]
+                y = jax.lax.reduce_window(
+                    y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    [(0, 0), pads[0], pads[1], (0, 0)])
+            else:
+                y = jax.lax.conv_general_dilated(
+                    y, blk["c1"]["w"], (2, 2), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
+                y = jax.nn.relu(y)
+            lens = _sub_out_len_arr(lens, cfg.subsampling)
+        b, t, f, c = y.shape
+        y = y.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+    else:
+        y = feats
+    # single float->int boundary: quantize onto the pre_out site
+    x8 = jnp.clip(jnp.round(y / tables["S_pre"]), -n, n - 1).astype(jnp.int8)
+    x = _apply_rq(_dot8(x8, tables["pre"]["w"]) + tables["pre"]["b"],
+                  {"m": tables["pre"]["m"], "e": tables["pre"]["e"]}, ab)
+
+    b, t = x.shape[:2]
+    valid = jnp.arange(t)[None, :] < lens[:, None]
+    att_mask = ~(valid[:, :, None] & valid[:, None, :])
+    pad_mask = ~valid
+
+    pos_np = rel_positional_encoding(t, d, None)  # host table
+    pos_scale = float(max(abs(pos_np.min()), abs(pos_np.max()), 1e-8)) \
+        / (2 ** (ab - 1) - 1)
+    pos8 = jnp.asarray(
+        np.clip(np.round(pos_np / pos_scale), -n, n - 1).astype(np.int8))
+
+    def lin(x8, tbl):
+        # PURE accumulator: the int32 bias is added by _apply_rq / join
+        return _dot8(x8, tbl["w"])
+
+    def ffn(x, tbl_l1, tbl_l2, grid, prod):
+        a8 = _apply_rq(lin(x, tbl_l1), tbl_l1, ab)
+        g = dyadic_requant_static(a8.astype(jnp.int32),
+                                  jnp.asarray(grid[0]), grid[1])
+        y_int = a8.astype(jnp.int32) * i_sigmoid_grid(g)
+        m8 = jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
+                                            prod[1]), -n, n - 1
+                      ).astype(jnp.int8)
+        return lin(m8, tbl_l2)  # int32 acc (join adds l2's bias + requant)
+
+    def join(acc, tbl_branch, stream8, stream_rq):
+        yb = dyadic_requant_static(acc + tbl_branch["b"],
+                                   jnp.asarray(tbl_branch["m"]),
+                                   tbl_branch["e"])
+        ys = dyadic_requant_static(stream8.astype(jnp.int32),
+                                   jnp.asarray(stream_rq[0]), stream_rq[1])
+        return jnp.clip(yb + ys, -n, n - 1).astype(jnp.int8)
+
+    for li, tbl in enumerate(tables["layers"]):
+        # FFN1 half-step
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
+        acc = ffn(yln, tbl["ff1_l1"], tbl["ff1_l2"],
+                  tbl["ff1_grid"], tbl["ff1_prod"])
+        x = join(acc, tbl["ff1_l2"], x, tbl["j1_stream"])
+        # attention
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
+        qu8 = _apply_rq(lin(yln, tbl["att_q_u"]), tbl["att_q_u"],
+                        ab).reshape(b, t, h, d_k)
+        qv8 = _apply_rq(lin(yln, tbl["att_q_v"]), tbl["att_q_v"],
+                        ab).reshape(b, t, h, d_k)
+        k8 = _apply_rq(lin(yln, tbl["att_k"]), tbl["att_k"],
+                       ab).reshape(b, t, h, d_k)
+        v8 = _apply_rq(lin(yln, tbl["att_v"]), tbl["att_v"],
+                       ab).reshape(b, t, h, d_k)
+        w_pos_int, w_pos_sc = tbl["att_pos_w"]
+        acc_pos = _dot8(pos8, w_pos_int)
+        m_pos, e_pos = _rq_table(pos_scale * w_pos_sc, tbl["S_att_pos"])
+        p8 = jnp.clip(dyadic_requant_static(acc_pos, jnp.asarray(m_pos),
+                                            e_pos), -n, n - 1
+                      ).astype(jnp.int8).reshape(2 * t - 1, h, d_k)
+        ac = jnp.einsum("bihd,bjhd->bhij", qu8, k8,
+                        preferred_element_type=jnp.int32)
+        bd_full = jnp.einsum("bihd,phd->bhip", qv8, p8,
+                             preferred_element_type=jnp.int32)
+        idx = (t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :]
+        bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None],
+                                 axis=-1)
+        q_grid = (dyadic_requant_static(ac, jnp.asarray(tbl["ac_grid"][0]),
+                                        tbl["ac_grid"][1])
+                  + dyadic_requant_static(bd, jnp.asarray(tbl["bd_grid"][0]),
+                                          tbl["bd_grid"][1]))
+        a8 = i_softmax_grid(q_grid, mask=att_mask[:, None],
+                            out_bits=ab).astype(jnp.int8)
+        ctx = jnp.einsum("bhij,bjhd->bihd", a8, v8,
+                         preferred_element_type=jnp.int32).reshape(b, t, d)
+        c8 = jnp.clip(dyadic_requant_static(
+            ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
+            -n, n - 1).astype(jnp.int8)
+        acc = lin(c8, tbl["att_out"])
+        x = join(acc, tbl["att_out"], x, tbl["j2_stream"])
+        # conv module
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
+        a8c = _apply_rq(lin(yln, tbl["pw1_a"]), tbl["pw1_a"], ab)
+        g_grid = dyadic_requant_static(
+            lin(yln, tbl["pw1_g"]) + tbl["pw1_g"]["b"],
+            jnp.asarray(tbl["pw1_g"]["m"]), tbl["pw1_g"]["e"])
+        y_int = a8c.astype(jnp.int32) * i_sigmoid_grid(g_grid)
+        y_int = jnp.where(pad_mask[:, :, None], 0, y_int)
+        glu8 = jnp.clip(dyadic_requant_static(
+            y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
+            -n, n - 1).astype(jnp.int8)
+        kk = tbl["dw_w"].shape[0]
+        acc_dw = jax.lax.conv_general_dilated(
+            glu8, jnp.asarray(tbl["dw_w"]), (1,),
+            [((kk - 1) // 2, (kk - 1) // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=d, preferred_element_type=jnp.int32)
+        bn8 = _apply_affine_rq(acc_dw, tbl["dw_bn"], ab)
+        s_grid = dyadic_requant_static(bn8.astype(jnp.int32),
+                                       jnp.asarray(tbl["bn_grid"][0]),
+                                       tbl["bn_grid"][1])
+        y_int = bn8.astype(jnp.int32) * i_sigmoid_grid(s_grid)
+        mid8 = jnp.clip(dyadic_requant_static(
+            y_int, jnp.asarray(tbl["bn_prod"][0]), tbl["bn_prod"][1]),
+            -n, n - 1).astype(jnp.int8)
+        acc = lin(mid8, tbl["pw2"])
+        x = join(acc, tbl["pw2"], x, tbl["j3_stream"])
+        # FFN2 half-step
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
+        acc = ffn(yln, tbl["ff2_l1"], tbl["ff2_l2"],
+                  tbl["ff2_grid"], tbl["ff2_prod"])
+        x = join(acc, tbl["ff2_l2"], x, tbl["j4_stream"])
+        # ln_out: requant into the next layer's stream, or emit float
+        if "m" in tbl["ln_out"]:
+            x = _apply_affine_rq(i_layernorm_core(x), tbl["ln_out"], ab)
+        else:
+            y = i_layernorm_core(x).astype(jnp.float32) / (1 << _K_LN)
+            return (y * tbl["ln_out"]["gamma"] + tbl["ln_out"]["beta"],
+                    lens)
+    raise AssertionError("unreachable: last layer returns")
