@@ -323,3 +323,60 @@ def test_transcribe_beam_matches_greedy_on_confident_model(data):
     greedy = m.transcribe_greedy(audio, alens)
     beam = m.transcribe_beam(audio, alens, beam_width=16)
     assert beam == greedy, (beam, greedy)
+
+
+def test_corpus_wer_frozen_matches_ptq():
+    """Frozen integer-only path at corpus scale: WER within one
+    substitution of the calibrated PTQ path on the 30-utterance corpus."""
+    from tests.corpus_utils import make_corpus, tokenize
+    from qasr_tpu.decode.ctc import WER
+
+    labels = tuple(" abcdefghijklmnopqrstuvwxyz")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    m = ConformerCTC.from_config(cfg, CCFG, seed=0)
+    texts, audio, lens = make_corpus(30, seed=3)
+    toks, tlens = tokenize(texts, labels)
+    opt = optax.adam(2e-3)
+    state = opt.init(m.params)
+
+    @jax.jit
+    def step(params, state, rng, a, al, tk, tl):
+        loss, g = jax.value_and_grad(m.loss_fn)(params, a, al, tk, tl,
+                                                rng=rng)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+    params = m.params
+    for _ in range(350):
+        idx = nprng.choice(len(texts), size=10, replace=False)
+        rng, sub = jax.random.split(rng)
+        params, state, _ = step(params, state, sub, audio[idx],
+                                lens[idx], toks[idx], tlens[idx])
+    m.params = params
+
+    def wer_of():
+        w = WER(list(labels))
+        for i in range(0, len(texts), 10):
+            sl = slice(i, i + 10)
+            lp, el = m.forward(audio[sl], lens[sl])
+            preds = np.asarray(jnp.argmax(lp, axis=-1))
+            w.update(preds, toks[sl], tlens[sl], np.asarray(el))
+        return w.compute()
+
+    calib = [(audio[i:i + 10], lens[i:i + 10]) for i in range(0, 30, 10)]
+    m.quantize_encoder(calib, quantize_attention=True, integer_softmax=True,
+                       integer_layernorm=True, integer_activations=True,
+                       static_attention=True)
+    wer_ptq = wer_of()
+    m.freeze()
+    wer_frozen = wer_of()
+    total_words = sum(len(t.split()) for t in texts)
+    assert abs(wer_frozen - wer_ptq) <= 2.0 / total_words, \
+        (wer_frozen, wer_ptq)

@@ -167,3 +167,28 @@ def test_frozen_transcripts_match_ptq_on_trained_model():
                                m.blank_id, list(labels))[0]
                   for i in range(2)]
     assert hyp_frozen == hyp_ptq, (hyp_frozen, hyp_ptq)
+
+
+def test_frozen_dp_sharded_bit_identical(setup):
+    """Batch-sharded frozen execution over a 4-device mesh is bit-exact vs
+    single-device: every scale static + every op integer means there is no
+    reduction-order or fusion drift to begin with."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    params, feats, lens, _, tables = setup
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    mesh = Mesh(np.asarray(devs[:4]), ("data",))
+
+    def f(x, l):
+        return frozen_conformer_apply(tables, CFG, x, l)
+
+    ref, ref_lens = jax.jit(f)(feats, lens)
+    fn = jax.jit(f, in_shardings=(NamedSharding(mesh, P("data")),
+                                  NamedSharding(mesh, P("data"))),
+                 out_shardings=(NamedSharding(mesh, P("data")),
+                                NamedSharding(mesh, P("data"))))
+    out, el = fn(feats, lens)
+    np.testing.assert_array_equal(np.asarray(el), np.asarray(ref_lens))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
