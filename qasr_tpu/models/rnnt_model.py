@@ -40,6 +40,7 @@ class RNNTModel:
     encoder_kind: str = "jasper"   # 'jasper' | 'conformer'
     enc_qcfg: Any = None           # ConformerQuantConfig after quantize_encoder
     enc_qstate: Any = None         # calibrated QuantAct ranges (host numpy)
+    enc_frozen: Any = None         # dyadic tables after freeze_encoder()
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, rnnt_cfg: Optional[RNNTConfig] = None,
@@ -126,10 +127,30 @@ class RNNTModel:
         self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self.enc_qcfg = qcfg
 
+    def freeze_encoder(self):
+        """Freeze the Conformer encoder to the integer-only dyadic executor
+        (quantize/conformer_freeze.py); eval encode/transcribe run it."""
+        from qasr_tpu.quantize.conformer_freeze import freeze_conformer
+
+        if self.encoder_kind != "conformer" or self.enc_qstate is None:
+            raise ValueError("calibrate a Conformer encoder first "
+                             "(quantize_encoder with all integer flags and "
+                             "static_attention=True)")
+        self.enc_frozen = freeze_conformer(self.params["encoder"], self.plan,
+                                           self.enc_qcfg, self.enc_qstate)
+        return self.enc_frozen
+
     def _encode(self, params, feats, feat_lens, train=False, rng=None):
         if self.encoder_kind == "conformer":
             from qasr_tpu.models.conformer import conformer_encoder_apply
 
+            if self.enc_frozen is not None and not train:
+                from qasr_tpu.quantize.conformer_freeze import (
+                    frozen_conformer_apply,
+                )
+
+                return frozen_conformer_apply(self.enc_frozen, self.plan,
+                                              feats, feat_lens)
             if self.enc_qstate is not None and not train:
                 from qasr_tpu.quantize.conformer_ptq import (
                     conformer_encoder_apply_ptq,

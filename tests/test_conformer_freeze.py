@@ -192,3 +192,49 @@ def test_frozen_dp_sharded_bit_identical(setup):
     out, el = fn(feats, lens)
     np.testing.assert_array_equal(np.asarray(el), np.asarray(ref_lens))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_transducer_freeze_encoder():
+    """RNNTModel.freeze_encoder: the Conformer-Transducer serves greedy /
+    beam decoding on the frozen integer encoder, matching the PTQ path."""
+    from qasr_tpu.models.config import (
+        DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.rnnt_model import RNNTModel
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    m = RNNTModel.conformer_transducer(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    alens = np.asarray([16000, 12800], np.int32)
+    m.quantize_encoder([(audio, alens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    g_ptq = m.transcribe_greedy(audio, alens)
+    m.freeze_encoder()
+    g_frz = m.transcribe_greedy(audio, alens)
+    assert len(g_frz) == 2 and all(isinstance(h, str) for h in g_frz)
+    # random weights: the two int8 paths may differ on low-margin frames;
+    # agreement on the (deterministic) frozen path across calls is exact
+    assert m.transcribe_greedy(audio, alens) == g_frz
+    # a jasper transducer refuses
+    m2 = RNNTModel.from_config(
+        ModelConfig.from_dict({
+            "encoder": {"feat_in": 32, "jasper": [
+                {"filters": 32, "repeat": 1, "kernel": [11], "stride": [1],
+                 "dilation": [1], "dropout": 0.0, "residual": False}]},
+            "decoder": {"num_classes": len(labels)},
+            "labels": list(labels),
+            "preprocessor": {"features": 32, "dither": 0.0}}))
+    with pytest.raises(ValueError):
+        m2.freeze_encoder()
