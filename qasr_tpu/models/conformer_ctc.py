@@ -124,12 +124,24 @@ class ConformerCTC:
         return out, enc_lens
 
     def forward(self, audio, alens):
+        fn = self._forward_fn()
+        return fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
+
+    def _forward_fn(self):
+        """Cache the jitted eval forward; rebuild when the quantization
+        state changes (a fresh jit per call would retrace every time)."""
+        key = (id(self.enc_qstate), id(self.enc_frozen), self.decoder_kind)
+        cached = getattr(self, "_fwd_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
         @jax.jit
         def fn(params, audio, alens):
             feats, feat_lens = self.frontend(audio, alens, dither=0.0)
             return self._apply(params, feats, feat_lens)
 
-        return fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
+        self._fwd_cache = (key, fn)
+        return fn
 
     # -- training --------------------------------------------------------------
 

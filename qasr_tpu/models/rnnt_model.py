@@ -190,12 +190,18 @@ class RNNTModel:
     # -- inference ----------------------------------------------------------
 
     def encode(self, audio, alens):
-        @jax.jit
-        def enc_fn(params, audio, alens):
-            feats, feat_lens = self.frontend(audio, alens, dither=0.0)
-            return self._encode(params, feats, feat_lens)
+        # cache the jitted eval encoder; rebuild when quantization state
+        # changes (a fresh jit per call would retrace every time)
+        key = (id(self.enc_qstate), id(self.enc_frozen))
+        cached = getattr(self, "_enc_cache", None)
+        if cached is None or cached[0] != key:
+            @jax.jit
+            def enc_fn(params, audio, alens):
+                feats, feat_lens = self.frontend(audio, alens, dither=0.0)
+                return self._encode(params, feats, feat_lens)
 
-        return enc_fn(self.params, jnp.asarray(audio), jnp.asarray(alens))
+            self._enc_cache = cached = (key, enc_fn)
+        return cached[1](self.params, jnp.asarray(audio), jnp.asarray(alens))
 
     # -- checkpointing (ModelPT parity for the transducer family;
     #    reference rnnt_models.py inherits .nemo save/restore) -------------
