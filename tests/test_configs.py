@@ -90,3 +90,21 @@ def test_w4a8_sweep(rng):
     fx = FrozenExec(tables, qcfg, activation="relu")
     out, _ = J.encoder_forward(fx, plan, x, jnp.asarray(lens))
     assert np.isfinite(np.asarray(out.dequantize())).all()
+
+
+@pytest.mark.parametrize("rel", [
+    "experimental/citrinet/citrinet_192_2x_stride.yaml",
+    "experimental/citrinet/citrinet_192_4x_stride.yaml",
+    "experimental/citrinet/config_bpe.yaml",
+    "experimental/contextnet_rnnt/config_rnnt.yaml",
+    "experimental/configs/quartznet_15x5_aug.yaml",
+])
+def test_reference_experimental_yamls_load(rel):
+    """The reference's experimental Citrinet / ContextNet-RNNT / augmented
+    QuartzNet configs parse and build consistent encoder plans."""
+    path = os.path.join(os.path.dirname(REF_CONF), rel)
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    cfg = ModelConfig.from_yaml(path)
+    plan = J.build_encoder_plan(cfg.encoder)
+    assert len(plan.blocks) == len(cfg.encoder.blocks) and plan.feat_out > 0
