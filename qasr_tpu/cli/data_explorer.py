@@ -46,11 +46,12 @@ def load_data(manifest: str) -> Dict[str, Any]:
 
                 pred = it["pred_text"]
                 row["pred_text"] = pred
-                row["WER"] = round(
-                    edit_distance(pred.split(), words) / max(len(words), 1), 4)
-                row["CER"] = round(
-                    edit_distance(list(pred), list(text)) / max(len(text), 1),
-                    4)
+                w_ed = edit_distance(pred.split(), words)
+                c_ed = edit_distance(list(pred), list(text))
+                row["word_edits"] = w_ed
+                row["char_edits"] = c_ed
+                row["WER"] = round(w_ed / max(len(words), 1), 4)
+                row["CER"] = round(c_ed / max(len(text), 1), 4)
             items.append(row)
             num_hours += dur
             for w in words:
@@ -67,14 +68,14 @@ def load_data(manifest: str) -> Dict[str, Any]:
     }
     scored = [i for i in items if "WER" in i]
     if scored:
-        # corpus-level rates: summed edit counts over summed reference
-        # lengths (matches decode/ctc.py::WER semantics)
+        # corpus-level rates: exact summed edit counts over summed
+        # reference lengths (matches decode/ctc.py::WER semantics)
         tot_w = sum(i["num_words"] for i in scored)
         tot_c = sum(i["num_chars"] for i in scored)
-        werr = sum(round(i["WER"] * max(i["num_words"], 1)) for i in scored)
-        cerr = sum(round(i["CER"] * max(i["num_chars"], 1)) for i in scored)
-        out["wer"] = round(werr / max(tot_w, 1), 4)
-        out["cer"] = round(cerr / max(tot_c, 1), 4)
+        out["wer"] = round(sum(i["word_edits"] for i in scored)
+                           / max(tot_w, 1), 4)
+        out["cer"] = round(sum(i["char_edits"] for i in scored)
+                           / max(tot_c, 1), 4)
     return out
 
 

@@ -60,7 +60,9 @@ def main(argv=None):
     with open(args.config_path) as f:
         raw = yaml.safe_load(f)
     from qasr_tpu.models.config import resolve_interpolations
-    raw = apply_overrides(resolve_interpolations(raw), args.overrides)
+    # hydra semantics: overrides land BEFORE ${...} resolution, so
+    # overriding an interpolated source key propagates to its references
+    raw = resolve_interpolations(apply_overrides(raw, args.overrides))
     mcfg = raw["model"]
     tokenizer = None
     if args.tokenizer:
@@ -130,6 +132,10 @@ def main(argv=None):
         params, opt_state, step, _ = load_training_ckpt(
             resume, model.params, trainer.opt_state)
         model.params, trainer.opt_state, trainer.step = params, opt_state, step
+        # shim-based trainers (ConformerCTCTrainer) train from
+        # trainer.model.params — rebind it too or the restored weights
+        # would be silently discarded
+        trainer.model.params = params
         logging.info(f"resumed from {resume} at step {step}")
 
     def make_ds(dcfg):

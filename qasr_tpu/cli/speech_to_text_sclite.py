@@ -12,7 +12,6 @@ the standard dtl/pra reports (:117-141).
 """
 from __future__ import annotations
 
-import json
 import os
 import subprocess
 from argparse import ArgumentParser
@@ -38,8 +37,12 @@ def score_with_sctk(sctk_dir: str, ref_fname: str, hyp_fname: str,
     sclite_path = os.path.join(sctk_dir, "bin", "sclite")
     if not os.path.exists(sclite_path):
         raise FileNotFoundError(sclite_path)
-    if glm and os.path.exists(glm):
+    if glm:
+        if not os.path.exists(glm):
+            raise FileNotFoundError(f"GLM file not found: {glm}")
         rfilter = os.path.join(sctk_dir, "bin", "rfilter1")
+        if not os.path.exists(rfilter):
+            raise FileNotFoundError(rfilter)
         for fname in (hyp_fname, ref_fname):
             out = os.path.join(out_dir, os.path.basename(fname)) + ".glm"
             with open(fname) as fin, open(out, "w") as fout:
@@ -98,13 +101,11 @@ def main(argv=None):
             ids = np.asarray(tokens)[i][: int(np.asarray(tlens)[i])]
             references.append("".join(labels[int(c)] for c in ids))
 
-    utt_ids = []
-    with open(args.dataset) as f:
-        for line in f:
-            if line.strip():
-                it = json.loads(line)
-                utt_ids.append(os.path.splitext(
-                    os.path.basename(it["audio_filepath"]))[0])
+    # utt ids come from the dataset's RETAINED entries, in dataset order —
+    # a second manifest read would misalign ids with hypotheses whenever
+    # the dataset drops an unparseable/filtered entry
+    utt_ids = [os.path.splitext(os.path.basename(e.audio_file))[0]
+               for e, _ in ds.items]
     reffile, hypfile = write_trn(args.out_dir, utt_ids, hypotheses,
                                  references)
     wer = word_error_rate(hypotheses, references)

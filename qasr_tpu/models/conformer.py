@@ -173,8 +173,11 @@ def _sub_out_len_arr(lens, kind: str):
     return jnp.floor((lens.astype(jnp.float32) - 3) / 2 + 1).astype(lens.dtype)
 
 
-def conv_subsampling(p, cfg: ConformerConfig, x: Array, lens: Array):
-    """(B, T, F) -> (B, T', d_model); vggnet/striding (subsampling.py:35-130)."""
+def subsample_convs(p, cfg: ConformerConfig, x: Array, lens: Array):
+    """The subsampler's conv/pool stack + channel flatten, WITHOUT the
+    d_model projection: (B, T, F) -> ((B, T', c*f), lens').  Shared by the
+    float, PTQ and frozen paths (the quantized paths route the projection
+    through their own int8 machinery)."""
     y = x[:, :, :, None]  # NHWC: (B, T, F, 1)
     for blk in p["convs"]:
         if cfg.subsampling == "vggnet":
@@ -199,6 +202,12 @@ def conv_subsampling(p, cfg: ConformerConfig, x: Array, lens: Array):
         lens = _sub_out_len_arr(lens, cfg.subsampling)
     b, t, f, c = y.shape
     y = y.transpose(0, 1, 3, 2).reshape(b, t, c * f)  # matches torch view(b,t,c*f)
+    return y, lens
+
+
+def conv_subsampling(p, cfg: ConformerConfig, x: Array, lens: Array):
+    """(B, T, F) -> (B, T', d_model); vggnet/striding (subsampling.py:35-130)."""
+    y, lens = subsample_convs(p, cfg, x, lens)
     return _apply_linear(p["out"], y), lens
 
 

@@ -129,8 +129,10 @@ class ConformerCTC:
 
     def _forward_fn(self):
         """Cache the jitted eval forward; rebuild when the quantization
-        state changes (a fresh jit per call would retrace every time)."""
-        key = (id(self.enc_qstate), id(self.enc_frozen), self.decoder_kind)
+        state changes (a fresh jit per call would retrace every time).
+        Keyed on a monotonic state version, NOT object ids — CPython
+        reuses freed ids, which could serve a stale executable."""
+        key = (getattr(self, "_q_version", 0), self.decoder_kind)
         cached = getattr(self, "_fwd_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -210,8 +212,8 @@ class ConformerCTC:
         """PTQ-calibrate encoder + CTC-head input (quantize/conformer_ptq.py);
         subsequent eval runs int8 GEMMs end to end."""
         from qasr_tpu.quantize.conformer_ptq import (
-            ConformerQuantConfig, _ema_ranges, conformer_encoder_apply_ptq,
-            init_conformer_qstate,
+            ConformerQuantConfig, _batch_ranges, _ema_ranges,
+            conformer_encoder_apply_ptq, init_conformer_qstate,
         )
 
         qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
@@ -231,12 +233,13 @@ class ConformerCTC:
             enc, el, nq = conformer_encoder_apply_ptq(
                 self.params["encoder"], self.ccfg, qcfg, qs, feats, fl,
                 update=True)
-            # pad-masked ranges, like every encoder site
+            # pad-masked (and percentile-clipped) ranges, like every
+            # encoder site
             vm = (jnp.arange(enc.shape[1])[None, :]
                   < el[:, None]).astype(enc.dtype)[..., None]
-            em = enc * vm
-            nq["dec_in"] = _ema_ranges(qs["dec_in"], jnp.min(em),
-                                       jnp.max(em), qcfg.act_momentum)
+            bmin, bmax = _batch_ranges(enc * vm, qcfg.percentile)
+            nq["dec_in"] = _ema_ranges(qs["dec_in"], bmin, bmax,
+                                       qcfg.act_momentum)
             return nq
 
         for audio, alens in calib_batches:
@@ -244,6 +247,8 @@ class ConformerCTC:
         # host numpy (no captured device buffers, PERF.md round 3d)
         self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self.enc_qcfg = qcfg
+        self.enc_frozen = None  # stale dyadic tables; re-freeze if wanted
+        self._q_version = getattr(self, "_q_version", 0) + 1
 
     def freeze(self):
         """Freeze the encoder to the integer-only dyadic executor
@@ -257,6 +262,7 @@ class ConformerCTC:
                              "all integer flags and static_attention=True")
         self.enc_frozen = freeze_conformer(self.params["encoder"], self.ccfg,
                                            self.enc_qcfg, self.enc_qstate)
+        self._q_version = getattr(self, "_q_version", 0) + 1
         return self.enc_frozen
 
     # -- checkpointing -----------------------------------------------------------
@@ -279,14 +285,19 @@ class ConformerCTC:
             }
         if self.enc_qcfg is not None:
             meta["enc_qcfg"] = dc.asdict(self.enc_qcfg)
+        artifacts = {}
+        tok = getattr(self, "tokenizer", None)
+        if tok is not None and getattr(tok, "path", None):
+            artifacts["tokenizer.json"] = tok.path
+            meta["tokenizer"] = "tokenizer.json"
         save_qasr(path, config_to_dict(self.cfg), self.params,
-                  self.enc_qstate, meta=meta)
+                  self.enc_qstate, meta=meta, artifacts=artifacts)
 
     @classmethod
     def restore_from(cls, path: str) -> "ConformerCTC":
         from qasr_tpu.utils.checkpoint import load_qasr, unflatten_into
 
-        cfg_d, flat, _ = load_qasr(path)
+        cfg_d, flat, artifacts = load_qasr(path)
         meta = cfg_d.pop("_qasr_meta", {}) or {}
         if meta.get("family") != "conformer_ctc":
             raise ValueError(f"{path} is not a Conformer-CTC checkpoint "
@@ -310,6 +321,10 @@ class ConformerCTC:
             tmpl["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
             tmpl = jax.tree_util.tree_map(np.asarray, tmpl)
             model.enc_qstate = unflatten_into(tmpl, flat, "qstate/")
+        if meta.get("tokenizer") and meta["tokenizer"] in artifacts:
+            from qasr_tpu.data.tokenizers import BPETokenizer
+
+            model.tokenizer = BPETokenizer(artifacts[meta["tokenizer"]])
         return model
 
 

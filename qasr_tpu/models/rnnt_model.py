@@ -126,6 +126,8 @@ class RNNTModel:
         # captured device buffers (PERF.md round 3d)
         self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self.enc_qcfg = qcfg
+        self.enc_frozen = None  # stale dyadic tables; re-freeze if wanted
+        self._q_version = getattr(self, "_q_version", 0) + 1
 
     def freeze_encoder(self):
         """Freeze the Conformer encoder to the integer-only dyadic executor
@@ -138,6 +140,7 @@ class RNNTModel:
                              "static_attention=True)")
         self.enc_frozen = freeze_conformer(self.params["encoder"], self.plan,
                                            self.enc_qcfg, self.enc_qstate)
+        self._q_version = getattr(self, "_q_version", 0) + 1
         return self.enc_frozen
 
     def _encode(self, params, feats, feat_lens, train=False, rng=None):
@@ -191,8 +194,10 @@ class RNNTModel:
 
     def encode(self, audio, alens):
         # cache the jitted eval encoder; rebuild when quantization state
-        # changes (a fresh jit per call would retrace every time)
-        key = (id(self.enc_qstate), id(self.enc_frozen))
+        # changes (a fresh jit per call would retrace every time).  Keyed
+        # on a monotonic state version, NOT object ids (CPython reuses
+        # freed ids, which could serve a stale executable)
+        key = getattr(self, "_q_version", 0)
         cached = getattr(self, "_enc_cache", None)
         if cached is None or cached[0] != key:
             @jax.jit

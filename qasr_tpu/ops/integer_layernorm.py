@@ -55,8 +55,10 @@ def i_layernorm_core(q: Array) -> Array:
     d = q - mu
     var = jnp.sum(d * d, axis=-1, keepdims=True) // d_ax
     # sigma at 2^-_SB granularity: isqrt(var << 2*_SB) = sigma << _SB.
-    # int32 headroom requires |q - mu| <= ~1023 (act_bit <= 10), the range
-    # the int8 PTQ path produces: var <= 2^18, << 12 -> < 2^30.
+    # int32 headroom requires 8-bit inputs (|q - mu| <= 255): the variance
+    # sum stays < 2^31 up to D = 8192 and var <= 2^16, << 12 -> < 2^28.
+    # (Wider inputs would overflow the sum; ConformerQuantConfig rejects
+    # integer_layernorm with act_bit > 8.)
     sigma_s = jnp.maximum(i_sqrt(var << (2 * _SB)), 1)
     return (d << (_K + _SB)) // sigma_s
 

@@ -298,8 +298,6 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
     """Run the frozen integer encoder.  Returns (float encodings, lens) —
     the final LayerNorm's gamma/beta affine is the one float op at the
     output boundary."""
-    from qasr_tpu.models.conformer import _sub_out_len_arr
-
     ab = tables["act_bit"]
     n = 2 ** (ab - 1) - 1
     d, h = cfg.d_model, cfg.n_heads
@@ -307,30 +305,9 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
 
     # ---- float region: subsampler (one-time, like the QuartzNet frontend)
     if cfg.subsampling:
-        p_pre = tables["subsampler"]
-        y = feats[:, :, :, None]
-        for blk in p_pre["convs"]:
-            if cfg.subsampling == "vggnet":
-                y = jax.lax.conv_general_dilated(
-                    y, blk["c1"]["w"], (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
-                y = jax.nn.relu(y)
-                y = jax.lax.conv_general_dilated(
-                    y, blk["c2"]["w"], (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c2"]["b"]
-                y = jax.nn.relu(y)
-                pads = [(0, y.shape[1] % 2), (0, y.shape[2] % 2)]
-                y = jax.lax.reduce_window(
-                    y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
-                    [(0, 0), pads[0], pads[1], (0, 0)])
-            else:
-                y = jax.lax.conv_general_dilated(
-                    y, blk["c1"]["w"], (2, 2), [(0, 0), (0, 0)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
-                y = jax.nn.relu(y)
-            lens = _sub_out_len_arr(lens, cfg.subsampling)
-        b, t, f, c = y.shape
-        y = y.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+        from qasr_tpu.models.conformer import subsample_convs
+
+        y, lens = subsample_convs(tables["subsampler"], cfg, feats, lens)
     else:
         y = feats
     # single float->int boundary: quantize onto the pre_out site

@@ -46,7 +46,6 @@ import numpy as np
 from qasr_tpu.models.conformer import (
     ConformerConfig,
     _layer_norm,
-    _sub_out_len_arr,
     _swish,
     rel_positional_encoding,
 )
@@ -100,6 +99,14 @@ class ConformerQuantConfig:
     # pos table (att_qu/att_qv/att_k/att_v/att_pos) — the prerequisite for
     # the fully frozen dyadic path (every scale known at freeze time).
     static_attention: bool = False
+
+    def __post_init__(self):
+        if self.integer_softmax and not self.quantize_attention:
+            raise ValueError("integer_softmax requires quantize_attention")
+        if self.integer_layernorm and self.act_bit > 8:
+            # i_layernorm_core's int32 variance headroom is sized for
+            # 8-bit inputs (|q - mu| <= 255: D*d^2 < 2^31 up to D=8192)
+            raise ValueError("integer_layernorm supports act_bit <= 8")
 
 
 def init_conformer_qstate(cfg: ConformerConfig,
@@ -414,30 +421,12 @@ def conformer_encoder_apply_ptq(params, cfg: ConformerConfig,
     new_q = jax.tree_util.tree_map(lambda a: a, qstate)
     if cfg.subsampling:
         p_pre = params["pre_encode"]
-        # float 2D convs, then the big (c*f -> d) projection in int8
-        y = x[:, :, :, None]
-        for blk in p_pre["convs"]:
-            if cfg.subsampling == "vggnet":
-                y = jax.lax.conv_general_dilated(
-                    y, blk["c1"]["w"], (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
-                y = jax.nn.relu(y)
-                y = jax.lax.conv_general_dilated(
-                    y, blk["c2"]["w"], (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c2"]["b"]
-                y = jax.nn.relu(y)
-                pads = [(0, y.shape[1] % 2), (0, y.shape[2] % 2)]
-                y = jax.lax.reduce_window(
-                    y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
-                    [(0, 0), pads[0], pads[1], (0, 0)])
-            else:
-                y = jax.lax.conv_general_dilated(
-                    y, blk["c1"]["w"], (2, 2), [(0, 0), (0, 0)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + blk["c1"]["b"]
-                y = jax.nn.relu(y)
-            lens = _sub_out_len_arr(lens, cfg.subsampling)
-        b, t, f, c = y.shape
-        y = y.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+        # float 2D convs (shared helper), then the (c*f -> d) projection
+        # through the int8 machinery
+        from qasr_tpu.models.conformer import subsample_convs
+
+        y, lens = subsample_convs(p_pre, cfg, x, lens)
+        t = y.shape[1]
         valid0 = jnp.arange(t)[None, :] < lens[:, None]
         yq, new_q["pre_out"] = _act_quant(new_q["pre_out"], y, valid0,
                                           qcfg, update)

@@ -295,6 +295,15 @@ def test_speech_to_text_cli_trains_conformer(tmp_path):
                      recursive=True) or \
         glob.glob(str(tmp_path / "exp" / "**" / "checkpoints" / "*"),
                   recursive=True)
+    # resume: a second invocation restores and continues (the shim-based
+    # trainer must train from the RESTORED weights, not a fresh init)
+    stt_main(["--config-path", str(cpath),
+              f"model.validation_ds.manifest_filepath={man}",
+              "model.validation_ds.batch_size=3",
+              "trainer.max_steps=5",
+              "exp_manager.resume_if_exists=true"])
+    assert glob.glob(str(tmp_path / "exp" / "**" / "step_5*"),
+                     recursive=True)
 
 
 def test_transcribe_beam_matches_greedy_on_confident_model(data):
