@@ -148,7 +148,9 @@ class ConformerCTC:
     # -- training --------------------------------------------------------------
 
     def loss_fn(self, params, audio, alens, targets, tlens, rng=None,
-                spec_aug=None):
+                spec_aug=None, qat=None):
+        """qat: optional ConformerQuantConfig — train with straight-through
+        fake quantization at every matmul site (QuartzNet QATExec role)."""
         if rng is not None:
             k_front, k_spec, k_drop = jax.random.split(rng, 3)
         else:
@@ -158,8 +160,22 @@ class ConformerCTC:
             from qasr_tpu.ops.spec_augment import spec_augment
 
             feats = spec_augment(k_spec, feats, spec_aug)
-        log_probs, enc_lens = self._apply(params, feats, feat_lens,
-                                          train=rng is not None, rng=k_drop)
+        if qat is not None:
+            from qasr_tpu.quantize.conformer_ptq import (
+                conformer_encoder_apply_qat,
+            )
+
+            enc, enc_lens = conformer_encoder_apply_qat(
+                params["encoder"], self.ccfg, qat, feats, feat_lens,
+                rng=k_drop)
+            out = self._decoder_apply(params, enc)
+            if self.decoder_kind != "lstm":
+                out = jax.nn.log_softmax(out, axis=-1)
+            log_probs = out
+        else:
+            log_probs, enc_lens = self._apply(params, feats, feat_lens,
+                                              train=rng is not None,
+                                              rng=k_drop)
         return ctc_loss(log_probs, enc_lens, targets, tlens, self.blank_id)
 
     # -- inference --------------------------------------------------------------

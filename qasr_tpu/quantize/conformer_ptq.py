@@ -511,3 +511,147 @@ def calibrate_conformer(params, cfg: ConformerConfig,
     for feats, lens in batches:
         qstate = step(qstate, jnp.asarray(feats), jnp.asarray(lens))
     return qstate
+
+
+# ---------------------------------------------------------------------------
+# QAT: differentiable fake-quant forward
+# ---------------------------------------------------------------------------
+
+
+def conformer_encoder_apply_qat(params, cfg: ConformerConfig,
+                                qcfg: ConformerQuantConfig,
+                                x: Array, lens: Array, *,
+                                rng=None) -> Tuple[Array, Array]:
+    """Quantization-aware-training forward: the float Conformer with
+    straight-through fake quantization at every PTQ matmul site — STE
+    per-out-channel weight quant + per-batch dynamic (stop-gradient,
+    pad-masked) activation ranges, the same recipe the QuartzNet QATExec
+    uses (reference quantize_model.py:69-71 train mode; per-batch ranges).
+    Glue ops stay float (QAT trains tolerance to GEMM quantization noise;
+    the integer glue is an inference detail).  Differentiable end to end;
+    dropout from `rng` like conformer_encoder_apply."""
+    import math as _math
+
+    from qasr_tpu.models.conformer import (
+        rel_positional_encoding as _rpe, subsample_convs,
+    )
+    from qasr_tpu.ops.fake_quant import (
+        fake_quant_symmetric, fake_quant_weights,
+    )
+
+    ab, wb = qcfg.act_bit, qcfg.weight_bit
+
+    def fq_act(v, valid):
+        vd = jax.lax.stop_gradient(v)
+        if valid is not None:
+            vm = valid.reshape(valid.shape + (1,) * (vd.ndim - valid.ndim))
+            vd = vd * vm
+        scale = symmetric_scale(jnp.min(vd), jnp.max(vd), ab)
+        return fake_quant_symmetric(v, scale, ab)
+
+    def fq_lin(p, v):
+        y = jnp.matmul(v, fake_quant_weights(p["w"], wb))
+        return y + p["b"] if "b" in p else y
+
+    if cfg.subsampling:
+        y, lens = subsample_convs(params["pre_encode"], cfg, x, lens)
+        t0 = y.shape[1]
+        valid0 = jnp.arange(t0)[None, :] < lens[:, None]
+        x = fq_lin(params["pre_encode"]["out"],
+                   fq_act(y, valid0.astype(y.dtype)))
+    else:
+        t0 = x.shape[1]
+        valid0 = jnp.arange(t0)[None, :] < lens[:, None]
+        x = fq_lin(params["pre_encode"]["linear"],
+                   fq_act(x, valid0.astype(x.dtype)))
+
+    t = x.shape[1]
+    if cfg.xscaling:
+        x = x * _math.sqrt(cfg.d_model)
+    pos_emb = jnp.asarray(_rpe(t, cfg.d_model, None))
+    valid = jnp.arange(t)[None, :] < lens[:, None]
+    att_mask = ~(valid[:, :, None] & valid[:, None, :])
+    pad_mask = ~valid
+    vmask = valid.astype(jnp.float32)
+    d, h = cfg.d_model, cfg.n_heads
+    d_k = d // h
+
+    def dropout(y, rate):
+        nonlocal rng
+        if rate <= 0 or rng is None:
+            return y
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(sub, 1.0 - rate, y.shape)
+        return jnp.where(keep, y / (1.0 - rate), 0.0)
+
+    u = params.get("pos_bias_u")
+    v_b = params.get("pos_bias_v")
+    for lp in params["layers"]:
+        bu = lp.get("pos_bias_u", u)
+        bv = lp.get("pos_bias_v", v_b)
+        r = x
+        y = _layer_norm(lp["norm_ff1"], x)
+        y = fq_lin(lp["ff1"]["l1"], fq_act(y, vmask))
+        y = fq_lin(lp["ff1"]["l2"], fq_act(_swish(y), vmask))
+        x = 0.5 * dropout(y, cfg.dropout) + r
+        r = x
+        y = _layer_norm(lp["norm_att"], x)
+        yq = fq_act(y, vmask)
+        q = fq_lin(lp["att"]["q"], yq).reshape(-1, t, h, d_k)
+        k = fq_lin(lp["att"]["k"], yq).reshape(-1, t, h, d_k)
+        v = fq_lin(lp["att"]["v"], yq).reshape(-1, t, h, d_k)
+        pos = fq_lin(lp["att"]["pos"],
+                     fq_act(pos_emb, None)).reshape(2 * t - 1, h, d_k)
+        q_u, q_v = q + bu, q + bv
+        if qcfg.quantize_attention:
+            q_u = fq_act(q_u, vmask)
+            q_v = fq_act(q_v, vmask)
+            k = fq_act(k, vmask)
+            v = fq_act(v, vmask)
+        ac = jnp.einsum("bihd,bjhd->bhij", q_u, k)
+        bd_full = jnp.einsum("bihd,phd->bhip", q_v, pos)
+        idx = ((t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :])
+        bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None],
+                                 axis=-1)
+        scores = (ac + bd) / _math.sqrt(d_k)
+        scores = jnp.where(att_mask[:, None],
+                           jnp.finfo(scores.dtype).min, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(att_mask[:, None], 0.0, attn)
+        ctx = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(-1, t, d)
+        y = fq_lin(lp["att"]["out"], fq_act(ctx, vmask))
+        x = dropout(y, cfg.dropout) + r
+        r = x
+        y = _layer_norm(lp["norm_conv"], x)
+        cv = lp["conv"]
+        y = fq_lin({"w": cv["pw1"]["w"][0], "b": cv["pw1"]["b"]},
+                   fq_act(y, vmask))
+        a, g = jnp.split(y, 2, axis=-1)
+        y = a * jax.nn.sigmoid(g)
+        y = jnp.where(pad_mask[:, :, None], 0.0, y)
+        kk = cv["dw"]["w"].shape[0]
+        # depthwise: per-channel weight fake-quant over the tap axis
+        w_sc = symmetric_scale(
+            jnp.min(jax.lax.stop_gradient(cv["dw"]["w"]), axis=(0, 1)),
+            jnp.max(jax.lax.stop_gradient(cv["dw"]["w"]), axis=(0, 1)), wb)
+        w_dw = fake_quant_symmetric(cv["dw"]["w"], w_sc, wb)
+        y = jax.lax.conv_general_dilated(
+            fq_act(y, vmask), w_dw, (1,), [((kk - 1) // 2, (kk - 1) // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=d) + cv["dw"]["b"]
+        bn = cv["bn"]
+        y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] \
+            + bn["beta"]
+        y = _swish(y)
+        y = fq_lin({"w": cv["pw2"]["w"][0], "b": cv["pw2"]["b"]},
+                   fq_act(y, vmask))
+        x = dropout(y, cfg.dropout) + r
+        r = x
+        y = _layer_norm(lp["norm_ff2"], x)
+        y = fq_lin(lp["ff2"]["l1"], fq_act(y, vmask))
+        y = fq_lin(lp["ff2"]["l2"], fq_act(_swish(y), vmask))
+        x = 0.5 * dropout(y, cfg.dropout) + r
+        x = _layer_norm(lp["norm_out"], x)
+    if "out_proj" in params:
+        x = fq_lin(params["out_proj"], fq_act(x, vmask))
+    return x, lens

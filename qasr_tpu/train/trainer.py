@@ -241,8 +241,12 @@ class ConformerCTCTrainer(Trainer):
     mirrors that by selecting this trainer on ConformerEncoder configs."""
 
     def __init__(self, model, cfg: TrainConfig,
-                 spec_aug: Optional[SpecAugmentConfig] = None, mesh=None):
+                 spec_aug: Optional[SpecAugmentConfig] = None, mesh=None,
+                 qat=None):
+        """qat: optional ConformerQuantConfig — QAT fake-quant training
+        (the Trainer(qat=True) role for the Jasper family)."""
         self.cc_model = model
+        self.cc_qat = qat
 
         class _Shim:  # minimal ASRModel-like facade for the base class
             params = model.params
@@ -256,7 +260,8 @@ class ConformerCTCTrainer(Trainer):
 
     def _loss_fn(self, params, rng, audio, alens, tokens, tlens):
         loss = self.cc_model.loss_fn(params, audio, alens, tokens, tlens,
-                                     rng=rng, spec_aug=self.spec_aug)
+                                     rng=rng, spec_aug=self.spec_aug,
+                                     qat=self.cc_qat)
         return loss, (None, None)
 
     def train_step(self, batch, rng=None) -> float:

@@ -466,3 +466,59 @@ def test_static_attention_sites(setup):
         np.testing.assert_allclose(np.asarray(out_p)[i, :n0],
                                    np.asarray(out)[i, :n0],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_qat_forward_trains(setup):
+    """QAT fake-quant forward: differentiable (gradients reach every
+    param), 8-bit output tracks the float forward, and a few CTC steps
+    reduce the loss under quantization noise."""
+    import optax
+
+    from qasr_tpu.quantize.conformer_ptq import conformer_encoder_apply_qat
+    from qasr_tpu.train.ctc_loss import ctc_loss
+
+    params, feats, lens, _, _ = setup
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                quantize_attention=True)
+    ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
+    out, out_lens = conformer_encoder_apply_qat(params, CFG, qcfg,
+                                                feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    t = ref.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(ref_lens)[:, None])[..., None]
+    err = np.abs(np.asarray(out - ref))[np.broadcast_to(valid, ref.shape)]
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert err.mean() / scale < 0.03, err.mean() / scale
+
+    # gradients reach every encoder leaf through the STE
+    head = np.random.default_rng(0).normal(
+        size=(CFG.d_model, 5)).astype(np.float32) * 0.1
+    targets = jnp.asarray([[1, 2, 3], [2, 1, 0], [1, 1, 0], [3, 2, 1]],
+                          jnp.int32)
+    tlens = jnp.asarray([3, 3, 2, 3], jnp.int32)
+
+    def loss_fn(p):
+        enc, el = conformer_encoder_apply_qat(p, CFG, qcfg, feats, lens)
+        lp = jax.nn.log_softmax(enc @ head, axis=-1)
+        return ctc_loss(lp, el, targets, tlens, 4)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    zero_leaves = [p for p, g in
+                   jax.tree_util.tree_flatten_with_path(grads)[0]
+                   if float(jnp.abs(g).max()) == 0.0]
+    assert not zero_leaves, zero_leaves[:5]
+
+    # a few steps reduce the loss
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    p = params
+    l0 = None
+    step = jax.jit(lambda p, s: (lambda l, g:
+                                 (optax.apply_updates(p, opt.update(g, s)[0]),
+                                  opt.update(g, s)[1], l)
+                                 )(*jax.value_and_grad(loss_fn)(p)))
+    for _ in range(8):
+        p, state, loss = step(p, state)
+        l0 = l0 if l0 is not None else float(loss)
+    assert float(loss) < l0, (float(loss), l0)
