@@ -238,3 +238,40 @@ def test_transducer_freeze_encoder():
             "preprocessor": {"features": 32, "dither": 0.0}}))
     with pytest.raises(ValueError):
         m2.freeze_encoder()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(subsampling="vggnet", subsampling_factor=4,
+         subsampling_conv_channels=8),
+    dict(untie_biases=True),
+    dict(n_heads=2, conv_kernel_size=5),
+])
+def test_frozen_config_variants(kw):
+    """Freeze handles the config surface: vggnet subsampling, per-layer
+    (untied) pos biases, other head counts — frozen output stays close to
+    the PTQ path."""
+    cfg_kw = dict(feat_in=32, n_layers=1, d_model=32, n_heads=4,
+                  subsampling="striding", subsampling_factor=4,
+                  subsampling_conv_channels=16, conv_kernel_size=9,
+                  dropout=0.0)
+    cfg_kw.update(kw)
+    cfg = ConformerConfig(**cfg_kw)
+    params = init_conformer_params(3, cfg)
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(2, 40, 32)).astype(np.float32))
+    lens = jnp.asarray([40, 31], jnp.int32)
+    batches = [(rng.normal(size=(2, 40, 32)).astype(np.float32),
+                np.asarray([40, 33], np.int32)) for _ in range(3)]
+    qstate = calibrate_conformer(params, cfg, QCFG, batches)
+    qstate = jax.tree_util.tree_map(np.asarray, qstate)
+    tables = freeze_conformer(params, cfg, QCFG, qstate)
+    ptq, ptq_lens, _ = conformer_encoder_apply_ptq(params, cfg, QCFG,
+                                                   qstate, feats, lens)
+    out, out_lens = frozen_conformer_apply(tables, cfg, feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ptq_lens))
+    t = out.shape[1]
+    valid = (np.arange(t)[None, :] < np.asarray(out_lens)[:, None])[..., None]
+    m = np.broadcast_to(valid, np.asarray(out).shape)
+    scale = float(np.abs(np.asarray(ptq)).max())
+    d = np.abs(np.asarray(out - ptq))[m].mean() / scale
+    assert d < 0.06, (kw, d)
