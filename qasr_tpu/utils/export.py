@@ -51,3 +51,31 @@ def export_frozen_ctc(model, batch: int, num_samples: int, path: str) -> str:
     with open(path, "wb") as f:
         f.write(blob)
     return path
+
+
+def export_frozen_conformer_ctc(model, batch: int, num_samples: int,
+                                path: str) -> str:
+    """Export the frozen integer-only Conformer-CTC pipeline (mel ->
+    integer encoder -> CTC head -> greedy ids) for a static shape — the
+    Conformer counterpart of export_frozen_ctc."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.quantize.conformer_freeze import frozen_conformer_apply
+
+    if model.enc_frozen is None:
+        model.freeze()
+    tables, ccfg = model.enc_frozen, model.ccfg
+    frontend, dec = model.frontend, model.params["decoder"]
+
+    def fn(audio, lengths):
+        feats, feat_lens = frontend(audio, lengths, dither=0.0)
+        enc, enc_lens = frozen_conformer_apply(tables, ccfg, feats, feat_lens)
+        logits = enc @ dec["w"] + dec["b"]
+        return jnp.argmax(logits, axis=-1), enc_lens
+
+    audio = jnp.zeros((batch, num_samples), jnp.float32)
+    lens = jnp.zeros((batch,), jnp.int32)
+    blob = export_fn(fn, (audio, lens))
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path

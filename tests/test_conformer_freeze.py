@@ -275,3 +275,44 @@ def test_frozen_config_variants(kw):
     scale = float(np.abs(np.asarray(ptq)).max())
     d = np.abs(np.asarray(out - ptq))[m].mean() / scale
     assert d < 0.06, (kw, d)
+
+
+def test_frozen_conformer_stablehlo_export(tmp_path):
+    """The frozen integer pipeline exports to StableHLO and reloads
+    bit-exact — the deployment artifact for the Conformer family
+    (utils/export.py, the reference Exportable role)."""
+    from qasr_tpu.models.config import (
+        DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+    from qasr_tpu.utils.export import (
+        export_frozen_conformer_ctc, load_exported,
+    )
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    alens = np.asarray([16000, 12800], np.int32)
+    m.quantize_encoder([(audio, alens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+    path = export_frozen_conformer_ctc(m, batch=2, num_samples=16000,
+                                       path=str(tmp_path / "cc.stablehlo"))
+    exported = load_exported(open(path, "rb").read())
+    ids, el = exported.call(jnp.asarray(audio), jnp.asarray(alens))
+    lp, el_ref = m.forward(audio, alens)
+    ids_ref = jnp.argmax(lp, axis=-1)
+    np.testing.assert_array_equal(np.asarray(el), np.asarray(el_ref))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
