@@ -172,7 +172,9 @@ class RNNTModel:
     # -- training ----------------------------------------------------------
 
     def loss_fn(self, params, audio, alens, targets, tlens, rng=None,
-                spec_aug=None):
+                spec_aug=None, qat=None):
+        """qat: optional ConformerQuantConfig — STE fake-quant training of
+        a Conformer encoder (conformer_encoder_apply_qat)."""
         if rng is not None:
             k_front, k_spec, k_drop = jax.random.split(rng, 3)
         else:
@@ -182,8 +184,21 @@ class RNNTModel:
             from qasr_tpu.ops.spec_augment import spec_augment
 
             feats = spec_augment(k_spec, feats, spec_aug)
-        enc, enc_lens = self._encode(params, feats, feat_lens,
-                                     train=rng is not None, rng=k_drop)
+        if qat is not None:
+            if self.encoder_kind != "conformer":
+                raise ValueError("qat= is the Conformer QAT path; the "
+                                 "Jasper family trains QAT via "
+                                 "Trainer(qat=True)")
+            from qasr_tpu.quantize.conformer_ptq import (
+                conformer_encoder_apply_qat,
+            )
+
+            enc, enc_lens = conformer_encoder_apply_qat(
+                params["encoder"], self.plan, qat, feats, feat_lens,
+                rng=k_drop)
+        else:
+            enc, enc_lens = self._encode(params, feats, feat_lens,
+                                         train=rng is not None, rng=k_drop)
         pred = pred_network(params["rnnt"], self.rnnt_cfg, targets)
         logits = joint(params["rnnt"], self.rnnt_cfg, enc, pred)
         log_probs = jax.nn.log_softmax(logits, axis=-1)

@@ -522,3 +522,61 @@ def test_qat_forward_trains(setup):
         p, state, loss = step(p, state)
         l0 = l0 if l0 is not None else float(loss)
     assert float(loss) < l0, (float(loss), l0)
+
+
+def test_transducer_qat_loss():
+    """RNNT loss trains under Conformer QAT fake-quant (loss_fn qat=)."""
+    import optax
+
+    from qasr_tpu.models.config import (
+        DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.rnnt_model import RNNTModel
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    m = RNNTModel.conformer_transducer(cfg, ccfg, seed=0)
+    qat = ConformerQuantConfig(weight_bit=6, act_bit=6,
+                               quantize_attention=True)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(2, 8000)) * 0.1).astype(np.float32)
+    alens = np.asarray([8000, 6400], np.int32)
+    toks = jnp.asarray([[1, 2], [2, 1]], jnp.int32)
+    tlens = jnp.asarray([2, 2], jnp.int32)
+    opt = optax.adam(1e-3)
+    state = opt.init(m.params)
+
+    @jax.jit
+    def step(p, s, r):
+        loss, g = jax.value_and_grad(m.loss_fn)(
+            p, audio, alens, toks, tlens, rng=r, qat=qat)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, loss
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        m.params, state, loss = step(m.params, state, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+    # jasper transducers refuse the flag
+    m2 = RNNTModel.from_config(
+        ModelConfig.from_dict({
+            "encoder": {"feat_in": 32, "jasper": [
+                {"filters": 32, "repeat": 1, "kernel": [11], "stride": [1],
+                 "dilation": [1], "dropout": 0.0, "residual": False}]},
+            "decoder": {"num_classes": len(labels)},
+            "labels": list(labels),
+            "preprocessor": {"features": 32, "dither": 0.0}}))
+    with pytest.raises(ValueError):
+        m2.loss_fn(m2.params, audio, alens, toks, tlens, qat=qat)
