@@ -262,9 +262,13 @@ def abs_attention(p, x: Array, att_mask: Array, n_heads: int) -> Array:
     return _apply_linear(p["out"], ctx)
 
 
-def conformer_conv_module(p, x: Array, pad_mask: Array) -> Array:
+def conformer_conv_module(p, x: Array, pad_mask: Array,
+                          stats_out: Optional[list] = None) -> Array:
     """pw1 -> GLU -> mask -> depthwise -> BN(eval) -> swish -> pw2
-    (conformer_modules.py:150-166)."""
+    (conformer_modules.py:150-166).  `stats_out`, if given, collects the
+    pre-BN depthwise output's per-channel batch (mean, var) — the BN
+    statistics the data-free synthesizer matches (quantize/conformer_synth
+    .py, the distill_data.py:59-68 role)."""
     y = _apply_linear({"w": p["pw1"]["w"][0], "b": p["pw1"]["b"]}, x)
     a, g = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(g)  # GLU over channel halves
@@ -274,6 +278,8 @@ def conformer_conv_module(p, x: Array, pad_mask: Array) -> Array:
         y, p["dw"]["w"], (1,), [((k - 1) // 2, (k - 1) // 2)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=y.shape[-1], precision=HI) + p["dw"]["b"]
+    if stats_out is not None:
+        stats_out.append((jnp.mean(y, axis=(0, 1)), jnp.var(y, axis=(0, 1))))
     bn = p["bn"]
     y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] + bn["beta"]
     y = _swish(y)
@@ -285,10 +291,13 @@ def _feed_forward(p, x):
 
 
 def conformer_encoder_apply(params, cfg: ConformerConfig, x: Array, lens: Array,
-                            *, train: bool = False, rng: Optional[Array] = None
+                            *, train: bool = False, rng: Optional[Array] = None,
+                            bn_stats: Optional[list] = None
                             ) -> Tuple[Array, Array]:
     """(B, T, F) features -> (B, T', d) encodings (conformer_encoder.py:199-240).
-    Dropout omitted at eval; train-mode dropout derives from `rng`."""
+    Dropout omitted at eval; train-mode dropout derives from `rng`.
+    `bn_stats`, if a list, collects each conv module's pre-BN batch
+    (mean, var) for the data-free synthesizer."""
     if cfg.subsampling:
         x, lens = conv_subsampling(params["pre_encode"], cfg, x, lens)
     else:
@@ -326,7 +335,8 @@ def conformer_encoder_apply(params, cfg: ConformerConfig, x: Array, lens: Array,
             y = abs_attention(lp["att"], y, att_mask, cfg.n_heads)
         x = dropout(y, cfg.dropout) + r
         r = x
-        y = conformer_conv_module(lp["conv"], _layer_norm(lp["norm_conv"], x), pad_mask)
+        y = conformer_conv_module(lp["conv"], _layer_norm(lp["norm_conv"], x),
+                                  pad_mask, stats_out=bn_stats)
         x = dropout(y, cfg.dropout) + r
         r = x
         y = _feed_forward(lp["ff2"], _layer_norm(lp["norm_ff2"], x))

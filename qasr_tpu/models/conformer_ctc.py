@@ -224,9 +224,14 @@ class ConformerCTC:
                          integer_softmax: bool = False,
                          integer_layernorm: bool = False,
                          integer_activations: bool = False,
-                         static_attention: bool = False) -> None:
+                         static_attention: bool = False,
+                         features: bool = False) -> None:
         """PTQ-calibrate encoder + CTC-head input (quantize/conformer_ptq.py);
-        subsequent eval runs int8 GEMMs end to end."""
+        subsequent eval runs int8 GEMMs end to end.
+
+        features=True: calib_batches are (feats (B,T,F), lens) already in
+        the feature domain — e.g. the data-free synthesizer's output
+        (quantize/conformer_synth.py) — and skip the mel frontend."""
         from qasr_tpu.quantize.conformer_ptq import (
             ConformerQuantConfig, _batch_ranges, _ema_ranges,
             conformer_encoder_apply_ptq, init_conformer_qstate,
@@ -245,7 +250,10 @@ class ConformerCTC:
 
         @jax.jit
         def step(qs, audio, al):
-            feats, fl = self.frontend(audio, al, dither=0.0)
+            if features:
+                feats, fl = audio, al
+            else:
+                feats, fl = self.frontend(audio, al, dither=0.0)
             enc, el, nq = conformer_encoder_apply_ptq(
                 self.params["encoder"], self.ccfg, qcfg, qs, feats, fl,
                 update=True)
@@ -265,6 +273,24 @@ class ConformerCTC:
         self.enc_qcfg = qcfg
         self.enc_frozen = None  # stale dyadic tables; re-freeze if wanted
         self._q_version = getattr(self, "_q_version", 0) + 1
+
+    def quantize_encoder_synthetic(self, *, num_batch: int = 2,
+                                   batch_size: int = 8, seqlen: int = 128,
+                                   train_iter: int = 200, lr: float = 0.02,
+                                   seed: int = 0, **quant_kwargs) -> None:
+        """ZERO-SHOT quantization: synthesize calibration features from the
+        encoder's own BatchNorm statistics (quantize/conformer_synth.py,
+        the reference distill_data.py role) and calibrate on them — no real
+        data touches the pipeline."""
+        from qasr_tpu.quantize.conformer_synth import (
+            get_synthetic_conformer_data,
+        )
+
+        batches, _ = get_synthetic_conformer_data(
+            self.params["encoder"], self.ccfg, num_batch=num_batch,
+            batch_size=batch_size, seqlen=seqlen, train_iter=train_iter,
+            lr=lr, seed=seed)
+        self.quantize_encoder(batches, features=True, **quant_kwargs)
 
     def freeze(self):
         """Freeze the encoder to the integer-only dyadic executor
