@@ -87,7 +87,8 @@ class RNNTModel:
                          integer_softmax: bool = False,
                          integer_layernorm: bool = False,
                          integer_activations: bool = False,
-                         static_attention: bool = False) -> None:
+                         static_attention: bool = False,
+                         features: bool = False) -> None:
         """PTQ-calibrate the Conformer encoder (quantize/conformer_ptq.py):
         EMA QuantAct ranges over (audio, alens) calibration batches; eval
         `_encode` then runs the int8-GEMM path.  The Jasper family
@@ -117,8 +118,10 @@ class RNNTModel:
 
         def feat_batches():
             for audio, alens in calib_batches:
-                feats, fl = front(jnp.asarray(audio), jnp.asarray(alens))
-                yield feats, fl
+                if features:  # already (feats, lens), e.g. synthetic data
+                    yield jnp.asarray(audio), jnp.asarray(alens)
+                else:
+                    yield front(jnp.asarray(audio), jnp.asarray(alens))
 
         qstate = calibrate_conformer(self.params["encoder"], self.plan,
                                      qcfg, feat_batches())
