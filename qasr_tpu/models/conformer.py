@@ -44,6 +44,11 @@ class ConformerConfig:
     xscaling: bool = True
     untie_biases: bool = False
     conv_kernel_size: int = 31
+    # local (limited-context) self-attention: each frame attends to at most
+    # att_context_size frames on each side (-1 = unlimited).  Bounds the
+    # encoder's receptive field for streaming/long-form serving; NeMo's
+    # later conformers ship the same knob (absent in the reference).
+    att_context_size: int = -1
     dropout: float = 0.1
     dropout_emb: float = 0.1
     dropout_att: float = 0.0
@@ -159,6 +164,18 @@ def _layer_norm(p, x, eps=1e-5):
 
 def _swish(x):
     return x * jax.nn.sigmoid(x)
+
+
+def attention_mask(valid: Array, att_context_size: int) -> Array:
+    """True = masked: padding pairs, plus |i-j| > att_context_size when
+    local attention is enabled."""
+    t = valid.shape[1]
+    mask = ~(valid[:, :, None] & valid[:, None, :])
+    if att_context_size is not None and att_context_size >= 0:
+        idx = jnp.arange(t)
+        far = jnp.abs(idx[:, None] - idx[None, :]) > att_context_size
+        mask = mask | far[None]
+    return mask
 
 
 def _sub_out_len(length: int, kind: str) -> int:
@@ -308,7 +325,7 @@ def conformer_encoder_apply(params, cfg: ConformerConfig, x: Array, lens: Array,
     pos_emb = jnp.asarray(rel_positional_encoding(t, cfg.d_model, None))
 
     valid = jnp.arange(t)[None, :] < lens[:, None]  # (B, T)
-    att_mask = ~(valid[:, :, None] & valid[:, None, :])  # True = masked
+    att_mask = attention_mask(valid, cfg.att_context_size)  # True = masked
     pad_mask = ~valid
 
     def dropout(y, rate):

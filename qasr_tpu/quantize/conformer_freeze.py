@@ -35,7 +35,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from qasr_tpu.models.conformer import ConformerConfig, rel_positional_encoding
+from qasr_tpu.models.conformer import (
+    ConformerConfig, attention_mask, rel_positional_encoding,
+)
 from qasr_tpu.ops.integer_layernorm import _K as _K_LN
 from qasr_tpu.ops.integer_layernorm import i_layernorm_core
 from qasr_tpu.ops.integer_sigmoid import K_SIG, i_sigmoid_grid
@@ -317,7 +319,7 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
 
     b, t = x.shape[:2]
     valid = jnp.arange(t)[None, :] < lens[:, None]
-    att_mask = ~(valid[:, :, None] & valid[:, None, :])
+    att_mask = attention_mask(valid, cfg.att_context_size)
     pad_mask = ~valid
 
     pos_np = rel_positional_encoding(t, d, None)  # host table

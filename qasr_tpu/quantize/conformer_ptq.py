@@ -47,6 +47,7 @@ from qasr_tpu.models.conformer import (
     ConformerConfig,
     _layer_norm,
     _swish,
+    attention_mask,
     rel_positional_encoding,
 )
 from qasr_tpu.models.jasper import _batch_ranges, _ema_ranges
@@ -445,7 +446,7 @@ def conformer_encoder_apply_ptq(params, cfg: ConformerConfig,
     pos_emb = jnp.asarray(rel_positional_encoding(t, cfg.d_model, None))
 
     valid = jnp.arange(t)[None, :] < lens[:, None]
-    att_mask = ~(valid[:, :, None] & valid[:, None, :])
+    att_mask = attention_mask(valid, cfg.att_context_size)
     pad_mask = ~valid
     vmask = valid.astype(jnp.float32)
 
@@ -570,7 +571,7 @@ def conformer_encoder_apply_qat(params, cfg: ConformerConfig,
         x = x * _math.sqrt(cfg.d_model)
     pos_emb = jnp.asarray(_rpe(t, cfg.d_model, None))
     valid = jnp.arange(t)[None, :] < lens[:, None]
-    att_mask = ~(valid[:, :, None] & valid[:, None, :])
+    att_mask = attention_mask(valid, cfg.att_context_size)
     pad_mask = ~valid
     vmask = valid.astype(jnp.float32)
     d, h = cfg.d_model, cfg.n_heads

@@ -135,3 +135,93 @@ def test_conformer_encoder_end_to_end_shapes(subsampling, rng):
         ol = int(out_lens[1])
         np.testing.assert_allclose(np.asarray(y)[1, :ol],
                                    np.asarray(y2)[1, :ol], atol=2e-4)
+
+
+def test_local_attention_context():
+    """att_context_size bounds the receptive field: with local attention,
+    perturbing a far-away frame cannot change an early output frame, while
+    unlimited attention propagates it; ctx=-1 matches the default exactly."""
+    import dataclasses as dc
+
+    from qasr_tpu.models.conformer import (
+        ConformerConfig, conformer_encoder_apply, init_conformer_params,
+    )
+
+    base = ConformerConfig(feat_in=16, n_layers=1, d_model=32, n_heads=4,
+                           subsampling="", conv_kernel_size=5, dropout=0.0,
+                           att_context_size=-1)
+    params = init_conformer_params(0, base)
+    rng = np.random.default_rng(0)
+    t = 64
+    feats = jnp.asarray(rng.normal(size=(1, t, 16)).astype(np.float32))
+    lens = jnp.asarray([t], jnp.int32)
+
+    out_full, _ = conformer_encoder_apply(params, base, feats, lens)
+    # ctx = -1 is the unlimited default
+    cfg_inf = dc.replace(base, att_context_size=-1)
+    out_inf, _ = conformer_encoder_apply(params, cfg_inf, feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_inf))
+
+    cfg_loc = dc.replace(base, att_context_size=4)
+    out_loc, _ = conformer_encoder_apply(params, cfg_loc, feats, lens)
+    # perturb a frame far beyond frame 0's receptive field:
+    # 1 layer: attention reaches +-4, conv module +-(5-1)/2 = +-2 -> rf 6
+    feats2 = feats.at[0, 40].add(3.0)
+    out_loc2, _ = conformer_encoder_apply(params, cfg_loc, feats2, lens)
+    np.testing.assert_array_equal(np.asarray(out_loc2)[0, :8],
+                                  np.asarray(out_loc)[0, :8])
+    # ...but frames near the perturbation DO change
+    assert np.abs(np.asarray(out_loc2)[0, 40]
+                  - np.asarray(out_loc)[0, 40]).max() > 1e-4
+    # unlimited attention propagates it everywhere
+    out_full2, _ = conformer_encoder_apply(params, base, feats2, lens)
+    assert np.abs(np.asarray(out_full2)[0, 0]
+                  - np.asarray(out_full)[0, 0]).max() > 1e-6
+
+
+def test_local_attention_quantized_paths():
+    """The PTQ and frozen integer paths honor att_context_size (locality
+    verified on the frozen path bit-exactly)."""
+    import dataclasses as dc
+
+    from qasr_tpu.models.conformer import (
+        ConformerConfig, init_conformer_params,
+    )
+    from qasr_tpu.quantize.conformer_freeze import (
+        freeze_conformer, frozen_conformer_apply,
+    )
+    from qasr_tpu.quantize.conformer_ptq import (
+        ConformerQuantConfig, calibrate_conformer,
+        conformer_encoder_apply_ptq,
+    )
+
+    cfg = ConformerConfig(feat_in=16, n_layers=1, d_model=32, n_heads=4,
+                          subsampling="", conv_kernel_size=5, dropout=0.0,
+                          att_context_size=4)
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                quantize_attention=True,
+                                integer_softmax=True, integer_layernorm=True,
+                                integer_activations=True,
+                                static_attention=True)
+    params = init_conformer_params(0, cfg)
+    rng = np.random.default_rng(1)
+    t = 64
+    feats = jnp.asarray(rng.normal(size=(1, t, 16)).astype(np.float32))
+    lens = jnp.asarray([t], jnp.int32)
+    batches = [(rng.normal(size=(1, t, 16)).astype(np.float32),
+                np.asarray([t], np.int32)) for _ in range(2)]
+    qs = jax.tree_util.tree_map(np.asarray,
+                                calibrate_conformer(params, cfg, qcfg,
+                                                    batches))
+    tables = freeze_conformer(params, cfg, qcfg, qs)
+    out, _ = frozen_conformer_apply(tables, cfg, feats, lens)
+    feats2 = feats.at[0, 40].add(3.0)
+    out2, _ = frozen_conformer_apply(tables, cfg, feats2, lens)
+    np.testing.assert_array_equal(np.asarray(out2)[0, :8],
+                                  np.asarray(out)[0, :8])
+    o_ptq, _, _ = conformer_encoder_apply_ptq(params, cfg, qcfg, qs,
+                                              feats, lens)
+    o_ptq2, _, _ = conformer_encoder_apply_ptq(params, cfg, qcfg, qs,
+                                               feats2, lens)
+    np.testing.assert_allclose(np.asarray(o_ptq2)[0, :8],
+                               np.asarray(o_ptq)[0, :8], atol=1e-6)
