@@ -23,6 +23,30 @@ import numpy as np
 from qasr_tpu.models.jasper import EncoderPlan
 
 
+def receptive_field_conformer(ccfg) -> Tuple[int, int]:
+    """(receptive field in mel frames, total stride) of a Conformer encoder
+    with LOCAL attention (att_context_size >= 0); unbounded attention has
+    no finite field and cannot stream exactly."""
+    if ccfg.att_context_size is None or ccfg.att_context_size < 0:
+        raise ValueError("conformer streaming needs a finite receptive "
+                         "field: set ConformerConfig.att_context_size")
+    import math as _m
+
+    rf, st = 1, 1
+    n_sub = int(_m.log2(ccfg.subsampling_factor)) if ccfg.subsampling else 0
+    for _ in range(n_sub):
+        if ccfg.subsampling == "vggnet":
+            rf += 2 * st + 2 * st  # two k=3 s=1 convs
+            rf += 1 * st           # maxpool k=2
+            st *= 2
+        else:
+            rf += 2 * st           # k=3 s=2 valid conv
+            st *= 2
+    per_layer = 2 * ccfg.att_context_size + (ccfg.conv_kernel_size - 1)
+    rf += ccfg.n_layers * per_layer * st
+    return rf, st
+
+
 def receptive_field(plan: EncoderPlan) -> Tuple[int, int]:
     """(receptive field in input frames, total stride) of the conv stack."""
     rf = 1
@@ -50,8 +74,10 @@ class StreamingTranscriber:
     context_frames: Optional[int] = None  # default: half the receptive field
 
     def __post_init__(self):
-        plan = self.model.plan
-        self.rf, self.stride = receptive_field(plan)
+        if hasattr(self.model, "ccfg"):  # Conformer-CTC: local attention
+            self.rf, self.stride = receptive_field_conformer(self.model.ccfg)
+        else:
+            self.rf, self.stride = receptive_field(self.model.plan)
         quantum = 16 * self.stride
         fcfg = self.model.frontend.cfg
         # STFT center-padding makes ~n_fft/(2*hop) edge frames window-local
@@ -83,7 +109,12 @@ class StreamingTranscriber:
             if len(seg) < full:
                 seg = np.concatenate([seg, np.zeros(full - len(seg), audio.dtype)])
             seg_len = s1 - s0
-            lp, el, preds = self.model.forward(seg[None], np.asarray([seg_len]))
+            out = self.model.forward(seg[None], np.asarray([seg_len]))
+            if len(out) == 3:
+                lp, el, preds = out
+            else:  # ConformerCTC returns (log_probs, enc_lens)
+                lp, el = out
+                preds = np.argmax(np.asarray(lp), axis=-1)
             # valid center region: input frames [start, start+chunk)
             o0 = (start - w0) // s
             valid_in = min(chunk, n_frames - start)

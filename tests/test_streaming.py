@@ -65,3 +65,49 @@ def test_streaming_latency_report(rng):
         assert rep["first_chunk_latency_ms"] > 0
         assert rep["p95_chunk_latency_ms"] >= rep["steady_chunk_latency_ms"] * 0.5
         assert rep["streaming_rtfx"] > 0
+
+
+def test_conformer_streaming_matches_full():
+    """Local-attention Conformer streams with exact center-stitching: the
+    chunked greedy ids equal the full-utterance ids (normalization off,
+    receptive field finite via att_context_size)."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.decode.streaming import receptive_field_conformer
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0, "normalize": False},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           att_context_size=4, dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rf, stride = receptive_field_conformer(ccfg)
+    assert stride == 4
+    # 2 striding levels (k3 s2): rf 1+2+4 = 7; + 1 layer (2*4 + 8) * 4
+    assert rf == 7 + (2 * 4 + 8) * 4
+
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
+    lp, el = m.forward(audio[None].copy(),
+                       np.asarray([len(audio)], np.int32))
+    preds_full = np.argmax(np.asarray(lp), axis=-1)[0][: int(el[0])]
+
+    st = StreamingTranscriber(m, chunk_frames=96)
+    preds_stream = st.predictions(audio)[: int(el[0])]
+    np.testing.assert_array_equal(preds_stream, preds_full)
+
+    # unbounded attention cannot stream
+    import dataclasses as dc
+    m2 = ConformerCTC.from_config(
+        cfg, dc.replace(ccfg, att_context_size=-1), seed=0)
+    with pytest.raises(ValueError):
+        StreamingTranscriber(m2)
