@@ -296,7 +296,13 @@ def conformer_conv_module(p, x: Array, pad_mask: Array,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=y.shape[-1], precision=HI) + p["dw"]["b"]
     if stats_out is not None:
-        stats_out.append((jnp.mean(y, axis=(0, 1)), jnp.var(y, axis=(0, 1))))
+        # pad-masked batch statistics (padded frames hold bias values,
+        # not data)
+        vm = (~pad_mask)[:, :, None].astype(y.dtype)
+        cnt = jnp.maximum(jnp.sum(vm), 1.0)
+        mu = jnp.sum(y * vm, axis=(0, 1)) / cnt
+        var = jnp.sum(vm * (y - mu) ** 2, axis=(0, 1)) / cnt
+        stats_out.append((mu, var))
     bn = p["bn"]
     y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] + bn["beta"]
     y = _swish(y)

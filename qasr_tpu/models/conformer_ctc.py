@@ -118,10 +118,22 @@ class ConformerCTC:
             enc, enc_lens = conformer_encoder_apply(
                 params["encoder"], self.ccfg, feats, feat_lens,
                 train=train, rng=rng)
-        out = self._decoder_apply(params, enc)
+        return self._head(params, enc), enc_lens
+
+    def _head(self, params, enc, quantized: bool = True):
+        """CTC head + log-softmax (one place for every path).  quantized=
+        False forces the float head (QAT needs differentiable logits)."""
+        if quantized:
+            out = self._decoder_apply(params, enc)
+        elif self.decoder_kind == "lstm":
+            from qasr_tpu.models.lstm_decoder import lstm_decoder_forward
+
+            out = lstm_decoder_forward(params["decoder"], enc)
+        else:
+            out = enc @ params["decoder"]["w"] + params["decoder"]["b"]
         if self.decoder_kind != "lstm":  # lstm head is already log-softmaxed
             out = jax.nn.log_softmax(out, axis=-1)
-        return out, enc_lens
+        return out
 
     def forward(self, audio, alens):
         fn = self._forward_fn()
@@ -168,10 +180,9 @@ class ConformerCTC:
             enc, enc_lens = conformer_encoder_apply_qat(
                 params["encoder"], self.ccfg, qat, feats, feat_lens,
                 rng=k_drop)
-            out = self._decoder_apply(params, enc)
-            if self.decoder_kind != "lstm":
-                out = jax.nn.log_softmax(out, axis=-1)
-            log_probs = out
+            # FLOAT head: the calibrated int8 dec_in path is
+            # non-differentiable and would zero every encoder gradient
+            log_probs = self._head(params, enc, quantized=False)
         else:
             log_probs, enc_lens = self._apply(params, feats, feat_lens,
                                               train=rng is not None,

@@ -538,8 +538,12 @@ def conformer_encoder_apply_qat(params, cfg: ConformerConfig,
     )
     from qasr_tpu.ops.fake_quant import (
         fake_quant_symmetric, fake_quant_weights,
-    )
+    )  # noqa: F401 (fake_quant_symmetric: fq_act)
 
+    if cfg.self_attention_model != "rel_pos":
+        raise NotImplementedError(
+            "abs-pos attention under QAT (rel_pos is the Conformer default, "
+            "conformer_encoder.py:199)")
     ab, wb = qcfg.act_bit, qcfg.weight_bit
 
     def fq_act(v, valid):
@@ -631,11 +635,8 @@ def conformer_encoder_apply_qat(params, cfg: ConformerConfig,
         y = a * jax.nn.sigmoid(g)
         y = jnp.where(pad_mask[:, :, None], 0.0, y)
         kk = cv["dw"]["w"].shape[0]
-        # depthwise: per-channel weight fake-quant over the tap axis
-        w_sc = symmetric_scale(
-            jnp.min(jax.lax.stop_gradient(cv["dw"]["w"]), axis=(0, 1)),
-            jnp.max(jax.lax.stop_gradient(cv["dw"]["w"]), axis=(0, 1)), wb)
-        w_dw = fake_quant_symmetric(cv["dw"]["w"], w_sc, wb)
+        # depthwise: per-channel (last axis) weight fake-quant
+        w_dw = fake_quant_weights(cv["dw"]["w"], wb)
         y = jax.lax.conv_general_dilated(
             fq_act(y, vmask), w_dw, (1,), [((kk - 1) // 2, (kk - 1) // 2)],
             dimension_numbers=("NWC", "WIO", "NWC"),

@@ -81,7 +81,7 @@ def get_synthetic_conformer_data(params, cfg: ConformerConfig, *,
                                  batch_size: int = 8, seqlen: int = 128,
                                  train_iter: int = 200, num_batch: int = 1,
                                  lr: float = 0.02, seed: int = 0,
-                                 verbose: bool = False):
+                                 parallel: int = 4, verbose: bool = False):
     """Reference get_synthetic_data API -> list of ((B, T, F), lens)
     feature batches ready for quantize_encoder(..., features=True)."""
     targets = conformer_bn_targets(params)
@@ -89,13 +89,21 @@ def get_synthetic_conformer_data(params, cfg: ConformerConfig, *,
     fn = jax.jit(jax.vmap(partial(
         synthesize_conformer_batch, params, cfg, batch_size=batch_size,
         seqlen=seqlen, train_iter=train_iter, lr=lr, targets=targets)))
-    xs, losses = fn(keys)
+    lens = np.full((batch_size,), seqlen, np.int32)
+    out, all_losses = [], []
+    for i in range(0, num_batch, parallel):  # memory-bounding chunks
+        chunk = keys[i : i + parallel]
+        if len(chunk) < parallel:  # pad to one compiled shape
+            chunk = jnp.concatenate([chunk, keys[: parallel - len(chunk)]])
+        xs, losses = fn(jnp.stack(chunk))
+        k = min(parallel, num_batch - i)
+        out.extend((np.asarray(xs[j]), lens) for j in range(k))
+        all_losses.append(np.asarray(losses[:k]))
+    losses = np.concatenate(all_losses)
     if verbose:
         print(f"conformer distill losses: "
-              f"{np.asarray(losses[:, -1]).round(3).tolist()}")
-    lens = np.full((batch_size,), seqlen, np.int32)
-    return [(np.asarray(xs[i]), lens) for i in range(num_batch)], \
-        np.asarray(losses)
+              f"{losses[:, -1].round(3).tolist()}")
+    return out, losses
 
 
 def estimate_bn_stats(params, cfg: ConformerConfig, feat_batches):
@@ -127,8 +135,11 @@ def estimate_bn_stats(params, cfg: ConformerConfig, feat_batches):
     for feats, lens in feat_batches:
         st = stats_of(jnp.asarray(feats), jnp.asarray(lens))
         for i, (m, v) in enumerate(st):
+            # pool second moments so between-batch mean spread counts:
+            # v2 = E[v_i + m_i^2] - (E[m_i])^2
+            s2 = v + m * m
             acc_m[i] = m if acc_m[i] is None else acc_m[i] + m
-            acc_v[i] = v if acc_v[i] is None else acc_v[i] + v
+            acc_v[i] = s2 if acc_v[i] is None else acc_v[i] + s2
         n += 1
     out = copy.deepcopy(params)
     eps = 1e-5  # the conformer BN epsilon (conformer_modules.py:161)
@@ -139,7 +150,8 @@ def estimate_bn_stats(params, cfg: ConformerConfig, feat_batches):
         g1 = np.asarray(bn["gamma"], np.float64)
         b1 = np.asarray(bn["beta"], np.float64)
         m2 = np.asarray(acc_m[i], np.float64) / n
-        v2 = np.asarray(acc_v[i], np.float64) / n
+        v2 = np.asarray(acc_v[i], np.float64) / n - m2 * m2
+        v2 = np.maximum(v2, 0.0)
         s1 = np.sqrt(v1 + eps)
         bn["mean"] = np.asarray(m2, np.float32)
         bn["var"] = np.asarray(v2, np.float32)

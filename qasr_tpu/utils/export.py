@@ -62,16 +62,22 @@ def export_frozen_conformer_ctc(model, batch: int, num_samples: int,
 
     from qasr_tpu.quantize.conformer_freeze import frozen_conformer_apply
 
+    if model.decoder_kind != "linear":
+        raise NotImplementedError("frozen export supports the linear CTC "
+                                  "head (the LSTM head is float/recurrent)")
     if model.enc_frozen is None:
         model.freeze()
     tables, ccfg = model.enc_frozen, model.ccfg
-    frontend, dec = model.frontend, model.params["decoder"]
+    frontend = model.frontend
+    params = model.params
 
     def fn(audio, lengths):
         feats, feat_lens = frontend(audio, lengths, dither=0.0)
         enc, enc_lens = frozen_conformer_apply(tables, ccfg, feats, feat_lens)
-        logits = enc @ dec["w"] + dec["b"]
-        return jnp.argmax(logits, axis=-1), enc_lens
+        # the SAME head the serving forward applies (int8 dec_in when
+        # calibrated) — the artifact must reproduce model.forward exactly
+        log_probs = model._head(params, enc)
+        return jnp.argmax(log_probs, axis=-1), enc_lens
 
     audio = jnp.zeros((batch, num_samples), jnp.float32)
     lens = jnp.zeros((batch,), jnp.int32)
