@@ -291,10 +291,12 @@ def conformer_conv_module(p, x: Array, pad_mask: Array,
     y = a * jax.nn.sigmoid(g)  # GLU over channel halves
     y = jnp.where(pad_mask[:, :, None], 0.0, y)
     k = p["dw"]["w"].shape[0]
-    y = jax.lax.conv_general_dilated(
-        y, p["dw"]["w"], (1,), [((k - 1) // 2, (k - 1) // 2)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=y.shape[-1], precision=HI) + p["dw"]["b"]
+    # partitioner-safe depthwise (ops/grouped_conv.py): XLA GSPMD doubles
+    # grouped-conv WEIGHT grads under dp sharding on a multi-axis mesh
+    from qasr_tpu.ops.grouped_conv import grouped_conv1d
+
+    y = grouped_conv1d(y, p["dw"]["w"], 1, ((k - 1) // 2, (k - 1) // 2),
+                       1, y.shape[-1], HI, None) + p["dw"]["b"]
     if stats_out is not None:
         # pad-masked batch statistics (padded frames hold bias values,
         # not data)

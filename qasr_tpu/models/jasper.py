@@ -383,16 +383,26 @@ def conv_nwc(x: Array, w: Array, spec: ConvSpec, b: Optional[Array] = None,
         if b is not None:
             y = y + b
         return y
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=(spec.stride,),
-        padding=[(spec.padding, spec.padding)],
-        rhs_dilation=(spec.dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=spec.groups if spec.heads == -1 else spec.heads,
-        preferred_element_type=preferred,
-        precision=precision,
-    )
+    if groups > 1:
+        # partitioner-safe grouped conv (ops/grouped_conv.py): XLA GSPMD
+        # multiplies grouped-conv WEIGHT grads by the unused mesh-axis size
+        # under dp sharding on a multi-axis (dp x tp) mesh
+        from qasr_tpu.ops.grouped_conv import grouped_conv1d
+
+        y = grouped_conv1d(x, w, spec.stride,
+                           (spec.padding, spec.padding), spec.dilation,
+                           groups, precision, preferred)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(spec.stride,),
+            padding=[(spec.padding, spec.padding)],
+            rhs_dilation=(spec.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=1,
+            preferred_element_type=preferred,
+            precision=precision,
+        )
     if spec.heads != -1:
         t2 = y.shape[1]
         y = y.reshape(sh[0], sh[2] // spec.heads, t2, spec.heads)

@@ -88,6 +88,67 @@ def param_specs(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def conformer_param_specs(params, mesh: Mesh):
+    """Megatron-style TP plan for the Conformer encoder pytree
+    (models/conformer.py::init_conformer_params).
+
+    Sharded on 'model':
+      * feed-forward: l1 column-parallel (w last axis + bias), l2
+        row-parallel (w first axis) — XLA SPMD inserts the one all-reduce
+        after l2;
+      * attention: q/k/v/pos column-parallel = head-parallel (the
+        (B,T,d)->(B,T,h,d_k) reshape carries the sharding onto heads),
+        out row-parallel; pos_bias_u/v head-sharded to match.
+    Replicated: the conv module (depthwise — HBM-bound, not MXU-bound, and
+    its GLU split would straddle a sharded 2d axis), layernorms, the
+    subsampler, and any decoder/head subtree.  Leaves whose sharded axis is
+    not divisible by tp fall back to replication (never a wrong answer,
+    only a slower one).
+    """
+    tp = mesh.shape["model"]
+
+    def spec(path, x):
+        names = [getattr(p, "key", None) for p in path]
+        names = [n for n in names if isinstance(n, str)]
+        nd = getattr(x, "ndim", 0)
+        if tp == 1 or not names or names[0] == "decoder":
+            return P()
+
+        def div(axis):
+            return x.shape[axis] % tp == 0
+
+        leaf = names[-1]
+        if "ff1" in names or "ff2" in names:
+            if "l1" in names:
+                if leaf == "w" and nd == 2 and div(1):
+                    return P(None, "model")
+                if leaf == "b" and nd == 1 and div(0):
+                    return P("model")
+            if "l2" in names and leaf == "w" and nd == 2 and div(0):
+                return P("model", None)
+        if "att" in names:
+            if any(k in names for k in ("q", "k", "v", "pos")):
+                if leaf == "w" and nd == 2 and div(1):
+                    return P(None, "model")
+                if leaf == "b" and nd == 1 and div(0):
+                    return P("model")
+            if "out" in names and leaf == "w" and nd == 2 and div(0):
+                return P("model", None)
+        if leaf in ("pos_bias_u", "pos_bias_v") and nd == 2 and div(0):
+            return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_conformer_params(params, mesh: Mesh):
+    """Place Conformer(-CTC) params per `conformer_param_specs`.  Accepts
+    either the encoder subtree or the full {'encoder','decoder'} tree."""
+    specs = conformer_param_specs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
 def shard_params_channelwise(params, mesh: Mesh):
     """Place conv weights with out-channels on the 'model' axis (TP) per the
     explicit `param_specs` plan.  With model=1 this is plain replication."""

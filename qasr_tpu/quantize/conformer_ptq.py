@@ -637,10 +637,11 @@ def conformer_encoder_apply_qat(params, cfg: ConformerConfig,
         kk = cv["dw"]["w"].shape[0]
         # depthwise: per-channel (last axis) weight fake-quant
         w_dw = fake_quant_weights(cv["dw"]["w"], wb)
-        y = jax.lax.conv_general_dilated(
-            fq_act(y, vmask), w_dw, (1,), [((kk - 1) // 2, (kk - 1) // 2)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=d) + cv["dw"]["b"]
+        from qasr_tpu.ops.grouped_conv import grouped_conv1d
+
+        y = grouped_conv1d(fq_act(y, vmask), w_dw, 1,
+                           ((kk - 1) // 2, (kk - 1) // 2), 1, d,
+                           None, None) + cv["dw"]["b"]
         bn = cv["bn"]
         y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] \
             + bn["beta"]

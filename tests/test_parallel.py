@@ -269,3 +269,70 @@ def test_psum_counters_single_process():
     from qasr_tpu.parallel.mesh import psum_counters
 
     assert psum_counters(7, 42) == (7, 42)
+
+
+def test_conformer_tp_training_matches_replicated():
+    """Megatron-style Conformer TP (parallel/mesh.py::conformer_param_specs):
+    dp=2 x tp=2 loss + grads match the replicated single-logical-device run
+    (float tolerance: row-parallel splits the d_ff/head contractions, so
+    reduction order differs), and the compiled TP graph really contains an
+    all-reduce."""
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+    from qasr_tpu.parallel.mesh import (
+        conformer_param_specs, shard_conformer_params,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    labels = (" ", "a", "b", "c")
+    ccfg = ConformerConfig(feat_in=32, n_layers=2, d_model=32, n_heads=4,
+                           ff_expansion_factor=2, subsampling="striding",
+                           subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    cfg = ModelConfig(encoder=EncoderConfig(feat_in=32, blocks=[]),
+                      decoder=DecoderConfig(feat_in=32,
+                                            num_classes=len(labels)),
+                      labels=labels, preprocessor={"features": 32,
+                                                   "dither": 0.0})
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(rng.standard_normal((4, 8000)), jnp.float32) * 0.1
+    alens = jnp.asarray([8000, 6400, 8000, 7000], jnp.int32)
+    tokens = jnp.asarray([[1, 2, 3]] * 4, jnp.int32)
+    tlens = jnp.asarray([3, 3, 3, 3], jnp.int32)
+
+    def loss(p):
+        return m.loss_fn(p, audio, alens, tokens, tlens)
+
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(loss))(m.params)
+
+    mesh = make_mesh(data=2, model=2)
+    specs = conformer_param_specs(m.params, mesh)
+    # the plan must actually shard the matmul weights
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    sharded_names = {".".join(str(getattr(k, "key", getattr(k, "idx", "")))
+                              for k in path)
+                     for path, s in flat if s != P()}
+    assert any("ff1.l1.w" in n for n in sharded_names)
+    assert any("att.q.w" in n for n in sharded_names)
+    assert not any(n.startswith("decoder") for n in sharded_names)
+
+    params_tp = shard_conformer_params(m.params, mesh)
+    data = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, data) for x in (audio, alens, tokens, tlens)]
+
+    def loss_tp(p, audio, alens, tokens, tlens):
+        return m.loss_fn(p, audio, alens, tokens, tlens)
+
+    jfn = jax.jit(jax.value_and_grad(loss_tp))
+    tp_loss, tp_grads = jfn(params_tp, *args)
+    assert "all-reduce" in jfn.lower(params_tp, *args).compile().as_text()
+    np.testing.assert_allclose(float(tp_loss), float(ref_loss), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        tp_grads, ref_grads)
