@@ -274,7 +274,36 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
     }))
 
 
+def _device_watchdog(timeout_s: float):
+    """Fail FAST when the TPU tunnel is wedged instead of hanging the whole
+    bench run: first-touch jax.devices() blocks indefinitely while the axon
+    server is down (observed: >9 min; the entire round-3f session).  The
+    probe runs in a daemon thread; if it does not come back within
+    QASR_BENCH_INIT_TIMEOUT seconds, exit nonzero with a diagnostic so the
+    driver gets a clear failure, not a timeout."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: jax.devices() did not return within {timeout_s:.0f}s "
+              "— TPU tunnel wedged; aborting instead of hanging",
+              file=sys.stderr)
+        os._exit(3)  # the stuck runtime thread cannot be interrupted
+
+
 if __name__ == "__main__":
+    import os
+
+    _device_watchdog(float(os.environ.get("QASR_BENCH_INIT_TIMEOUT", "600")))
     # the axon tunnel occasionally drops a request mid-run; one retry makes
     # the driver's bench robust to that transient
     entry_fn = main_io if "--io" in sys.argv else main
