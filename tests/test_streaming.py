@@ -111,3 +111,42 @@ def test_conformer_streaming_matches_full():
         cfg, dc.replace(ccfg, att_context_size=-1), seed=0)
     with pytest.raises(ValueError):
         StreamingTranscriber(m2)
+
+
+def test_frozen_conformer_streaming_matches_full():
+    """The FROZEN integer-only local-attention Conformer streams bit-exactly:
+    all scales are static and every op is integer, so the chunked window
+    computation has no reduction-order drift to begin with — streamed ids
+    must EQUAL the full-utterance frozen forward."""
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0, "normalize": False},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           att_context_size=4, dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(3)
+    calib = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    clens = np.asarray([16000, 12800], np.int32)
+    m.quantize_encoder([(calib, clens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+
+    audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
+    lp, el = m.forward(audio[None].copy(),
+                       np.asarray([len(audio)], np.int32))
+    preds_full = np.argmax(np.asarray(lp), axis=-1)[0][: int(el[0])]
+
+    st = StreamingTranscriber(m, chunk_frames=96)
+    preds_stream = st.predictions(audio)[: int(el[0])]
+    np.testing.assert_array_equal(preds_stream, preds_full)
