@@ -74,8 +74,15 @@ class StreamingTranscriber:
     context_frames: Optional[int] = None  # default: half the receptive field
 
     def __post_init__(self):
-        if hasattr(self.model, "ccfg"):  # Conformer-CTC: local attention
-            self.rf, self.stride = receptive_field_conformer(self.model.ccfg)
+        # Conformer encoders (ConformerCTC.ccfg / RNNTModel.plan with
+        # encoder_kind='conformer') stream via local attention; conv
+        # encoders via the Jasper plan's receptive field
+        ccfg = getattr(self.model, "ccfg", None)
+        if ccfg is None and getattr(self.model, "encoder_kind",
+                                    "") == "conformer":
+            ccfg = self.model.plan
+        if ccfg is not None:
+            self.rf, self.stride = receptive_field_conformer(ccfg)
         else:
             self.rf, self.stride = receptive_field(self.model.plan)
         quantum = 16 * self.stride
@@ -109,18 +116,25 @@ class StreamingTranscriber:
             if len(seg) < full:
                 seg = np.concatenate([seg, np.zeros(full - len(seg), audio.dtype)])
             seg_len = s1 - s0
-            out = self.model.forward(seg[None], np.asarray([seg_len]))
-            if len(out) == 3:
-                lp, el, preds = out
-            else:  # ConformerCTC returns (log_probs, enc_lens)
-                lp, el = out
-                preds = np.argmax(np.asarray(lp), axis=-1)
+            vals, el0 = self._window_forward(seg, seg_len)
             # valid center region: input frames [start, start+chunk)
             o0 = (start - w0) // s
             valid_in = min(chunk, n_frames - start)
             o1 = o0 + -(-valid_in // s)
-            o1 = min(o1, int(el[0]))
-            yield np.asarray(lp[0, o0:o1]), np.asarray(preds[0, o0:o1])
+            o1 = min(o1, el0)
+            yield tuple(np.asarray(v[o0:o1]) for v in vals)
+
+    def _window_forward(self, seg: np.ndarray, seg_len: int):
+        """One padded window -> (per-frame output arrays, valid length).
+        The CTC family yields (log_probs, greedy_ids); StreamingTransducer
+        overrides this to yield encoder frames instead."""
+        out = self.model.forward(seg[None], np.asarray([seg_len]))
+        if len(out) == 3:
+            lp, el, preds = out
+        else:  # ConformerCTC returns (log_probs, enc_lens)
+            lp, el = out
+            preds = np.argmax(np.asarray(lp), axis=-1)
+        return (np.asarray(lp)[0], np.asarray(preds)[0]), int(el[0])
 
     def predictions(self, audio: np.ndarray) -> np.ndarray:
         """Greedy ids for one long mono signal, chunk-stitched."""
@@ -204,3 +218,55 @@ class StreamingTranscriber:
                 partials.append(best[0][1] if best else "")
         best = dec.best(1)
         return best[0][1] if best else ""
+
+
+@dataclass
+class StreamingTransducer(StreamingTranscriber):
+    """Chunked streaming greedy transcription for transducers (RNNTModel —
+    conv or local-attention Conformer encoder, float / PTQ / frozen
+    integer).
+
+    Encoder chunks are receptive-field stitched exactly like the CTC
+    streamer; the greedy decoder's carry (pred-net LSTM state, last
+    pred-net output, hypothesis — models/rnnt.py::greedy_decode_frames)
+    persists across chunks, so feeding chunks reproduces the offline
+    frame sequence exactly and the final transcript EQUALS offline
+    ``transcribe_greedy`` whenever the stitched encoder frames do (always,
+    for the frozen integer encoder; the conv/conformer float paths are
+    bit-stable in practice — tests assert equality).
+
+    ``partials``, if passed to transcribe, collects the running hypothesis
+    after each chunk — the live-caption stream.  The reference has no
+    streaming transducer at all (rnnt_greedy_decoding.py decodes full
+    utterances only).
+    """
+
+    max_symbols_per_step: int = 10
+
+    def _window_forward(self, seg: np.ndarray, seg_len: int):
+        enc, el = self.model.encode(seg[None],
+                                    np.asarray([seg_len], np.int32))
+        return (np.asarray(enc)[0],), int(el[0])
+
+    def transcribe(self, audio: np.ndarray,
+                   partials: Optional[List[str]] = None) -> str:
+        from qasr_tpu.models.rnnt import greedy_decode_frames, greedy_init
+
+        m = self.model
+        carry = greedy_init(m.params["rnnt"], m.rnnt_cfg, 1)
+        for (enc_c,) in self._chunks(audio):
+            if len(enc_c):
+                carry = greedy_decode_frames(
+                    m.params["rnnt"], m.rnnt_cfg, enc_c[None],
+                    np.asarray([len(enc_c)]), carry,
+                    self.max_symbols_per_step)
+            if partials is not None:
+                partials.append(self._text(carry[2][0]))
+        return self._text(carry[2][0])
+
+    def _text(self, ids: List[int]) -> str:
+        tok = getattr(self.model, "tokenizer", None)
+        if tok is not None:
+            return tok.ids_to_text([int(i) for i in ids])
+        labels = list(self.model.cfg.labels)
+        return "".join(labels[int(i)] for i in ids)

@@ -317,22 +317,30 @@ def _joint_logprobs_jit(params, cfg, e, g):
         joint(params, cfg, e[:, None, :], g[:, None, :])[:, 0, 0], axis=-1)
 
 
-def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
-                  max_symbols_per_step: int = 10) -> List[List[int]]:
-    """Batched greedy RNNT decoding.  Per frame: emit symbols until blank
-    (capped at max_symbols_per_step), advancing the prediction net only on
-    non-blank — the standard transducer greedy algorithm."""
-    enc = np.asarray(enc)
-    b, t_max, _ = enc.shape
-    enc_lens = np.asarray(enc_lens)
+def greedy_init(params, cfg: RNNTConfig, batch: int):
+    """Initial greedy-decode carry: SOS-primed pred-net output + state +
+    empty hypotheses.  Thread the returned carry through
+    `greedy_decode_frames` calls (offline: once; streaming: per chunk)."""
+    state = lstm_init_state(cfg, batch)
+    g, state = _pred_step_jit(params, cfg,
+                              jnp.full((batch,), cfg.blank_id, jnp.int32),
+                              state)
+    hyps: List[List[int]] = [[] for _ in range(batch)]
+    return g, state, hyps
 
+
+def greedy_decode_frames(params, cfg: RNNTConfig, enc, enc_lens, carry,
+                         max_symbols_per_step: int = 10):
+    """Run the greedy emit loop over one span of encoder frames, mutating
+    and returning the carry — the incremental core shared by offline
+    decoding and chunked streaming (the carry IS the decoder state, so
+    feeding frames in chunks is exactly the offline computation)."""
+    g, state, hyps = carry
+    enc = np.asarray(enc)
+    enc_lens = np.asarray(enc_lens)
     step_jit = lambda tok, st: _pred_step_jit(params, cfg, tok, st)
     joint_jit = lambda e, g: _joint_logprobs_jit(params, cfg, e, g)
-
-    state = lstm_init_state(cfg, b)
-    g, state = step_jit(jnp.full((b,), cfg.blank_id, jnp.int32), state)
-    hyps: List[List[int]] = [[] for _ in range(b)]
-    for t in range(t_max):
+    for t in range(enc.shape[1]):
         active = enc_lens > t
         if not active.any():
             break
@@ -353,6 +361,18 @@ def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
                 jnp.where(keep[None], state2.c, state.c))
             for i in np.nonzero(emit)[0]:
                 hyps[int(i)].append(int(sym[i]))
+    return g, state, hyps
+
+
+def greedy_decode(params, cfg: RNNTConfig, enc: Array, enc_lens: Array,
+                  max_symbols_per_step: int = 10) -> List[List[int]]:
+    """Batched greedy RNNT decoding.  Per frame: emit symbols until blank
+    (capped at max_symbols_per_step), advancing the prediction net only on
+    non-blank — the standard transducer greedy algorithm."""
+    b = np.asarray(enc).shape[0]
+    carry = greedy_init(params, cfg, b)
+    _, _, hyps = greedy_decode_frames(params, cfg, enc, enc_lens, carry,
+                                      max_symbols_per_step)
     return hyps
 
 
