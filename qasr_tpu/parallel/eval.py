@@ -17,6 +17,7 @@ The synthesizer's independent problems shard over 'data' the same way
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -326,3 +327,45 @@ def synthesize_sharded(plan, enc_params, mesh: Mesh, *, batch_size: int = 8,
         n = min(dp, num_batch - i)
         out.extend(np.asarray(xs[j]) for j in range(n))
     return out
+
+
+def make_sharded_frozen_conformer_forward(model, mesh: Mesh,
+                                          shard_channels: bool = False):
+    """Sharded frozen-integer Conformer forward (ConformerCTC or a
+    conformer RNNTModel after freeze/freeze_encoder): batch on 'data',
+    optionally int8-GEMM tensor parallelism on 'model'
+    (parallel.mesh.conformer_frozen_specs — q/k/v head-parallel, FF
+    column/row-parallel; the row-parallel int32 partial sums all-reduce
+    before the requant, which is exact, so any placement is bit-identical
+    to single-device).  Returns fn(audio (B, L), lens (B,)) ->
+    (log_probs | encodings, enc_lens) matching the model's frozen forward.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from qasr_tpu.parallel.mesh import shard_frozen_conformer_tables
+    from qasr_tpu.quantize.conformer_freeze import frozen_conformer_apply
+
+    tables = getattr(model, "enc_frozen", None)
+    if tables is None:
+        raise ValueError("freeze the encoder first (ConformerCTC.freeze / "
+                         "RNNTModel.freeze_encoder)")
+    ccfg = getattr(model, "ccfg", None) or model.plan
+    frontend = model.frontend
+    if shard_channels:
+        dt = shard_frozen_conformer_tables(tables, mesh)
+    else:
+        dt = tables
+    data = NamedSharding(mesh, P("data"))
+    is_ctc = hasattr(model, "_head")
+    params = model.params
+
+    @partial(jax.jit, in_shardings=(data, data))
+    def fwd(audio, lengths):
+        feats, feat_lens = frontend(audio, lengths, dither=0.0)
+        enc, enc_lens = frozen_conformer_apply(dt, ccfg, feats, feat_lens)
+        if is_ctc:
+            return model._head(params, enc), enc_lens
+        return enc, enc_lens
+
+    return fwd

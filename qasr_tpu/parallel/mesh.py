@@ -173,6 +173,71 @@ def shard_frozen_tables(tables, mesh: Mesh):
     return jax.tree_util.tree_map(place, tables, specs)
 
 
+# frozen Conformer GEMM sites (quantize/conformer_freeze.py tables):
+# column-parallel = out axis sharded (q/k/v head-parallel, FF l1, GLU pw1);
+# row-parallel = contraction axis sharded — int32 partial sums all-reduce
+# BEFORE the requant, which is exact (integer adds have no reduction-order
+# drift), so ANY placement from this plan is bit-identical to single-device.
+_CONF_FROZEN_COL = ("ff1_l1", "ff2_l1", "att_q_u", "att_q_v", "att_k",
+                    "att_v", "pw1_a", "pw1_g")
+_CONF_FROZEN_ROW = ("ff1_l2", "ff2_l2", "att_out", "pw2")
+
+
+def conformer_frozen_specs(tables, mesh: Mesh):
+    """TP sharding plan for frozen integer Conformer tables
+    (freeze_conformer output): int8 GEMM weights column-/row-parallel on
+    'model', per-out-channel int32 bias/multiplier vectors sharded with
+    their site, depthwise kernel + BN-fold vectors channel-sharded.
+    Non-divisible or scalar leaves replicate."""
+    tp = mesh.shape["model"]
+
+    def spec(path, x):
+        nd = getattr(x, "ndim", None)
+        if tp == 1 or nd is None:
+            return P()
+        names = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        site = next((n for n in names if n in _CONF_FROZEN_COL
+                     or n in _CONF_FROZEN_ROW), None)
+        leaf = names[-1]
+        if site in _CONF_FROZEN_COL:
+            if leaf == "w" and nd == 2 and x.shape[1] % tp == 0:
+                return P(None, "model")
+            if leaf in ("b", "m") and nd == 1 and x.shape[0] % tp == 0:
+                return P("model")
+        if site in _CONF_FROZEN_ROW and leaf == "w" and nd == 2 \
+                and x.shape[0] % tp == 0:
+            return P("model", None)
+        if "att_pos_w" in names:
+            if nd == 2 and x.shape[1] % tp == 0:
+                return P(None, "model")
+            if nd == 1 and x.shape[0] % tp == 0:
+                return P("model")
+        if "dw_w" in names and nd == 3 and x.shape[2] % tp == 0:
+            return P(None, None, "model")
+        if "dw_bn" in names and nd == 1 and x.shape[0] % tp == 0:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, tables)
+
+
+def shard_frozen_conformer_tables(tables, mesh: Mesh):
+    """Place frozen Conformer tables per `conformer_frozen_specs`; python
+    scalars (static exponents/scales) pass through untouched."""
+    specs = conformer_frozen_specs(tables, mesh)
+
+    def place(x, s):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x  # python scalars: static exponents / scales
+        if getattr(x, "dtype", None) == np.float64:
+            # float64 leaves (e.g. att_pos_w's weight scale) are TRACE-TIME
+            # inputs to dyadic table building — they must stay host numpy
+            return x
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(place, tables, specs)
+
+
 def replicate_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), params)

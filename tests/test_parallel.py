@@ -336,3 +336,58 @@ def test_conformer_tp_training_matches_replicated():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
         tp_grads, ref_grads)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_frozen_conformer_tp_bit_identical(mesh_shape):
+    """Frozen integer Conformer under int8-GEMM tensor parallelism
+    (parallel/mesh.py::conformer_frozen_specs): dp x tp output ids and
+    lengths EQUAL single-device — integer adds have no reduction-order
+    drift, so the row-parallel int32 all-reduce is exact."""
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+    from qasr_tpu.parallel.eval import make_sharded_frozen_conformer_forward
+    from qasr_tpu.parallel.mesh import conformer_frozen_specs
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels, preprocessor={"features": 32, "dither": 0.0})
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(4, 16000)) * 0.1).astype(np.float32)
+    alens = np.asarray([16000, 12800, 16000, 9600], np.int32)
+    m.quantize_encoder([(audio, alens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+    lp_ref, el_ref = m.forward(audio, alens)
+    ids_ref = np.argmax(np.asarray(lp_ref), axis=-1)
+
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    specs = conformer_frozen_specs(m.enc_frozen, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    sharded = {".".join(str(getattr(k, "key", getattr(k, "idx", "")))
+                        for k in path) for path, s in flat if s != P()}
+    assert any("ff1_l1.w" in n for n in sharded)
+    assert any("att_out.w" in n for n in sharded)
+
+    fwd = make_sharded_frozen_conformer_forward(m, mesh, shard_channels=True)
+    lp_tp, el_tp = fwd(jnp.asarray(audio), jnp.asarray(alens))
+    np.testing.assert_array_equal(np.asarray(el_tp), np.asarray(el_ref))
+    ids_tp = np.argmax(np.asarray(lp_tp), axis=-1)
+    for i in range(4):
+        n = int(el_ref[i])
+        np.testing.assert_array_equal(ids_tp[i, :n], ids_ref[i, :n])
+    # the log-probs themselves: integer encoder is exact; the float head on
+    # identical int8 encodings is deterministic
+    np.testing.assert_array_equal(np.asarray(lp_tp), np.asarray(lp_ref))
