@@ -270,3 +270,46 @@ class StreamingTransducer(StreamingTranscriber):
             return tok.ids_to_text([int(i) for i in ids])
         labels = list(self.model.cfg.labels)
         return "".join(labels[int(i)] for i in ids)
+
+    def latency_report(self, audio: np.ndarray, **_ignored) -> dict:
+        """Streaming-serving latencies with the greedy DECODE on the clock
+        (encoder chunk + transducer emit loop per chunk) — the transducer
+        counterpart of the CTC streamer's report."""
+        import time
+
+        from qasr_tpu.models.rnnt import greedy_decode_frames, greedy_init
+
+        m = self.model
+        carry = greedy_init(m.params["rnnt"], m.rnnt_cfg, 1)
+        lat: List[float] = []
+        chunks = self._chunks(audio)
+        audio_sec = len(audio) / float(self.sample_rate)
+        t_all0 = time.perf_counter()
+        while True:
+            t0 = time.perf_counter()
+            try:
+                (enc_c,) = next(chunks)
+            except StopIteration:
+                break
+            if len(enc_c):
+                carry = greedy_decode_frames(
+                    m.params["rnnt"], m.rnnt_cfg, enc_c[None],
+                    np.asarray([len(enc_c)]), carry,
+                    self.max_symbols_per_step)
+            lat.append(time.perf_counter() - t0)
+        total = time.perf_counter() - t_all0
+        if not lat:
+            return {"chunks": 0}
+        lat_ms = np.asarray(lat) * 1e3
+        return {
+            "chunks": len(lat),
+            "chunk_audio_s": self.chunk_frames * self.hop / self.sample_rate,
+            "first_chunk_latency_ms": float(lat_ms[0]),
+            "mean_chunk_latency_ms": float(lat_ms.mean()),
+            "p95_chunk_latency_ms": float(np.percentile(lat_ms, 95)),
+            "steady_chunk_latency_ms": float(np.median(lat_ms[1:])
+                                             if len(lat_ms) > 1
+                                             else lat_ms[0]),
+            "streaming_rtfx": audio_sec / total,
+            "text": self._text(carry[2][0]),
+        }

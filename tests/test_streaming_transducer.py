@@ -88,3 +88,22 @@ def test_unbounded_conformer_transducer_cannot_stream():
     m = RNNTModel.conformer_transducer(cfg, ccfg, seed=0)
     with pytest.raises(ValueError):
         StreamingTransducer(m)
+
+
+def test_transducer_latency_report():
+    from tests.test_jasper_model import FEAT, tiny_encoder_cfg
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0,
+                                    "normalize": False})
+    m = RNNTModel.from_config(cfg)
+    rng = np.random.default_rng(0)
+    _trained_ish(m, rng)
+    audio = (rng.normal(size=32000) * 0.1).astype(np.float32)
+    st = StreamingTransducer(m, chunk_frames=64)
+    rep = st.latency_report(audio)
+    assert rep["chunks"] >= 2
+    assert rep["streaming_rtfx"] > 0
+    assert rep["text"] == m.transcribe_greedy(
+        audio[None].copy(), np.asarray([len(audio)], np.int32))[0]
