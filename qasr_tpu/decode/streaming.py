@@ -271,6 +271,52 @@ class StreamingTransducer(StreamingTranscriber):
         labels = list(self.model.cfg.labels)
         return "".join(labels[int(i)] for i in ids)
 
+    def transcribe_batch(self, audio: np.ndarray,
+                         alens: np.ndarray) -> List[str]:
+        """S live sessions advanced together — the serving shape (one
+        (S, win) window batch into the encoder, ONE batched greedy step per
+        tick; the carry is batched, rows advance independently).  Each
+        session's transcript equals its offline transcribe_greedy (the
+        batched emit loop only advances rows that emit).
+
+        audio: (S, L) padded signals; alens: (S,) valid samples.
+        """
+        from qasr_tpu.models.rnnt import greedy_decode_frames, greedy_init
+
+        m = self.model
+        audio = np.asarray(audio)
+        alens = np.asarray(alens)
+        s_n, hop, s = audio.shape[0], self.hop, self.stride
+        n_frames = np.ceil(alens / hop).astype(np.int64)
+        chunk, ctx = self.chunk_frames, self.context_frames
+        win = chunk + 2 * ctx
+        carry = greedy_init(m.params["rnnt"], m.rnnt_cfg, s_n)
+        for start in range(0, int(n_frames.max()), chunk):
+            w0 = max(0, start - ctx)
+            s0 = w0 * hop
+            s1 = min(audio.shape[1], (w0 + win) * hop)
+            seg = audio[:, s0:s1]
+            full = win * hop
+            if seg.shape[1] < full:
+                seg = np.concatenate(
+                    [seg, np.zeros((s_n, full - seg.shape[1]),
+                                   audio.dtype)], axis=1)
+            seg_lens = np.clip(np.minimum(alens, (w0 + win) * hop) - s0,
+                               0, full).astype(np.int32)
+            enc, el = m.encode(seg, seg_lens)
+            enc, el = np.asarray(enc), np.asarray(el)
+            o0 = (start - w0) // s
+            valid_in = np.clip(np.minimum(chunk, n_frames - start), 0, None)
+            o1 = np.minimum(o0 + -(-valid_in // s), el).astype(np.int64)
+            n_valid = np.clip(o1 - o0, 0, None).astype(np.int32)
+            t_max = int(n_valid.max())
+            if t_max == 0:
+                continue
+            carry = greedy_decode_frames(
+                m.params["rnnt"], m.rnnt_cfg, enc[:, o0:o0 + t_max],
+                n_valid, carry, self.max_symbols_per_step)
+        return [self._text(h) for h in carry[2]]
+
     def latency_report(self, audio: np.ndarray, **_ignored) -> dict:
         """Streaming-serving latencies with the greedy DECODE on the clock
         (encoder chunk + transducer emit loop per chunk) — the transducer

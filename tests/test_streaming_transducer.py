@@ -107,3 +107,29 @@ def test_transducer_latency_report():
     assert rep["streaming_rtfx"] > 0
     assert rep["text"] == m.transcribe_greedy(
         audio[None].copy(), np.asarray([len(audio)], np.int32))[0]
+
+
+def test_transducer_streaming_batch_matches_offline():
+    """S sessions advanced per tick with ONE batched encode + ONE batched
+    greedy step: every session's transcript equals its own offline
+    transcribe_greedy (different lengths; rows advance independently)."""
+    from tests.test_jasper_model import FEAT, tiny_encoder_cfg
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0,
+                                    "normalize": False})
+    m = RNNTModel.from_config(cfg)
+    rng = np.random.default_rng(0)
+    _trained_ish(m, rng)
+    lens = np.asarray([48000, 31000, 40000], np.int32)
+    audio = np.zeros((3, 48000), np.float32)
+    for i, n in enumerate(lens):
+        audio[i, :n] = (rng.normal(size=int(n)) * 0.1).astype(np.float32)
+
+    offline = [m.transcribe_greedy(audio[i:i + 1, : int(lens[i])].copy(),
+                                   lens[i:i + 1])[0] for i in range(3)]
+    st = StreamingTransducer(m, chunk_frames=64)
+    batch = st.transcribe_batch(audio, lens)
+    assert batch == offline
+    assert any(offline)  # at least one non-empty hypothesis
