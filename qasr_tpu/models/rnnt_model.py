@@ -41,6 +41,7 @@ class RNNTModel:
     enc_qcfg: Any = None           # ConformerQuantConfig after quantize_encoder
     enc_qstate: Any = None         # calibrated QuantAct ranges (host numpy)
     enc_frozen: Any = None         # dyadic tables after freeze_encoder()
+    dec_frozen: Any = None         # integer pred+joint after freeze_decoder()
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, rnnt_cfg: Optional[RNNTConfig] = None,
@@ -145,6 +146,25 @@ class RNNTModel:
                                            self.enc_qcfg, self.enc_qstate)
         self._q_version = getattr(self, "_q_version", 0) + 1
         return self.enc_frozen
+
+    def freeze_decoder(self, calib_batches, weight_bit: int = 8):
+        """Freeze the pred-net + joint to integer arithmetic
+        (quantize/rnnt_freeze.py: int8 GEMMs, i-sigmoid/i-tanh gates,
+        fixed-point cell state).  With a frozen Conformer encoder this
+        makes the whole serving transducer integer-only — a capability the
+        reference lacks entirely (its RNNT stack is float).  calib_batches
+        (audio, alens) provide the two data-dependent ranges (encoder
+        output + pre-relu joint hidden) via a float greedy pass."""
+        from qasr_tpu.quantize.rnnt_freeze import (
+            calibrate_decoder_ranges, freeze_rnnt_decoder,
+        )
+
+        enc_range, joint_range = calibrate_decoder_ranges(self, calib_batches)
+        self.dec_frozen = freeze_rnnt_decoder(
+            self.params["rnnt"], self.rnnt_cfg, enc_range=enc_range,
+            joint_range=joint_range, weight_bit=weight_bit)
+        self._q_version = getattr(self, "_q_version", 0) + 1
+        return self.dec_frozen
 
     def _encode(self, params, feats, feat_lens, train=False, rng=None):
         if self.encoder_kind == "conformer":
@@ -292,7 +312,14 @@ class RNNTModel:
 
     def transcribe_greedy(self, audio, alens) -> List[str]:
         enc, enc_lens = self.encode(audio, alens)
-        hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc, enc_lens)
+        if self.dec_frozen is not None:
+            from qasr_tpu.quantize.rnnt_freeze import greedy_decode_frozen
+
+            hyps = greedy_decode_frozen(self.dec_frozen, self.rnnt_cfg,
+                                        enc, enc_lens)
+        else:
+            hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc,
+                                 enc_lens)
         labels = list(self.cfg.labels)
         return ["".join(labels[i] for i in h) for h in hyps]
 
