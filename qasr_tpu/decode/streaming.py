@@ -248,18 +248,36 @@ class StreamingTransducer(StreamingTranscriber):
                                     np.asarray([seg_len], np.int32))
         return (np.asarray(enc)[0],), int(el[0])
 
-    def transcribe(self, audio: np.ndarray,
-                   partials: Optional[List[str]] = None) -> str:
+    def _decoder_fns(self):
+        """(init(batch) -> carry, frames(enc, lens, carry) -> carry) for
+        the model's active decoder: the frozen integer pred+joint
+        (quantize/rnnt_freeze.py) when freeze_decoder has run, else the
+        float pred-net — streaming follows the model's serving mode."""
+        m = self.model
+        if getattr(m, "dec_frozen", None) is not None:
+            from qasr_tpu.quantize.rnnt_freeze import (
+                frozen_decoder_init, greedy_decode_frames_frozen,
+            )
+
+            return (lambda b: frozen_decoder_init(m.dec_frozen, m.rnnt_cfg,
+                                                  b),
+                    lambda enc, lens, carry: greedy_decode_frames_frozen(
+                        m.dec_frozen, m.rnnt_cfg, enc, lens, carry,
+                        self.max_symbols_per_step))
         from qasr_tpu.models.rnnt import greedy_decode_frames, greedy_init
 
-        m = self.model
-        carry = greedy_init(m.params["rnnt"], m.rnnt_cfg, 1)
+        return (lambda b: greedy_init(m.params["rnnt"], m.rnnt_cfg, b),
+                lambda enc, lens, carry: greedy_decode_frames(
+                    m.params["rnnt"], m.rnnt_cfg, enc, lens, carry,
+                    self.max_symbols_per_step))
+
+    def transcribe(self, audio: np.ndarray,
+                   partials: Optional[List[str]] = None) -> str:
+        init, frames = self._decoder_fns()
+        carry = init(1)
         for (enc_c,) in self._chunks(audio):
             if len(enc_c):
-                carry = greedy_decode_frames(
-                    m.params["rnnt"], m.rnnt_cfg, enc_c[None],
-                    np.asarray([len(enc_c)]), carry,
-                    self.max_symbols_per_step)
+                carry = frames(enc_c[None], np.asarray([len(enc_c)]), carry)
             if partials is not None:
                 partials.append(self._text(carry[2][0]))
         return self._text(carry[2][0])
@@ -281,16 +299,15 @@ class StreamingTransducer(StreamingTranscriber):
 
         audio: (S, L) padded signals; alens: (S,) valid samples.
         """
-        from qasr_tpu.models.rnnt import greedy_decode_frames, greedy_init
-
         m = self.model
+        init, frames = self._decoder_fns()
         audio = np.asarray(audio)
         alens = np.asarray(alens)
         s_n, hop, s = audio.shape[0], self.hop, self.stride
         n_frames = np.ceil(alens / hop).astype(np.int64)
         chunk, ctx = self.chunk_frames, self.context_frames
         win = chunk + 2 * ctx
-        carry = greedy_init(m.params["rnnt"], m.rnnt_cfg, s_n)
+        carry = init(s_n)
         for start in range(0, int(n_frames.max()), chunk):
             w0 = max(0, start - ctx)
             s0 = w0 * hop
@@ -312,9 +329,7 @@ class StreamingTransducer(StreamingTranscriber):
             t_max = int(n_valid.max())
             if t_max == 0:
                 continue
-            carry = greedy_decode_frames(
-                m.params["rnnt"], m.rnnt_cfg, enc[:, o0:o0 + t_max],
-                n_valid, carry, self.max_symbols_per_step)
+            carry = frames(enc[:, o0:o0 + t_max], n_valid, carry)
         return [self._text(h) for h in carry[2]]
 
     def latency_report(self, audio: np.ndarray, **_ignored) -> dict:
@@ -323,10 +338,8 @@ class StreamingTransducer(StreamingTranscriber):
         counterpart of the CTC streamer's report."""
         import time
 
-        from qasr_tpu.models.rnnt import greedy_decode_frames, greedy_init
-
-        m = self.model
-        carry = greedy_init(m.params["rnnt"], m.rnnt_cfg, 1)
+        init, frames = self._decoder_fns()
+        carry = init(1)
         lat: List[float] = []
         chunks = self._chunks(audio)
         audio_sec = len(audio) / float(self.sample_rate)
@@ -338,10 +351,7 @@ class StreamingTransducer(StreamingTranscriber):
             except StopIteration:
                 break
             if len(enc_c):
-                carry = greedy_decode_frames(
-                    m.params["rnnt"], m.rnnt_cfg, enc_c[None],
-                    np.asarray([len(enc_c)]), carry,
-                    self.max_symbols_per_step)
+                carry = frames(enc_c[None], np.asarray([len(enc_c)]), carry)
             lat.append(time.perf_counter() - t0)
         total = time.perf_counter() - t_all0
         if not lat:

@@ -153,3 +153,30 @@ def test_full_integer_transducer():
     out = m.transcribe_greedy(audio, alens)
     assert len(out) == 2 and all(isinstance(t, str) for t in out)
     assert m.transcribe_greedy(audio, alens) == out
+
+
+def test_frozen_decoder_streaming_matches_offline():
+    """StreamingTransducer follows the model's serving mode: with a frozen
+    integer decoder, streamed transcripts equal offline frozen-decoder
+    transcripts (the integer carry persists across chunks)."""
+    from qasr_tpu.decode.streaming import StreamingTransducer
+
+    m, audio = _trained_transducer()
+    # streaming needs normalize off for exact stitching
+    from qasr_tpu.models.config import DecoderConfig, ModelConfig
+    from qasr_tpu.models.rnnt_model import RNNTModel
+    from tests.test_jasper_model import FEAT, tiny_encoder_cfg
+
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=28),
+                      preprocessor={"features": FEAT, "dither": 0.0,
+                                    "normalize": False})
+    m2 = RNNTModel.from_config(cfg)
+    m2.params = m.params  # trained weights, normalization-free frontend
+    rng = np.random.default_rng(7)
+    long_audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
+    alens = np.asarray([48000], np.int32)
+    m2.freeze_decoder([(long_audio[None], alens)])
+    offline = m2.transcribe_greedy(long_audio[None].copy(), alens)[0]
+    st = StreamingTransducer(m2, chunk_frames=64)
+    assert st.transcribe(long_audio) == offline
