@@ -28,15 +28,11 @@ from __future__ import annotations
 
 import json
 import os
-import wave
 from argparse import ArgumentParser
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
-
-def wav_duration(path: str) -> float:
-    with wave.open(path, "rb") as w:
-        return w.getnframes() / float(w.getframerate())
+from qasr_tpu.cli.prepare_data import wav_duration  # one shared helper
 
 
 def _write_manifest(path: str, rows: Sequence[dict]) -> None:
@@ -251,8 +247,8 @@ def process_speech_commands(data_folder: str, dst_folder: str,
         mean_count = (sum(known_counts) // max(len(known_counts), 1)) or 1
         rng.shuffle(unknown_val)
         rng.shuffle(unknown_test)
-        val += unknown_val[:mean_count // 10 or len(unknown_val)]
-        test += unknown_test[:mean_count // 10 or len(unknown_test)]
+        val += unknown_val[:max(1, mean_count // 10)]
+        test += unknown_test[:max(1, mean_count // 10)]
 
     if rebalance:
         max_count = max(len(v) for v in label_filepaths.values())

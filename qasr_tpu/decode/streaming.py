@@ -96,6 +96,22 @@ class StreamingTranscriber:
         self.hop = fcfg.hop_length
         self.sample_rate = fcfg.sample_rate
 
+    def _windows(self, n_samples: int):
+        """Window geometry shared by every streaming path: yields
+        (start, w0, s0, s1, o0) per chunk — the window anchors inside the
+        real signal (the first chunk keeps the utterance's own start so
+        STFT reflect-padding and conv zero-padding match the
+        full-utterance computation exactly)."""
+        hop = self.hop
+        n_frames = int(math.ceil(n_samples / hop))
+        chunk, ctx = self.chunk_frames, self.context_frames
+        win = chunk + 2 * ctx
+        for start in range(0, n_frames, chunk):
+            w0 = max(0, start - ctx)
+            s0 = w0 * hop
+            s1 = min(n_samples, (w0 + win) * hop)
+            yield start, w0, s0, s1, (start - w0) // self.stride
+
     def _chunks(self, audio: np.ndarray):
         """Yield per-chunk (log_probs, greedy_ids) for the valid center
         region of each window — concatenated they equal the full-utterance
@@ -103,22 +119,14 @@ class StreamingTranscriber:
         hop, s = self.hop, self.stride
         n_frames = int(math.ceil(len(audio) / hop))
         chunk, ctx = self.chunk_frames, self.context_frames
-        win = chunk + 2 * ctx
-        for start in range(0, n_frames, chunk):
-            # anchor windows inside the real signal: the first chunk keeps
-            # the utterance's own start so STFT reflect-padding and conv
-            # zero-padding match the full-utterance computation exactly
-            w0 = max(0, start - ctx)
-            s0 = w0 * hop
-            s1 = min(len(audio), (w0 + win) * hop)
+        full = (chunk + 2 * ctx) * hop
+        for start, w0, s0, s1, o0 in self._windows(len(audio)):
             seg = audio[s0:s1]
-            full = win * hop
             if len(seg) < full:
                 seg = np.concatenate([seg, np.zeros(full - len(seg), audio.dtype)])
             seg_len = s1 - s0
             vals, el0 = self._window_forward(seg, seg_len)
             # valid center region: input frames [start, start+chunk)
-            o0 = (start - w0) // s
             valid_in = min(chunk, n_frames - start)
             o1 = o0 + -(-valid_in // s)
             o1 = min(o1, el0)
@@ -248,6 +256,16 @@ class StreamingTransducer(StreamingTranscriber):
                                     np.asarray([seg_len], np.int32))
         return (np.asarray(enc)[0],), int(el[0])
 
+    def predictions(self, audio: np.ndarray):
+        raise NotImplementedError(
+            "transducers have no frame-wise greedy ids; use transcribe / "
+            "transcribe_batch")
+
+    def transcribe_beam(self, audio: np.ndarray, *a, **k):
+        raise NotImplementedError(
+            "CTC streaming beam search does not apply to transducers; use "
+            "RNNTModel.transcribe_beam offline or transcribe() here")
+
     def _decoder_fns(self):
         """(init(batch) -> carry, frames(enc, lens, carry) -> carry) for
         the model's active decoder: the frozen integer pred+joint
@@ -306,23 +324,20 @@ class StreamingTransducer(StreamingTranscriber):
         s_n, hop, s = audio.shape[0], self.hop, self.stride
         n_frames = np.ceil(alens / hop).astype(np.int64)
         chunk, ctx = self.chunk_frames, self.context_frames
-        win = chunk + 2 * ctx
+        full = (chunk + 2 * ctx) * hop
         carry = init(s_n)
-        for start in range(0, int(n_frames.max()), chunk):
-            w0 = max(0, start - ctx)
-            s0 = w0 * hop
-            s1 = min(audio.shape[1], (w0 + win) * hop)
+        # geometry from the SAME iterator the per-session path uses, sized
+        # by the longest stream (shorter rows mask out via n_valid)
+        for start, w0, s0, s1, o0 in self._windows(int(alens.max())):
             seg = audio[:, s0:s1]
-            full = win * hop
             if seg.shape[1] < full:
                 seg = np.concatenate(
                     [seg, np.zeros((s_n, full - seg.shape[1]),
                                    audio.dtype)], axis=1)
-            seg_lens = np.clip(np.minimum(alens, (w0 + win) * hop) - s0,
+            seg_lens = np.clip(np.minimum(alens, s0 + full) - s0,
                                0, full).astype(np.int32)
             enc, el = m.encode(seg, seg_lens)
             enc, el = np.asarray(enc), np.asarray(el)
-            o0 = (start - w0) // s
             valid_in = np.clip(np.minimum(chunk, n_frames - start), 0, None)
             o1 = np.minimum(o0 + -(-valid_in // s), el).astype(np.int64)
             n_valid = np.clip(o1 - o0, 0, None).astype(np.int32)
@@ -332,10 +347,14 @@ class StreamingTransducer(StreamingTranscriber):
             carry = frames(enc[:, o0:o0 + t_max], n_valid, carry)
         return [self._text(h) for h in carry[2]]
 
-    def latency_report(self, audio: np.ndarray, **_ignored) -> dict:
+    def latency_report(self, audio: np.ndarray, beam: bool = False,
+                       **beam_kwargs) -> dict:
         """Streaming-serving latencies with the greedy DECODE on the clock
         (encoder chunk + transducer emit loop per chunk) — the transducer
         counterpart of the CTC streamer's report."""
+        if beam or beam_kwargs:
+            raise NotImplementedError("transducer streaming is greedy; the "
+                                      "beam options are CTC-only")
         import time
 
         init, frames = self._decoder_fns()

@@ -310,16 +310,20 @@ class RNNTModel:
             model.tokenizer = BPETokenizer(artifacts[meta["tokenizer"]])
         return model
 
-    def transcribe_greedy(self, audio, alens) -> List[str]:
-        enc, enc_lens = self.encode(audio, alens)
+    def _greedy_hyps(self, enc, enc_lens) -> List[List[int]]:
+        """Greedy hypothesis ids through the serving decoder: the frozen
+        integer pred+joint when freeze_decoder has run, else float."""
         if self.dec_frozen is not None:
             from qasr_tpu.quantize.rnnt_freeze import greedy_decode_frozen
 
-            hyps = greedy_decode_frozen(self.dec_frozen, self.rnnt_cfg,
+            return greedy_decode_frozen(self.dec_frozen, self.rnnt_cfg,
                                         enc, enc_lens)
-        else:
-            hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc,
-                                 enc_lens)
+        return greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc,
+                             enc_lens)
+
+    def transcribe_greedy(self, audio, alens) -> List[str]:
+        enc, enc_lens = self.encode(audio, alens)
+        hyps = self._greedy_hyps(enc, enc_lens)
         labels = list(self.cfg.labels)
         return ["".join(labels[i] for i in h) for h in hyps]
 
@@ -369,8 +373,7 @@ class EncDecRNNTBPEModel(RNNTModel):
 
     def transcribe_greedy(self, audio, alens) -> List[str]:
         enc, enc_lens = self.encode(audio, alens)
-        hyps = greedy_decode(self.params["rnnt"], self.rnnt_cfg, enc, enc_lens)
-        return [self._detok(h) for h in hyps]
+        return [self._detok(h) for h in self._greedy_hyps(enc, enc_lens)]
 
     def transcribe_beam(self, audio, alens, beam_size: int = 4,
                         search_type: str = "beam", **beam_kwargs) -> List[str]:

@@ -67,8 +67,7 @@ def _weight_grad(x, ct, k_size: int, stride: int, padding, dilation: int,
     def dw_at(start):
         sl = jax.lax.dynamic_slice_in_dim(xp, start, span, axis=1)
         sl = sl[:, ::stride, :].reshape(b_sz, t_out, groups, cin_pg)
-        return jnp.einsum("btgi,btgo->gio", sl, ct_g,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("btgi,btgo->gio", sl, ct_g, precision=precision)
 
     if k_size <= 16:
         dw = jnp.stack([dw_at(k * dilation) for k in range(k_size)])

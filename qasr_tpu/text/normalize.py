@@ -159,6 +159,13 @@ def _make_re(inner: str, flags: int = 0) -> "re.Pattern[str]":
     return re.compile(rf"{_LEFT}(?P<value>{inner}){_RIGHT}", flags)
 
 
+def _lower_preserving(text: str) -> str:
+    """Length-preserving lowercase: characters whose lowercase expands to
+    more than one code point (e.g. 'İ' -> 'i̇') keep their original form so
+    tag spans computed on the lowered string slice the ORIGINAL correctly."""
+    return "".join(c.lower() if len(c.lower()) == 1 else c for c in text)
+
+
 def _finditer_overlapped(pattern: "re.Pattern[str]", text: str):
     """regex.finditer(..., overlapped=True) emulation: after each match,
     resume scanning one character past the value start, so a boundary
@@ -229,7 +236,7 @@ RE_MEASURE3 = _make_re(
 RE_TIME = _make_re(
     rf"(?P<hour>{_HOUR}):(?P<minutes>{_MINUTES})\s?(?P<suffix>{_TIME_SUFFIX})?")
 RE_TIME3 = _make_re(
-    rf"(?P<hour>{_HOUR}).(?P<minutes>{_MINUTES})\s?(?P<suffix>{_TIME_SUFFIX})")
+    rf"(?P<hour>{_HOUR})\.(?P<minutes>{_MINUTES})\s?(?P<suffix>{_TIME_SUFFIX})")
 RE_TIME2 = _make_re(rf"(?P<hour>{_HOUR})\s?(?P<suffix>{_TIME_SUFFIX})")
 
 
@@ -354,20 +361,20 @@ def tag_whitelist(text: str) -> List[Tag]:
 
 
 def tag_money(text: str) -> List[Tag]:
-    low = text.lower()
+    low = _lower_preserving(text)
     return (_re_tags(low, "MONEY", expand_money, RE_MONEY_MAGNITUDE)
             + _re_tags(low, "MONEY", expand_money, RE_MONEY))
 
 
 def tag_measure(text: str) -> List[Tag]:
-    low = text.lower()
+    low = _lower_preserving(text)
     return (_re_tags(low, "MEASURE", expand_measurement, RE_MEASURE3)
             + _re_tags(low, "MEASURE", expand_measurement, RE_MEASURE2)
             + _re_tags(low, "MEASURE", expand_measurement, RE_MEASURE))
 
 
 def tag_time(text: str) -> List[Tag]:
-    low = text.lower()
+    low = _lower_preserving(text)
     return (_re_tags(low, "TIME", expand_time, RE_TIME)
             + _re_tags(low, "TIME", expand_time, RE_TIME3)
             + _re_tags(low, "TIME", expand_time, RE_TIME2))

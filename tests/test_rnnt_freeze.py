@@ -180,3 +180,43 @@ def test_frozen_decoder_streaming_matches_offline():
     offline = m2.transcribe_greedy(long_audio[None].copy(), alens)[0]
     st = StreamingTransducer(m2, chunk_frames=64)
     assert st.transcribe(long_audio) == offline
+
+
+def test_bpe_transducer_uses_frozen_decoder(tmp_path):
+    """EncDecRNNTBPEModel.transcribe_greedy must route through the frozen
+    integer decoder too (review finding: the BPE override bypassed it)."""
+    from qasr_tpu.data.tokenizers import BPETokenizer
+    from qasr_tpu.models.rnnt_model import EncDecRNNTBPEModel
+    from qasr_tpu.quantize import rnnt_freeze
+    from tests.test_jasper_model import FEAT, tiny_encoder_cfg
+    from qasr_tpu.models.config import DecoderConfig, ModelConfig
+
+    from qasr_tpu.models.rnnt import RNNTConfig
+
+    tok = BPETokenizer.train(["abba cab cabba bac"] * 10, vocab_size=24,
+                             save_path=str(tmp_path / "tok.json"))
+    cfg = ModelConfig(encoder=tiny_encoder_cfg(),
+                      decoder=DecoderConfig(feat_in=40, num_classes=1),
+                      preprocessor={"features": FEAT, "dither": 0.0})
+    rnnt_cfg = RNNTConfig(num_classes=tok.vocab_size, enc_hidden=40,
+                          pred_hidden=16, joint_hidden=16)
+    m = EncDecRNNTBPEModel.from_config_and_tokenizer(cfg, tok,
+                                                     rnnt_cfg=rnnt_cfg,
+                                                     seed=2)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(1, 4000)) * 0.1).astype(np.float32)
+    alens = np.asarray([4000], np.int32)
+    m.freeze_decoder([(audio, alens)])
+    calls = {"n": 0}
+    orig = rnnt_freeze.greedy_decode_frozen
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    rnnt_freeze.greedy_decode_frozen = spy
+    try:
+        m.transcribe_greedy(audio, alens)
+    finally:
+        rnnt_freeze.greedy_decode_frozen = orig
+    assert calls["n"] == 1

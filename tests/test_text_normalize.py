@@ -43,6 +43,10 @@ from qasr_tpu.text.normalize import (
     ("Meet at 1:00", "Meet at one o'clock"),
     ("at 10:05 am", "at ten o five a m"),
     ("at 14:59 p.m. sharp", "at fourteen fifty nine p m sharp"),
+    ("at 14.59 pm sharp", "at fourteen fifty nine p m sharp"),
+    # the dotted-time separator is escaped: '1230 pm' must NOT parse as a
+    # 3-char time (it reads as a year/cardinal instead)
+    ("at 1230 pm we left", "at twelve thirty pm we left"),
     # date (tagger.py:308-327)
     ("born Aug. 4 1999 .", "born August fourth nineteen ninety nine ."),
     ("on 2010-01-31 it snowed",
