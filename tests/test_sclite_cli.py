@@ -47,3 +47,50 @@ def test_sclite_cli_end_to_end(tmp_path, monkeypatch):
     assert len(hyp_lines) == 2 and len(ref_lines) == 2
     assert ref_lines[0].endswith("(utt0)") and "hello world" in ref_lines[0]
     assert hyp_lines[1].endswith("(utt1)")
+
+
+def test_conformer_infer_cli(tmp_path):
+    """cli/conformer_infer.py: restore -> calibrate (real audio) -> freeze
+    -> integer evaluate -> WER (the inference.py workflow for the
+    Conformer family)."""
+    import json
+
+    import numpy as np
+
+    from qasr_tpu.cli.conformer_infer import main
+    from qasr_tpu.data.audio import write_wav
+    from qasr_tpu.models.config import (
+        DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(2):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), rng.standard_normal(8000).astype(np.float32)
+                  * 0.05, 16000)
+        rows.append({"audio_filepath": str(p), "duration": 0.5,
+                     "text": "ab"})
+    man = tmp_path / "m.json"
+    man.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(encoder=EncoderConfig(feat_in=32, blocks=[]),
+                      decoder=DecoderConfig(feat_in=64,
+                                            num_classes=len(labels)),
+                      labels=labels,
+                      preprocessor={"features": 32, "dither": 0.0})
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16,
+                           conv_kernel_size=9, dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    ckpt = tmp_path / "model.qasr"
+    m.save_to(str(ckpt))
+
+    wer = main(["--restore", str(ckpt), "--dataset", str(man),
+                "--calib_manifest", str(man), "--num_calib_batch", "1",
+                "--freeze", "--batch_size", "2"])
+    assert np.isfinite(wer)
