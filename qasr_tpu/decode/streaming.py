@@ -23,28 +23,54 @@ import numpy as np
 from qasr_tpu.models.jasper import EncoderPlan
 
 
-def receptive_field_conformer(ccfg) -> Tuple[int, int]:
-    """(receptive field in mel frames, total stride) of a Conformer encoder
-    with LOCAL attention (att_context_size >= 0); unbounded attention has
-    no finite field and cannot stream exactly."""
-    if ccfg.att_context_size is None or ccfg.att_context_size < 0:
+def receptive_field_conformer_lr(ccfg) -> Tuple[int, int, int]:
+    """(left field, right field, total stride) in mel frames of a Conformer
+    with LOCAL attention.  With causal convs + att_context (L, 0) the right
+    field is just the subsampler's few frames — the zero-lookahead
+    streaming configuration."""
+    left_att, right_att = ccfg.att_context
+    if left_att < 0 or right_att < 0:
         raise ValueError("conformer streaming needs a finite receptive "
                          "field: set ConformerConfig.att_context_size")
     import math as _m
 
-    rf, st = 1, 1
+    sub, st = 0, 1
     n_sub = int(_m.log2(ccfg.subsampling_factor)) if ccfg.subsampling else 0
     for _ in range(n_sub):
         if ccfg.subsampling == "vggnet":
-            rf += 2 * st + 2 * st  # two k=3 s=1 convs
-            rf += 1 * st           # maxpool k=2
+            sub += 2 * st + 2 * st  # two k=3 s=1 convs
+            sub += 1 * st           # maxpool k=2
             st *= 2
         else:
-            rf += 2 * st           # k=3 s=2 valid conv
+            sub += 2 * st           # k=3 s=2 valid conv
             st *= 2
-    per_layer = 2 * ccfg.att_context_size + (ccfg.conv_kernel_size - 1)
-    rf += ccfg.n_layers * per_layer * st
-    return rf, st
+    dw_l, dw_r = ccfg.dw_padding
+    rf_l = sub + ccfg.n_layers * (left_att + dw_l) * st
+    rf_r = sub + ccfg.n_layers * (right_att + dw_r) * st
+    return rf_l, rf_r, st
+
+
+def receptive_field_conformer(ccfg) -> Tuple[int, int]:
+    """(total receptive field, total stride): 1 + subsampler span +
+    per-layer (attention left+right + dw taps-1) x stride."""
+    left_att, right_att = ccfg.att_context
+    if left_att < 0 or right_att < 0:
+        raise ValueError("conformer streaming needs a finite receptive "
+                         "field: set ConformerConfig.att_context_size")
+    import math as _m
+
+    sub, st = 0, 1
+    n_sub = int(_m.log2(ccfg.subsampling_factor)) if ccfg.subsampling else 0
+    for _ in range(n_sub):
+        if ccfg.subsampling == "vggnet":
+            sub += 2 * st + 2 * st + 1 * st
+            st *= 2
+        else:
+            sub += 2 * st
+            st *= 2
+    dw_l, dw_r = ccfg.dw_padding
+    per_layer = (left_att + right_att + dw_l + dw_r)
+    return 1 + sub + ccfg.n_layers * per_layer * st, st
 
 
 def receptive_field(plan: EncoderPlan) -> Tuple[int, int]:
@@ -72,6 +98,12 @@ class StreamingTranscriber:
     model: "ASRModel"  # noqa: F821
     chunk_frames: int = 1600          # 16 s of frames per step
     context_frames: Optional[int] = None  # default: half the receptive field
+    # asymmetric contexts (default: symmetric = context_frames).  A causal
+    # conformer (att_context (L, 0) + causal_conv) gets context_right ~ the
+    # subsampler/STFT edge only — ZERO model lookahead: the added serving
+    # latency is one chunk, not chunk + half a receptive field.
+    context_left: Optional[int] = None
+    context_right: Optional[int] = None
 
     def __post_init__(self):
         # Conformer encoders (ConformerCTC.ccfg / RNNTModel.plan with
@@ -81,20 +113,43 @@ class StreamingTranscriber:
         if ccfg is None and getattr(self.model, "encoder_kind",
                                     "") == "conformer":
             ccfg = self.model.plan
+        rf_lr = None
         if ccfg is not None:
             self.rf, self.stride = receptive_field_conformer(ccfg)
+            rf_lr = receptive_field_conformer_lr(ccfg)
         else:
             self.rf, self.stride = receptive_field(self.model.plan)
         quantum = 16 * self.stride
         fcfg = self.model.frontend.cfg
         # STFT center-padding makes ~n_fft/(2*hop) edge frames window-local
         stft_edge = -(-fcfg.n_fft // (2 * fcfg.hop_length)) + 1
+
+        def up(v):
+            return -(-v // quantum) * quantum
+
         if self.context_frames is None:
-            self.context_frames = -(-(self.rf // 2 + stft_edge) // quantum) * quantum
-        self.chunk_frames = max(-(-self.chunk_frames // quantum) * quantum, quantum)
-        self.context_frames = -(-self.context_frames // quantum) * quantum
+            self.context_frames = up(self.rf // 2 + stft_edge)
+        else:
+            self.context_frames = up(self.context_frames)
+        if self.context_left is None:
+            self.context_left = (up(rf_lr[0] + stft_edge) if rf_lr
+                                 else self.context_frames)
+        else:
+            self.context_left = up(self.context_left)
+        if self.context_right is None:
+            self.context_right = (up(rf_lr[1] + stft_edge) if rf_lr
+                                  else self.context_frames)
+        else:
+            self.context_right = up(self.context_right)
+        self.chunk_frames = max(up(self.chunk_frames), quantum)
         self.hop = fcfg.hop_length
         self.sample_rate = fcfg.sample_rate
+
+    @property
+    def lookahead_frames(self) -> int:
+        """Mel frames of FUTURE audio each chunk's outputs wait for — the
+        added latency beyond the chunk itself."""
+        return self.context_right
 
     def _windows(self, n_samples: int):
         """Window geometry shared by every streaming path: yields
@@ -104,10 +159,10 @@ class StreamingTranscriber:
         full-utterance computation exactly)."""
         hop = self.hop
         n_frames = int(math.ceil(n_samples / hop))
-        chunk, ctx = self.chunk_frames, self.context_frames
-        win = chunk + 2 * ctx
+        chunk = self.chunk_frames
+        win = self.context_left + chunk + self.context_right
         for start in range(0, n_frames, chunk):
-            w0 = max(0, start - ctx)
+            w0 = max(0, start - self.context_left)
             s0 = w0 * hop
             s1 = min(n_samples, (w0 + win) * hop)
             yield start, w0, s0, s1, (start - w0) // self.stride
@@ -118,8 +173,8 @@ class StreamingTranscriber:
         outputs (receptive-field context on both sides)."""
         hop, s = self.hop, self.stride
         n_frames = int(math.ceil(len(audio) / hop))
-        chunk, ctx = self.chunk_frames, self.context_frames
-        full = (chunk + 2 * ctx) * hop
+        chunk = self.chunk_frames
+        full = (self.context_left + chunk + self.context_right) * hop
         for start, w0, s0, s1, o0 in self._windows(len(audio)):
             seg = audio[s0:s1]
             if len(seg) < full:
@@ -323,8 +378,8 @@ class StreamingTransducer(StreamingTranscriber):
         alens = np.asarray(alens)
         s_n, hop, s = audio.shape[0], self.hop, self.stride
         n_frames = np.ceil(alens / hop).astype(np.int64)
-        chunk, ctx = self.chunk_frames, self.context_frames
-        full = (chunk + 2 * ctx) * hop
+        chunk = self.chunk_frames
+        full = (self.context_left + chunk + self.context_right) * hop
         carry = init(s_n)
         # geometry from the SAME iterator the per-session path uses, sized
         # by the longest stream (shorter rows mask out via n_valid)

@@ -44,14 +44,35 @@ class ConformerConfig:
     xscaling: bool = True
     untie_biases: bool = False
     conv_kernel_size: int = 31
-    # local (limited-context) self-attention: each frame attends to at most
-    # att_context_size frames on each side (-1 = unlimited).  Bounds the
-    # encoder's receptive field for streaming/long-form serving; NeMo's
-    # later conformers ship the same knob (absent in the reference).
-    att_context_size: int = -1
+    # local (limited-context) self-attention: an int bounds BOTH sides, a
+    # (left, right) pair bounds them separately — (L, 0) + causal_conv is
+    # the zero-lookahead cache-aware streaming configuration NeMo's
+    # streaming conformers use (-1 = unlimited).  Bounds the encoder's
+    # receptive field for streaming/long-form serving (absent upstream).
+    att_context_size: Any = -1
+    # causal depthwise convs: all (k-1) pad on the left — no conv
+    # lookahead, required for zero-lookahead streaming
+    causal_conv: bool = False
     dropout: float = 0.1
     dropout_emb: float = 0.1
     dropout_att: float = 0.0
+
+    @property
+    def att_context(self) -> Tuple[int, int]:
+        """(left, right) attention context; (-1, -1) = unlimited."""
+        v = self.att_context_size
+        if v is None:
+            return (-1, -1)
+        if isinstance(v, (tuple, list)):
+            left, right = int(v[0]), int(v[1])
+            return (left, right)
+        return (int(v), int(v))
+
+    @property
+    def dw_padding(self) -> Tuple[int, int]:
+        k = self.conv_kernel_size
+        return (k - 1, 0) if self.causal_conv else ((k - 1) // 2,
+                                                    (k - 1) // 2)
 
     @property
     def d_ff(self) -> int:
@@ -166,14 +187,27 @@ def _swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-def attention_mask(valid: Array, att_context_size: int) -> Array:
-    """True = masked: padding pairs, plus |i-j| > att_context_size when
-    local attention is enabled."""
+def attention_mask(valid: Array, att_context_size) -> Array:
+    """True = masked: padding pairs, plus out-of-context pairs when local
+    attention is enabled.  att_context_size: int (symmetric), (left, right)
+    pair, or -1/None (unlimited); query i may attend key j iff
+    -right <= i - j <= left."""
     t = valid.shape[1]
     mask = ~(valid[:, :, None] & valid[:, None, :])
-    if att_context_size is not None and att_context_size >= 0:
-        idx = jnp.arange(t)
-        far = jnp.abs(idx[:, None] - idx[None, :]) > att_context_size
+    if isinstance(att_context_size, (tuple, list)):
+        left, right = int(att_context_size[0]), int(att_context_size[1])
+    elif att_context_size is None:
+        left = right = -1
+    else:
+        left = right = int(att_context_size)
+    idx = jnp.arange(t)
+    diff = idx[:, None] - idx[None, :]   # i - j
+    far = jnp.zeros((t, t), bool)
+    if left >= 0:
+        far = far | (diff > left)
+    if right >= 0:
+        far = far | (-diff > right)
+    if left >= 0 or right >= 0:
         mask = mask | far[None]
     return mask
 
@@ -280,7 +314,8 @@ def abs_attention(p, x: Array, att_mask: Array, n_heads: int) -> Array:
 
 
 def conformer_conv_module(p, x: Array, pad_mask: Array,
-                          stats_out: Optional[list] = None) -> Array:
+                          stats_out: Optional[list] = None,
+                          padding: Optional[Tuple[int, int]] = None) -> Array:
     """pw1 -> GLU -> mask -> depthwise -> BN(eval) -> swish -> pw2
     (conformer_modules.py:150-166).  `stats_out`, if given, collects the
     pre-BN depthwise output's per-channel batch (mean, var) — the BN
@@ -295,7 +330,9 @@ def conformer_conv_module(p, x: Array, pad_mask: Array,
     # grouped-conv WEIGHT grads under dp sharding on a multi-axis mesh
     from qasr_tpu.ops.grouped_conv import grouped_conv1d
 
-    y = grouped_conv1d(y, p["dw"]["w"], 1, ((k - 1) // 2, (k - 1) // 2),
+    if padding is None:
+        padding = ((k - 1) // 2, (k - 1) // 2)
+    y = grouped_conv1d(y, p["dw"]["w"], 1, padding,
                        1, y.shape[-1], HI, None) + p["dw"]["b"]
     if stats_out is not None:
         # pad-masked batch statistics (padded frames hold bias values,
@@ -361,7 +398,8 @@ def conformer_encoder_apply(params, cfg: ConformerConfig, x: Array, lens: Array,
         x = dropout(y, cfg.dropout) + r
         r = x
         y = conformer_conv_module(lp["conv"], _layer_norm(lp["norm_conv"], x),
-                                  pad_mask, stats_out=bn_stats)
+                                  pad_mask, stats_out=bn_stats,
+                                  padding=cfg.dw_padding)
         x = dropout(y, cfg.dropout) + r
         r = x
         y = _feed_forward(lp["ff2"], _layer_norm(lp["norm_ff2"], x))

@@ -403,10 +403,9 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         glu8 = jnp.clip(dyadic_requant_static(
             y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
             -n, n - 1).astype(jnp.int8)
-        kk = tbl["dw_w"].shape[0]
         acc_dw = jax.lax.conv_general_dilated(
             glu8, jnp.asarray(tbl["dw_w"]), (1,),
-            [((kk - 1) // 2, (kk - 1) // 2)],
+            [cfg.dw_padding],
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=d, preferred_element_type=jnp.int32)
         bn8 = _apply_affine_rq(acc_dw, tbl["dw_bn"], ab)

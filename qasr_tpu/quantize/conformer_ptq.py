@@ -193,15 +193,18 @@ def _qlinear(p, xq: QTensor, wbit: int) -> Array:
     return y if b is None else y + b
 
 
-def _qdepthwise(p, xq: QTensor, wbit: int) -> Array:
-    """int8 depthwise conv (W, 1, D kernel), SAME padding, int32 accum."""
+def _qdepthwise(p, xq: QTensor, wbit: int, padding=None) -> Array:
+    """int8 depthwise conv (W, 1, D kernel), SAME (or causal) padding,
+    int32 accum."""
     if "w_int8" in p:
         w_int8, w_scale = p["w_int8"], p["w_scale"]
     else:
         w_int8, w_scale = _weight_qparams(p["w"], wbit, (0, 1))
     k = w_int8.shape[0]
+    if padding is None:
+        padding = ((k - 1) // 2, (k - 1) // 2)
     acc = jax.lax.conv_general_dilated(
-        xq.values, w_int8, (1,), [((k - 1) // 2, (k - 1) // 2)],
+        xq.values, w_int8, (1,), [tuple(padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=xq.values.shape[-1],
         preferred_element_type=jnp.int32)
@@ -344,7 +347,8 @@ def _q_rel_attention(p, st, xq: QTensor, pos_emb, att_mask, valid,
 
 
 def _q_conv_module(p, st, x: Array, pad_mask, valid,
-                   qcfg: ConformerQuantConfig, update: bool):
+                   qcfg: ConformerQuantConfig, update: bool,
+                   dw_padding=None):
     """conformer_conv_module with int8 pw1/dw/pw2 (BN/GLU/swish float)."""
     xq, st["conv_in"] = _act_quant(st["conv_in"], x, valid, qcfg, update)
     y = _qlinear(_conv_pw(p, "pw1"), xq, qcfg.weight_bit)
@@ -359,7 +363,7 @@ def _q_conv_module(p, st, x: Array, pad_mask, valid,
         y = a * jax.nn.sigmoid(g)  # GLU over channel halves
     y = jnp.where(pad_mask[:, :, None], 0.0, y)
     yq, st["conv_glu"] = _act_quant(st["conv_glu"], y, valid, qcfg, update)
-    y = _qdepthwise(p["dw"], yq, qcfg.weight_bit)
+    y = _qdepthwise(p["dw"], yq, qcfg.weight_bit, padding=dw_padding)
     bn = p["bn"]
     y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] + bn["beta"]
     if qcfg.integer_activations:
@@ -477,7 +481,7 @@ def conformer_encoder_apply_ptq(params, cfg: ConformerConfig,
         y, st = _q_layer_norm(lp["norm_conv"], st, "ln_conv", x, vmask,
                               qcfg, update)
         y, st = _q_conv_module(lp["conv"], st, y, pad_mask, vmask,
-                               qcfg, update)
+                               qcfg, update, dw_padding=cfg.dw_padding)
         x = y + r
         r = x
         y, st = _q_layer_norm(lp["norm_ff2"], st, "ln_ff2", x, vmask,
@@ -640,7 +644,7 @@ def conformer_encoder_apply_qat(params, cfg: ConformerConfig,
         from qasr_tpu.ops.grouped_conv import grouped_conv1d
 
         y = grouped_conv1d(fq_act(y, vmask), w_dw, 1,
-                           ((kk - 1) // 2, (kk - 1) // 2), 1, d,
+                           cfg.dw_padding, 1, d,
                            None, None) + cv["dw"]["b"]
         bn = cv["bn"]
         y = (y - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * bn["gamma"] \

@@ -150,3 +150,85 @@ def test_frozen_conformer_streaming_matches_full():
     st = StreamingTranscriber(m, chunk_frames=96)
     preds_stream = st.predictions(audio)[: int(el[0])]
     np.testing.assert_array_equal(preds_stream, preds_full)
+
+
+def test_zero_lookahead_causal_conformer_streaming():
+    """Causal streaming configuration — att_context (L, 0) + causal
+    depthwise convs: the streamer's right context (model lookahead)
+    collapses to the subsampler/STFT edge only, and chunked greedy ids
+    still EQUAL the full-utterance ids."""
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+    from qasr_tpu.decode.streaming import receptive_field_conformer_lr
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0, "normalize": False},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=2, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           att_context_size=(8, 0), causal_conv=True,
+                           dropout=0.0)
+    rf_l, rf_r, st = receptive_field_conformer_lr(ccfg)
+    assert st == 4
+    # right field: subsampler only (attention and convs are causal)
+    assert rf_r == 6 and rf_l == 6 + 2 * (8 + 8) * 4
+
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
+    lp, el = m.forward(audio[None].copy(),
+                       np.asarray([len(audio)], np.int32))
+    preds_full = np.argmax(np.asarray(lp), axis=-1)[0][: int(el[0])]
+
+    stream = StreamingTranscriber(m, chunk_frames=64)
+    # zero model lookahead: right context is one quantum (64 frames =
+    # 0.64 s) vs the symmetric default of rf//2 rounded up
+    assert stream.lookahead_frames <= 64
+    assert stream.context_left >= rf_l
+    preds_stream = stream.predictions(audio)[: int(el[0])]
+    np.testing.assert_array_equal(preds_stream, preds_full)
+
+
+def test_causal_conformer_frozen_streams_exactly():
+    """The causal configuration survives the full integer program: PTQ with
+    every integer flag + freeze, then zero-lookahead streaming ids EQUAL
+    the full-utterance frozen forward bit-exactly."""
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0, "normalize": False},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           att_context_size=(6, 0), causal_conv=True,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    rng = np.random.default_rng(3)
+    calib = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    clens = np.asarray([16000, 12800], np.int32)
+    m.quantize_encoder([(calib, clens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+
+    audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
+    lp, el = m.forward(audio[None].copy(),
+                       np.asarray([len(audio)], np.int32))
+    preds_full = np.argmax(np.asarray(lp), axis=-1)[0][: int(el[0])]
+    stream = StreamingTranscriber(m, chunk_frames=64)
+    assert stream.lookahead_frames <= 64
+    preds_stream = stream.predictions(audio)[: int(el[0])]
+    np.testing.assert_array_equal(preds_stream, preds_full)
