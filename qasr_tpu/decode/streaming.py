@@ -443,3 +443,133 @@ class StreamingTransducer(StreamingTranscriber):
             "streaming_rtfx": audio_sec / total,
             "text": self._text(carry[2][0]),
         }
+
+
+class CacheAwareConformerStream:
+    """O(1)-state streaming for a FROZEN causal Conformer-CTC: per-layer
+    int8 key/value and conv-tail caches (quantize/conformer_freeze.py::
+    frozen_stream_step) instead of re-computing a left-context window per
+    chunk — each fed frame is processed exactly once, and the emitted
+    encodings are BIT-IDENTICAL to the offline frozen forward (all ops
+    integer; the caches hold exactly what the offline computation sees).
+
+    Requires the zero-lookahead configuration: att_context_size=(L, 0),
+    causal_conv=True, a frozen model (ConformerCTC.freeze()), and a
+    'striding' subsampler; per-feature normalization must be off (its
+    statistics are utterance-global).
+
+    feed(audio) / feed_feats(feats) consume NEW samples/mel frames and
+    return the NEW greedy ids; text() collapses everything emitted so far.
+    """
+
+    def __init__(self, model):
+        ccfg = model.ccfg
+        left, right = ccfg.att_context
+        if left < 0 or right != 0 or not ccfg.causal_conv:
+            raise ValueError("cache-aware streaming needs "
+                             "att_context_size=(L, 0) + causal_conv=True")
+        if model.enc_frozen is None:
+            raise ValueError("freeze the model first (ConformerCTC.freeze)")
+        if ccfg.subsampling != "striding":
+            raise NotImplementedError("striding subsampler only")
+        if model.frontend.cfg.normalize:
+            raise ValueError("per-feature normalization is utterance-"
+                             "global; build the model with normalize=False")
+        self.model = model
+        self.ccfg = ccfg
+        self.tables = model.enc_frozen
+        import math as _m
+
+        n_sub = int(_m.log2(ccfg.subsampling_factor))
+        self._sub_win = 2 ** (n_sub + 1) - 1     # subsampler window
+        self._sub_stride = ccfg.subsampling_factor
+        fcfg = model.frontend.cfg
+        self._hop = fcfg.hop_length
+        # audio lead frames discarded from each re-windowed frontend call:
+        # enough that every kept frame's STFT window (and the preemphasis
+        # sample) lies fully inside the provided segment
+        self._lead = -(-fcfg.n_fft // (2 * fcfg.hop_length)) + 1
+        self.reset()
+
+    def reset(self):
+        from qasr_tpu.quantize.conformer_freeze import frozen_stream_init
+
+        self._state = frozen_stream_init(self.tables, self.ccfg, 1)
+        self._feat_buf = np.zeros((0, self.ccfg.feat_in), np.float32)
+        self._sub_done = 0       # subsampled frames consumed
+        self._audio_tail = np.zeros((0,), np.float32)
+        self._audio_off = 0      # absolute sample index of _audio_tail[0]
+        self._frames_done = 0    # mel frames already pushed to _feat_buf
+        self._ids: List[int] = []
+
+    # -- feature-level ------------------------------------------------------
+
+    def feed_feats(self, feats: np.ndarray) -> np.ndarray:
+        """feats (n, F) new mel frames -> new greedy ids (m,)."""
+        import jax.numpy as jnp
+
+        from qasr_tpu.quantize.conformer_freeze import frozen_stream_step
+        from qasr_tpu.models.conformer import subsample_convs
+
+        self._feat_buf = np.concatenate(
+            [self._feat_buf, np.asarray(feats, np.float32)], axis=0)
+        f_total = self._sub_done * self._sub_stride + self._feat_buf.shape[0]
+        j_avail = max(0, (f_total - self._sub_win) // self._sub_stride + 1)
+        n_new = j_avail - self._sub_done
+        if n_new <= 0:
+            return np.zeros((0,), np.int64)
+        need = (n_new - 1) * self._sub_stride + self._sub_win
+        seg = self._feat_buf[:need]
+        x_sub, _ = subsample_convs(self.tables["subsampler"], self.ccfg,
+                                   jnp.asarray(seg[None]),
+                                   jnp.asarray([seg.shape[0]], np.int32))
+        x_sub = x_sub[:, :n_new]
+        enc, self._state = frozen_stream_step(self.tables, self.ccfg,
+                                              x_sub, self._state)
+        # drop consumed feats (keep the overlap the next window needs)
+        self._feat_buf = self._feat_buf[n_new * self._sub_stride:]
+        self._sub_done = j_avail
+        log_probs = self.model._head(self.model.params, enc)
+        ids = np.argmax(np.asarray(log_probs), axis=-1)[0]
+        self._ids.extend(int(i) for i in ids)
+        return ids
+
+    # -- audio-level ---------------------------------------------------------
+
+    def feed(self, audio: np.ndarray) -> np.ndarray:
+        """audio (n,) new samples -> new greedy ids.  The mel frontend is
+        re-windowed with a small discarded lead so every emitted frame's
+        STFT window lies fully inside real signal — the frames equal the
+        offline full-utterance frontend exactly."""
+        self._audio_tail = np.concatenate(
+            [self._audio_tail, np.asarray(audio, np.float32)])
+        total_samples = self._audio_off + len(self._audio_tail)
+        n_frames_avail = total_samples // self._hop
+        n_new = n_frames_avail - self._frames_done
+        if n_new <= 0:
+            return np.zeros((0,), np.int64)
+        # window start: `lead` frames before the first new frame (clamped
+        # to the utterance start, where the offline reflect-pad applies)
+        w0 = max(0, self._frames_done - self._lead)
+        s0 = w0 * self._hop
+        seg = self._audio_tail[s0 - self._audio_off:]
+        feats, _ = self.model.frontend(
+            seg[None], np.asarray([len(seg)], np.int32), dither=0.0)
+        feats = np.asarray(feats)[0]
+        new_feats = feats[self._frames_done - w0:
+                          self._frames_done - w0 + n_new]
+        self._frames_done += n_new
+        # retain only the audio the next lead window needs
+        keep_from = max(0, (self._frames_done - self._lead) * self._hop)
+        self._audio_tail = self._audio_tail[keep_from - self._audio_off:]
+        self._audio_off = keep_from
+        return self.feed_feats(new_feats)
+
+    def text(self) -> str:
+        from qasr_tpu.decode.ctc import ctc_collapse
+
+        if not self._ids:
+            return ""
+        return ctc_collapse(np.asarray(self._ids)[None],
+                            self.model.blank_id,
+                            self.model.vocabulary)[0]

@@ -431,3 +431,182 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
             return (y * tbl["ln_out"]["gamma"] + tbl["ln_out"]["beta"],
                     lens)
     raise AssertionError("unreachable: last layer returns")
+
+
+# ---------------------------------------------------------------------------
+# Cache-aware streaming (causal configurations)
+# ---------------------------------------------------------------------------
+
+
+def frozen_stream_init(tables, cfg: ConformerConfig, batch: int
+                       ) -> Dict[str, Any]:
+    """Per-layer caches for cache-aware streaming of a CAUSAL frozen
+    conformer (att_context (L, 0) + causal_conv): each layer keeps its
+    last L attention keys/values (int8) and the depthwise conv's last
+    k-1 GLU frames (int8; zeros == the offline causal left-padding), so a
+    chunk of n frames costs O(n) work — no left-context recompute.
+    `seen` counts globally consumed frames (masks not-yet-valid cache
+    slots)."""
+    left, right = cfg.att_context
+    if left < 0 or right != 0 or not cfg.causal_conv:
+        raise ValueError("cache-aware streaming needs the causal config: "
+                         "att_context_size=(L, 0) and causal_conv=True")
+    d, h = cfg.d_model, cfg.n_heads
+    d_k = d // h
+    k = cfg.conv_kernel_size
+    layers = [{"k8": jnp.zeros((batch, left, h, d_k), jnp.int8),
+               "v8": jnp.zeros((batch, left, h, d_k), jnp.int8),
+               "glu8": jnp.zeros((batch, k - 1, d), jnp.int8)}
+              for _ in tables["layers"]]
+    return {"layers": layers, "seen": jnp.zeros((), jnp.int32)}
+
+
+def frozen_stream_step(tables, cfg: ConformerConfig, x_sub: Array, state
+                       ) -> Tuple[Array, Dict[str, Any]]:
+    """One cache-aware step: `x_sub` (B, n, F_sub) are NEW subsampled
+    feature frames (subsample_convs output, pre the d_model projection);
+    returns (enc (B, n, d) float, new state).  Bit-identical to the
+    corresponding rows of the offline frozen forward (all ops integer; the
+    attention context and conv taps come from the caches exactly as the
+    offline computation sees them)."""
+    ab = tables["act_bit"]
+    n8 = 2 ** (ab - 1) - 1
+    d, h = cfg.d_model, cfg.n_heads
+    d_k = d // h
+    left, _ = cfg.att_context
+    kk = cfg.conv_kernel_size
+
+    x8 = jnp.clip(jnp.round(x_sub / tables["S_pre"]), -n8, n8 - 1
+                  ).astype(jnp.int8)
+    x = _apply_rq(_dot8(x8, tables["pre"]["w"]) + tables["pre"]["b"],
+                  {"m": tables["pre"]["m"], "e": tables["pre"]["e"]}, ab)
+    b, n = x.shape[:2]
+    seen = state["seen"]
+
+    # fixed pos table for relative positions 0..L (pe value depends only on
+    # the relative offset; |pe| == 1.0 for every length, so the scale is
+    # the same constant the offline table uses)
+    pos_np = rel_positional_encoding(left + 1, d, None)[left:]  # pos 0..L
+    pos_scale = 1.0 / n8
+    pos8 = jnp.asarray(np.clip(np.round(pos_np / pos_scale), -n8, n8 - 1)
+                       .astype(np.int8))
+
+    # attention mask (B-independent): query i (global seen+i) vs kv slot j
+    # of [cache(L) || new(n)]: relative r = L + i - j must be in [0, L] and
+    # the slot must hold a real frame (cache slot j holds global frame
+    # seen - L + j, valid iff j >= L - seen)
+    i_idx = jnp.arange(n)[:, None]
+    j_idx = jnp.arange(left + n)[None, :]
+    r = left + i_idx - j_idx
+    invalid = (r < 0) | (r > left) | (j_idx < left - seen)
+    att_mask = jnp.broadcast_to(invalid[None], (b, n, left + n))
+
+    def lin(x8_, tbl):
+        return _dot8(x8_, tbl["w"])
+
+    def ffn(x_, tbl_l1, tbl_l2, grid, prod):
+        a8 = _apply_rq(lin(x_, tbl_l1), tbl_l1, ab)
+        g = dyadic_requant_static(a8.astype(jnp.int32),
+                                  jnp.asarray(grid[0]), grid[1])
+        y_int = a8.astype(jnp.int32) * i_sigmoid_grid(g)
+        m8 = jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
+                                            prod[1]), -n8, n8 - 1
+                      ).astype(jnp.int8)
+        return lin(m8, tbl_l2)
+
+    def join(acc, tbl_branch, stream8, stream_rq):
+        yb = dyadic_requant_static(acc + tbl_branch["b"],
+                                   jnp.asarray(tbl_branch["m"]),
+                                   tbl_branch["e"])
+        ys = dyadic_requant_static(stream8.astype(jnp.int32),
+                                   jnp.asarray(stream_rq[0]), stream_rq[1])
+        return jnp.clip(yb + ys, -n8, n8 - 1).astype(jnp.int8)
+
+    new_layers = []
+    out = None
+    for li, tbl in enumerate(tables["layers"]):
+        lc = state["layers"][li]
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
+        acc = ffn(yln, tbl["ff1_l1"], tbl["ff1_l2"],
+                  tbl["ff1_grid"], tbl["ff1_prod"])
+        x = join(acc, tbl["ff1_l2"], x, tbl["j1_stream"])
+        # attention with cached keys/values
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
+        qu8 = _apply_rq(lin(yln, tbl["att_q_u"]), tbl["att_q_u"],
+                        ab).reshape(b, n, h, d_k)
+        qv8 = _apply_rq(lin(yln, tbl["att_q_v"]), tbl["att_q_v"],
+                        ab).reshape(b, n, h, d_k)
+        k_new = _apply_rq(lin(yln, tbl["att_k"]), tbl["att_k"],
+                          ab).reshape(b, n, h, d_k).astype(jnp.int8)
+        v_new = _apply_rq(lin(yln, tbl["att_v"]), tbl["att_v"],
+                          ab).reshape(b, n, h, d_k).astype(jnp.int8)
+        kv_k = jnp.concatenate([lc["k8"], k_new], axis=1)
+        kv_v = jnp.concatenate([lc["v8"], v_new], axis=1)
+        w_pos_int, w_pos_sc = tbl["att_pos_w"]
+        acc_pos = _dot8(pos8, w_pos_int)
+        m_pos, e_pos = _rq_table(pos_scale * w_pos_sc, tbl["S_att_pos"])
+        p8 = jnp.clip(dyadic_requant_static(acc_pos, jnp.asarray(m_pos),
+                                            e_pos), -n8, n8 - 1
+                      ).astype(jnp.int8).reshape(left + 1, h, d_k)
+        ac = jnp.einsum("bihd,bjhd->bhij", qu8, kv_k,
+                        preferred_element_type=jnp.int32)
+        bd_full = jnp.einsum("bihd,phd->bhip", qv8, p8,
+                             preferred_element_type=jnp.int32)
+        r_idx = jnp.clip(left + i_idx - j_idx, 0, left)
+        bd = jnp.take_along_axis(
+            bd_full, jnp.broadcast_to(r_idx[None, None],
+                                      (b, h, n, left + n)), axis=-1)
+        q_grid = (dyadic_requant_static(ac, jnp.asarray(tbl["ac_grid"][0]),
+                                        tbl["ac_grid"][1])
+                  + dyadic_requant_static(bd,
+                                          jnp.asarray(tbl["bd_grid"][0]),
+                                          tbl["bd_grid"][1]))
+        a8 = i_softmax_grid(q_grid, mask=att_mask[:, None],
+                            out_bits=ab).astype(jnp.int8)
+        ctx = jnp.einsum("bhij,bjhd->bihd", a8, kv_v,
+                         preferred_element_type=jnp.int32).reshape(b, n, d)
+        c8 = jnp.clip(dyadic_requant_static(
+            ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
+            -n8, n8 - 1).astype(jnp.int8)
+        acc = lin(c8, tbl["att_out"])
+        x = join(acc, tbl["att_out"], x, tbl["j2_stream"])
+        # conv module with the cached GLU tail (cache zeros == the offline
+        # causal left zero-padding)
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
+        a8c = _apply_rq(lin(yln, tbl["pw1_a"]), tbl["pw1_a"], ab)
+        g_grid = dyadic_requant_static(
+            lin(yln, tbl["pw1_g"]) + tbl["pw1_g"]["b"],
+            jnp.asarray(tbl["pw1_g"]["m"]), tbl["pw1_g"]["e"])
+        y_int = a8c.astype(jnp.int32) * i_sigmoid_grid(g_grid)
+        glu8 = jnp.clip(dyadic_requant_static(
+            y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
+            -n8, n8 - 1).astype(jnp.int8)
+        glu_cat = jnp.concatenate([lc["glu8"], glu8], axis=1)
+        acc_dw = jax.lax.conv_general_dilated(
+            glu_cat, jnp.asarray(tbl["dw_w"]), (1,), [(0, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=d, preferred_element_type=jnp.int32)
+        bn8 = _apply_affine_rq(acc_dw, tbl["dw_bn"], ab)
+        s_grid = dyadic_requant_static(bn8.astype(jnp.int32),
+                                       jnp.asarray(tbl["bn_grid"][0]),
+                                       tbl["bn_grid"][1])
+        y_int = bn8.astype(jnp.int32) * i_sigmoid_grid(s_grid)
+        mid8 = jnp.clip(dyadic_requant_static(
+            y_int, jnp.asarray(tbl["bn_prod"][0]), tbl["bn_prod"][1]),
+            -n8, n8 - 1).astype(jnp.int8)
+        acc = lin(mid8, tbl["pw2"])
+        x = join(acc, tbl["pw2"], x, tbl["j3_stream"])
+        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
+        acc = ffn(yln, tbl["ff2_l1"], tbl["ff2_l2"],
+                  tbl["ff2_grid"], tbl["ff2_prod"])
+        x = join(acc, tbl["ff2_l2"], x, tbl["j4_stream"])
+        new_layers.append({"k8": kv_k[:, -left:] if left else lc["k8"],
+                           "v8": kv_v[:, -left:] if left else lc["v8"],
+                           "glu8": glu_cat[:, -(kk - 1):] if kk > 1
+                           else lc["glu8"]})
+        if "m" in tbl["ln_out"]:
+            x = _apply_affine_rq(i_layernorm_core(x), tbl["ln_out"], ab)
+        else:
+            out = (i_layernorm_core(x).astype(jnp.float32) / (1 << _K_LN)
+                   * tbl["ln_out"]["gamma"] + tbl["ln_out"]["beta"])
+    return out, {"layers": new_layers, "seen": seen + n}

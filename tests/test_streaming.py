@@ -232,3 +232,101 @@ def test_causal_conformer_frozen_streams_exactly():
     assert stream.lookahead_frames <= 64
     preds_stream = stream.predictions(audio)[: int(el[0])]
     np.testing.assert_array_equal(preds_stream, preds_full)
+
+
+def _causal_frozen_conformer(n_layers=2, seed=0):
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0, "normalize": False},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=n_layers, d_model=64,
+                           n_heads=4, subsampling="striding",
+                           subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           att_context_size=(8, 0), causal_conv=True,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=seed)
+    rng = np.random.default_rng(seed)
+    calib = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    clens = np.asarray([16000, 12800], np.int32)
+    m.quantize_encoder([(calib, clens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+    return m
+
+
+def test_cache_aware_stream_bit_exact_feats():
+    """frozen_stream_step with per-layer caches: feature chunks through the
+    stateful executor produce encodings BIT-IDENTICAL to the offline
+    frozen forward (every op integer; the caches hold exactly what the
+    offline computation sees), across uneven chunk sizes."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.models.conformer import subsample_convs
+    from qasr_tpu.quantize.conformer_freeze import (
+        frozen_conformer_apply, frozen_stream_init, frozen_stream_step,
+    )
+
+    m = _causal_frozen_conformer()
+    tables, ccfg = m.enc_frozen, m.ccfg
+    rng = np.random.default_rng(1)
+    audio = (rng.normal(size=(1, 48000)) * 0.1).astype(np.float32)
+    feats, flens = m.frontend(audio, np.asarray([48000], np.int32),
+                              dither=0.0)
+    enc_ref, el = frozen_conformer_apply(tables, ccfg, feats, flens)
+    enc_ref = np.asarray(enc_ref)[0, : int(el[0])]
+    x_sub, slens = subsample_convs(tables["subsampler"], ccfg, feats, flens)
+    x_sub = np.asarray(x_sub)[0, : int(slens[0])]
+
+    state = frozen_stream_init(tables, ccfg, 1)
+    outs = []
+    i = 0
+    for n in (5, 16, 3, 16, 16, 16, 16):  # deliberately uneven chunks
+        chunk = x_sub[i: i + n]
+        i += n
+        if not len(chunk):
+            break
+        o, state = frozen_stream_step(tables, ccfg,
+                                      jnp.asarray(chunk[None]), state)
+        outs.append(np.asarray(o)[0])
+    enc_stream = np.concatenate(outs, axis=0)[: enc_ref.shape[0]]
+    np.testing.assert_array_equal(enc_stream, enc_ref)
+
+
+def test_cache_aware_stream_audio_level():
+    """CacheAwareConformerStream end to end: raw audio chunks -> greedy ids
+    equal to the offline frozen forward's, and the collapsed text equals
+    offline transcription."""
+    from qasr_tpu.decode.streaming import CacheAwareConformerStream
+
+    m = _causal_frozen_conformer(n_layers=1, seed=2)
+    rng = np.random.default_rng(2)
+    audio = (rng.normal(size=40000) * 0.1).astype(np.float32)
+    lp, el = m.forward(audio[None].copy(),
+                       np.asarray([len(audio)], np.int32))
+    ids_ref = np.argmax(np.asarray(lp), axis=-1)[0][: int(el[0])]
+    offline_text = m.transcribe_greedy(audio[None].copy(),
+                                       np.asarray([len(audio)], np.int32))[0]
+
+    st = CacheAwareConformerStream(m)
+    got = []
+    for i in range(0, len(audio), 6400):  # 0.4 s chunks
+        got.extend(st.feed(audio[i:i + 6400]).tolist())
+    got = np.asarray(got[: len(ids_ref)])
+    np.testing.assert_array_equal(got, ids_ref)
+    assert st.text() == offline_text
+
+    # reset really clears the state
+    st.reset()
+    got2 = []
+    for i in range(0, len(audio), 6400):
+        got2.extend(st.feed(audio[i:i + 6400]).tolist())
+    np.testing.assert_array_equal(np.asarray(got2[: len(ids_ref)]), ids_ref)
