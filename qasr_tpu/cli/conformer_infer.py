@@ -29,7 +29,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--dataset", type=str, required=True,
                    help="evaluation manifest (JSON lines)")
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--normalize_text", default=True, type=bool)
+    p.add_argument("--normalize_text", default=True,
+                   type=lambda v: str(v).lower() not in
+                   ("0", "false", "no"))
     # calibration source (one of)
     p.add_argument("--calib_manifest", type=str, default=None,
                    help="calibrate on real audio from this manifest")
@@ -83,12 +85,22 @@ def main(argv=None) -> float:
     logging.info(f"Restored Conformer-CTC from {args.restore} "
                  f"(layers={model.ccfg.n_layers}, d={model.ccfg.d_model})")
 
-    ds = AudioToCharDataset(
-        manifest_filepath=args.dataset, labels=list(model.vocabulary),
-        sample_rate=model.cfg.sample_rate,
-        normalize_transcripts=args.normalize_text,
-        parser="en" if args.normalize_text else "base")
-    loader = DataLoader(ds, batch_size=args.batch_size)
+    tok = getattr(model, "tokenizer", None)
+
+    def make_ds(manifest):
+        if tok is not None:  # BPE vocab: references tokenize subword
+            from qasr_tpu.models.ctc_bpe_model import AudioToBPEDataset
+
+            return AudioToBPEDataset(manifest_filepath=manifest,
+                                     tokenizer=tok,
+                                     sample_rate=model.cfg.sample_rate)
+        return AudioToCharDataset(
+            manifest_filepath=manifest, labels=list(model.vocabulary),
+            sample_rate=model.cfg.sample_rate,
+            normalize_transcripts=args.normalize_text,
+            parser="en" if args.normalize_text else "base")
+
+    loader = DataLoader(make_ds(args.dataset), batch_size=args.batch_size)
 
     if not args.no_quant:
         integer = args.integer or args.freeze
@@ -104,13 +116,8 @@ def main(argv=None) -> float:
                 num_batch=args.num_batch, seqlen=args.seqlen,
                 train_iter=args.train_iter, lr=args.lr, **qkw)
         elif args.calib_manifest is not None:
-            cds = AudioToCharDataset(
-                manifest_filepath=args.calib_manifest,
-                labels=list(model.vocabulary),
-                sample_rate=model.cfg.sample_rate,
-                normalize_transcripts=args.normalize_text,
-                parser="en" if args.normalize_text else "base")
-            cloader = DataLoader(cds, batch_size=args.batch_size)
+            cloader = DataLoader(make_ds(args.calib_manifest),
+                                 batch_size=args.batch_size)
             batches = []
             for i, (audio, alens, *_rest) in enumerate(cloader):
                 if i >= args.num_calib_batch:
@@ -138,7 +145,6 @@ def main(argv=None) -> float:
 
     hyps, refs = [], []
     labels = list(model.vocabulary)
-    tok = getattr(model, "tokenizer", None)
     for bi, (audio, alens, tokens, tlens) in enumerate(loader):
         if args.eval_early_stop is not None and bi >= args.eval_early_stop:
             break

@@ -23,6 +23,22 @@ import numpy as np
 from qasr_tpu.models.jasper import EncoderPlan
 
 
+def _subsampler_span(ccfg) -> Tuple[int, int]:
+    """(input-frame span, total stride) of the conv subsampler."""
+    import math as _m
+
+    sub, st = 0, 1
+    n_sub = int(_m.log2(ccfg.subsampling_factor)) if ccfg.subsampling else 0
+    for _ in range(n_sub):
+        if ccfg.subsampling == "vggnet":
+            sub += 2 * st + 2 * st + 1 * st  # two k=3 convs + maxpool
+            st *= 2
+        else:
+            sub += 2 * st                    # k=3 s=2 valid conv
+            st *= 2
+    return sub, st
+
+
 def receptive_field_conformer_lr(ccfg) -> Tuple[int, int, int]:
     """(left field, right field, total stride) in mel frames of a Conformer
     with LOCAL attention.  With causal convs + att_context (L, 0) the right
@@ -32,18 +48,7 @@ def receptive_field_conformer_lr(ccfg) -> Tuple[int, int, int]:
     if left_att < 0 or right_att < 0:
         raise ValueError("conformer streaming needs a finite receptive "
                          "field: set ConformerConfig.att_context_size")
-    import math as _m
-
-    sub, st = 0, 1
-    n_sub = int(_m.log2(ccfg.subsampling_factor)) if ccfg.subsampling else 0
-    for _ in range(n_sub):
-        if ccfg.subsampling == "vggnet":
-            sub += 2 * st + 2 * st  # two k=3 s=1 convs
-            sub += 1 * st           # maxpool k=2
-            st *= 2
-        else:
-            sub += 2 * st           # k=3 s=2 valid conv
-            st *= 2
+    sub, st = _subsampler_span(ccfg)
     dw_l, dw_r = ccfg.dw_padding
     rf_l = sub + ccfg.n_layers * (left_att + dw_l) * st
     rf_r = sub + ccfg.n_layers * (right_att + dw_r) * st
@@ -57,17 +62,7 @@ def receptive_field_conformer(ccfg) -> Tuple[int, int]:
     if left_att < 0 or right_att < 0:
         raise ValueError("conformer streaming needs a finite receptive "
                          "field: set ConformerConfig.att_context_size")
-    import math as _m
-
-    sub, st = 0, 1
-    n_sub = int(_m.log2(ccfg.subsampling_factor)) if ccfg.subsampling else 0
-    for _ in range(n_sub):
-        if ccfg.subsampling == "vggnet":
-            sub += 2 * st + 2 * st + 1 * st
-            st *= 2
-        else:
-            sub += 2 * st
-            st *= 2
+    sub, st = _subsampler_span(ccfg)
     dw_l, dw_r = ccfg.dw_padding
     per_layer = (left_att + right_att + dw_l + dw_r)
     return 1 + sub + ccfg.n_layers * per_layer * st, st
@@ -127,17 +122,22 @@ class StreamingTranscriber:
         def up(v):
             return -(-v // quantum) * quantum
 
+        explicit_sym = self.context_frames is not None
         if self.context_frames is None:
             self.context_frames = up(self.rf // 2 + stft_edge)
         else:
             self.context_frames = up(self.context_frames)
+        # an EXPLICIT context_frames keeps its historical symmetric
+        # meaning; the rf-derived asymmetric defaults apply otherwise
         if self.context_left is None:
-            self.context_left = (up(rf_lr[0] + stft_edge) if rf_lr
+            self.context_left = (up(rf_lr[0] + stft_edge)
+                                 if rf_lr and not explicit_sym
                                  else self.context_frames)
         else:
             self.context_left = up(self.context_left)
         if self.context_right is None:
-            self.context_right = (up(rf_lr[1] + stft_edge) if rf_lr
+            self.context_right = (up(rf_lr[1] + stft_edge)
+                                  if rf_lr and not explicit_sym
                                   else self.context_frames)
         else:
             self.context_right = up(self.context_right)
@@ -485,10 +485,15 @@ class CacheAwareConformerStream:
         self._sub_stride = ccfg.subsampling_factor
         fcfg = model.frontend.cfg
         self._hop = fcfg.hop_length
+        # a mel frame's nonzero support is win_length/2 on each side; a
+        # frame is emitted only once its real future samples have arrived
+        # (otherwise the re-windowed frontend would silently reflect-pad
+        # fake samples and diverge from offline)
+        self._w2 = fcfg.win_length // 2
         # audio lead frames discarded from each re-windowed frontend call:
         # enough that every kept frame's STFT window (and the preemphasis
         # sample) lies fully inside the provided segment
-        self._lead = -(-fcfg.n_fft // (2 * fcfg.hop_length)) + 1
+        self._lead = -(-max(fcfg.n_fft // 2, self._w2) // fcfg.hop_length) + 1
         self.reset()
 
     def reset(self):
@@ -544,7 +549,9 @@ class CacheAwareConformerStream:
         self._audio_tail = np.concatenate(
             [self._audio_tail, np.asarray(audio, np.float32)])
         total_samples = self._audio_off + len(self._audio_tail)
-        n_frames_avail = total_samples // self._hop
+        # frame f needs real samples up to f*hop + win/2
+        n_frames_avail = max(0, (total_samples - self._w2) // self._hop + 1) \
+            if total_samples >= self._w2 else 0
         n_new = n_frames_avail - self._frames_done
         if n_new <= 0:
             return np.zeros((0,), np.int64)
@@ -563,6 +570,26 @@ class CacheAwareConformerStream:
         keep_from = max(0, (self._frames_done - self._lead) * self._hop)
         self._audio_tail = self._audio_tail[keep_from - self._audio_off:]
         self._audio_off = keep_from
+        return self.feed_feats(new_feats)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: emit the trailing frames whose STFT windows
+        extend past the final sample — the offline frontend reflect-pads
+        those, and so does this (the buffered tail ends at the true end),
+        so flushed frames equal the offline computation's."""
+        total_samples = self._audio_off + len(self._audio_tail)
+        n_total = -(-total_samples // self._hop)  # offline ceil(L/hop)
+        n_new = n_total - self._frames_done
+        if n_new <= 0:
+            return np.zeros((0,), np.int64)
+        w0 = max(0, self._frames_done - self._lead)
+        seg = self._audio_tail[w0 * self._hop - self._audio_off:]
+        feats, _ = self.model.frontend(
+            seg[None], np.asarray([len(seg)], np.int32), dither=0.0)
+        feats = np.asarray(feats)[0]
+        new_feats = feats[self._frames_done - w0:
+                          self._frames_done - w0 + n_new]
+        self._frames_done = n_total
         return self.feed_feats(new_feats)
 
     def text(self) -> str:

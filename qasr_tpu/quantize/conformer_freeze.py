@@ -295,6 +295,61 @@ def freeze_conformer(params, cfg: ConformerConfig,
 # ---------------------------------------------------------------------------
 
 
+
+# shared integer sublayer blocks (used by BOTH the offline forward and the
+# cache-aware stream step — one source of truth for the dataflow)
+
+
+def _ffn_int(x8, tbl_l1, tbl_l2, grid, prod, ab: int):
+    n = 2 ** (ab - 1) - 1
+    a8 = _apply_rq(_dot8(x8, tbl_l1["w"]), tbl_l1, ab)
+    g = dyadic_requant_static(a8.astype(jnp.int32),
+                              jnp.asarray(grid[0]), grid[1])
+    y_int = a8.astype(jnp.int32) * i_sigmoid_grid(g)
+    m8 = jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
+                                        prod[1]), -n, n - 1).astype(jnp.int8)
+    return _dot8(m8, tbl_l2["w"])
+
+
+def _join_int(acc, tbl_branch, stream8, stream_rq, ab: int):
+    n = 2 ** (ab - 1) - 1
+    yb = dyadic_requant_static(acc + tbl_branch["b"],
+                               jnp.asarray(tbl_branch["m"]),
+                               tbl_branch["e"])
+    ys = dyadic_requant_static(stream8.astype(jnp.int32),
+                               jnp.asarray(stream_rq[0]), stream_rq[1])
+    return jnp.clip(yb + ys, -n, n - 1).astype(jnp.int8)
+
+
+def _conv_tail_int(tbl, glu_cat, padding, d: int, ab: int):
+    """depthwise conv over (cache||new or padded) GLU ints -> BN fold ->
+    i-swish -> pw2 accumulator."""
+    n = 2 ** (ab - 1) - 1
+    acc_dw = jax.lax.conv_general_dilated(
+        glu_cat, jnp.asarray(tbl["dw_w"]), (1,), [tuple(padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=d, preferred_element_type=jnp.int32)
+    bn8 = _apply_affine_rq(acc_dw, tbl["dw_bn"], ab)
+    s_grid = dyadic_requant_static(bn8.astype(jnp.int32),
+                                   jnp.asarray(tbl["bn_grid"][0]),
+                                   tbl["bn_grid"][1])
+    y_int = bn8.astype(jnp.int32) * i_sigmoid_grid(s_grid)
+    mid8 = jnp.clip(dyadic_requant_static(
+        y_int, jnp.asarray(tbl["bn_prod"][0]), tbl["bn_prod"][1]),
+        -n, n - 1).astype(jnp.int8)
+    return _dot8(mid8, tbl["pw2"]["w"])
+
+
+def _glu_int(tbl, yln, ab: int):
+    n = 2 ** (ab - 1) - 1
+    a8c = _apply_rq(_dot8(yln, tbl["pw1_a"]["w"]), tbl["pw1_a"], ab)
+    g_grid = dyadic_requant_static(
+        _dot8(yln, tbl["pw1_g"]["w"]) + tbl["pw1_g"]["b"],
+        jnp.asarray(tbl["pw1_g"]["m"]), tbl["pw1_g"]["e"])
+    y_int = a8c.astype(jnp.int32) * i_sigmoid_grid(g_grid)
+    return y_int  # caller masks/requants onto glu_prod
+
+
 def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
                            lens: Array) -> Tuple[Array, Array]:
     """Run the frozen integer encoder.  Returns (float encodings, lens) —
@@ -332,30 +387,12 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         # PURE accumulator: the int32 bias is added by _apply_rq / join
         return _dot8(x8, tbl["w"])
 
-    def ffn(x, tbl_l1, tbl_l2, grid, prod):
-        a8 = _apply_rq(lin(x, tbl_l1), tbl_l1, ab)
-        g = dyadic_requant_static(a8.astype(jnp.int32),
-                                  jnp.asarray(grid[0]), grid[1])
-        y_int = a8.astype(jnp.int32) * i_sigmoid_grid(g)
-        m8 = jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
-                                            prod[1]), -n, n - 1
-                      ).astype(jnp.int8)
-        return lin(m8, tbl_l2)  # int32 acc (join adds l2's bias + requant)
-
-    def join(acc, tbl_branch, stream8, stream_rq):
-        yb = dyadic_requant_static(acc + tbl_branch["b"],
-                                   jnp.asarray(tbl_branch["m"]),
-                                   tbl_branch["e"])
-        ys = dyadic_requant_static(stream8.astype(jnp.int32),
-                                   jnp.asarray(stream_rq[0]), stream_rq[1])
-        return jnp.clip(yb + ys, -n, n - 1).astype(jnp.int8)
-
     for li, tbl in enumerate(tables["layers"]):
         # FFN1 half-step
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
-        acc = ffn(yln, tbl["ff1_l1"], tbl["ff1_l2"],
-                  tbl["ff1_grid"], tbl["ff1_prod"])
-        x = join(acc, tbl["ff1_l2"], x, tbl["j1_stream"])
+        acc = _ffn_int(yln, tbl["ff1_l1"], tbl["ff1_l2"],
+                       tbl["ff1_grid"], tbl["ff1_prod"], ab)
+        x = _join_int(acc, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
         # attention
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
         qu8 = _apply_rq(lin(yln, tbl["att_q_u"]), tbl["att_q_u"],
@@ -391,38 +428,21 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
             ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
             -n, n - 1).astype(jnp.int8)
         acc = lin(c8, tbl["att_out"])
-        x = join(acc, tbl["att_out"], x, tbl["j2_stream"])
+        x = _join_int(acc, tbl["att_out"], x, tbl["j2_stream"], ab)
         # conv module
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
-        a8c = _apply_rq(lin(yln, tbl["pw1_a"]), tbl["pw1_a"], ab)
-        g_grid = dyadic_requant_static(
-            lin(yln, tbl["pw1_g"]) + tbl["pw1_g"]["b"],
-            jnp.asarray(tbl["pw1_g"]["m"]), tbl["pw1_g"]["e"])
-        y_int = a8c.astype(jnp.int32) * i_sigmoid_grid(g_grid)
+        y_int = _glu_int(tbl, yln, ab)
         y_int = jnp.where(pad_mask[:, :, None], 0, y_int)
         glu8 = jnp.clip(dyadic_requant_static(
             y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
             -n, n - 1).astype(jnp.int8)
-        acc_dw = jax.lax.conv_general_dilated(
-            glu8, jnp.asarray(tbl["dw_w"]), (1,),
-            [cfg.dw_padding],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=d, preferred_element_type=jnp.int32)
-        bn8 = _apply_affine_rq(acc_dw, tbl["dw_bn"], ab)
-        s_grid = dyadic_requant_static(bn8.astype(jnp.int32),
-                                       jnp.asarray(tbl["bn_grid"][0]),
-                                       tbl["bn_grid"][1])
-        y_int = bn8.astype(jnp.int32) * i_sigmoid_grid(s_grid)
-        mid8 = jnp.clip(dyadic_requant_static(
-            y_int, jnp.asarray(tbl["bn_prod"][0]), tbl["bn_prod"][1]),
-            -n, n - 1).astype(jnp.int8)
-        acc = lin(mid8, tbl["pw2"])
-        x = join(acc, tbl["pw2"], x, tbl["j3_stream"])
+        acc = _conv_tail_int(tbl, glu8, cfg.dw_padding, d, ab)
+        x = _join_int(acc, tbl["pw2"], x, tbl["j3_stream"], ab)
         # FFN2 half-step
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
-        acc = ffn(yln, tbl["ff2_l1"], tbl["ff2_l2"],
-                  tbl["ff2_grid"], tbl["ff2_prod"])
-        x = join(acc, tbl["ff2_l2"], x, tbl["j4_stream"])
+        acc = _ffn_int(yln, tbl["ff2_l1"], tbl["ff2_l2"],
+                       tbl["ff2_grid"], tbl["ff2_prod"], ab)
+        x = _join_int(acc, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
         # ln_out: requant into the next layer's stream, or emit float
         if "m" in tbl["ln_out"]:
             x = _apply_affine_rq(i_layernorm_core(x), tbl["ln_out"], ab)
@@ -458,6 +478,26 @@ def frozen_stream_init(tables, cfg: ConformerConfig, batch: int
                "v8": jnp.zeros((batch, left, h, d_k), jnp.int8),
                "glu8": jnp.zeros((batch, k - 1, d), jnp.int8)}
               for _ in tables["layers"]]
+    # precompute the stream constants once (they are constants of the
+    # frozen tables): per-layer projected pos rows for relative offsets
+    # 0..L, already requanted to each layer's S_att_pos
+    if "_stream_p8" not in tables:
+        ab = tables["act_bit"]
+        n8 = 2 ** (ab - 1) - 1
+        pos_np = rel_positional_encoding(left + 1, cfg.d_model, None)[left:]
+        pos_scale = 1.0 / n8
+        pos8 = jnp.asarray(np.clip(np.round(pos_np / pos_scale),
+                                   -n8, n8 - 1).astype(np.int8))
+        p8s = []
+        for tbl in tables["layers"]:
+            w_pos_int, w_pos_sc = tbl["att_pos_w"]
+            m_pos, e_pos = _rq_table(pos_scale * w_pos_sc,
+                                     tbl["S_att_pos"])
+            p8s.append(jnp.clip(
+                dyadic_requant_static(_dot8(pos8, w_pos_int),
+                                      jnp.asarray(m_pos), e_pos),
+                -n8, n8 - 1).astype(jnp.int8).reshape(left + 1, h, d_k))
+        tables["_stream_p8"] = p8s
     return {"layers": layers, "seen": jnp.zeros((), jnp.int32)}
 
 
@@ -468,7 +508,21 @@ def frozen_stream_step(tables, cfg: ConformerConfig, x_sub: Array, state
     returns (enc (B, n, d) float, new state).  Bit-identical to the
     corresponding rows of the offline frozen forward (all ops integer; the
     attention context and conv taps come from the caches exactly as the
-    offline computation sees them)."""
+    offline computation sees them).  The jitted executable is cached on
+    the tables per (batch, n) shape — the serving hot path dispatches one
+    compiled program per chunk."""
+    jits = tables.setdefault("_stream_jit", {})
+    key = (x_sub.shape[0], x_sub.shape[1])
+    fn = jits.get(key)
+    if fn is None:
+        fn = jax.jit(lambda xs, st: _frozen_stream_step_body(
+            tables, cfg, xs, st))
+        jits[key] = fn
+    return fn(x_sub, state)
+
+
+def _frozen_stream_step_body(tables, cfg: ConformerConfig, x_sub: Array,
+                             state) -> Tuple[Array, Dict[str, Any]]:
     ab = tables["act_bit"]
     n8 = 2 ** (ab - 1) - 1
     d, h = cfg.d_model, cfg.n_heads
@@ -483,76 +537,42 @@ def frozen_stream_step(tables, cfg: ConformerConfig, x_sub: Array, state
     b, n = x.shape[:2]
     seen = state["seen"]
 
-    # fixed pos table for relative positions 0..L (pe value depends only on
-    # the relative offset; |pe| == 1.0 for every length, so the scale is
-    # the same constant the offline table uses)
-    pos_np = rel_positional_encoding(left + 1, d, None)[left:]  # pos 0..L
-    pos_scale = 1.0 / n8
-    pos8 = jnp.asarray(np.clip(np.round(pos_np / pos_scale), -n8, n8 - 1)
-                       .astype(np.int8))
-
-    # attention mask (B-independent): query i (global seen+i) vs kv slot j
-    # of [cache(L) || new(n)]: relative r = L + i - j must be in [0, L] and
-    # the slot must hold a real frame (cache slot j holds global frame
+    # attention mask: query i (global seen+i) vs kv slot j of
+    # [cache(L) || new(n)]: relative r = L + i - j in [0, L] and the slot
+    # must hold a real frame (cache slot j holds global frame
     # seen - L + j, valid iff j >= L - seen)
     i_idx = jnp.arange(n)[:, None]
     j_idx = jnp.arange(left + n)[None, :]
     r = left + i_idx - j_idx
     invalid = (r < 0) | (r > left) | (j_idx < left - seen)
     att_mask = jnp.broadcast_to(invalid[None], (b, n, left + n))
-
-    def lin(x8_, tbl):
-        return _dot8(x8_, tbl["w"])
-
-    def ffn(x_, tbl_l1, tbl_l2, grid, prod):
-        a8 = _apply_rq(lin(x_, tbl_l1), tbl_l1, ab)
-        g = dyadic_requant_static(a8.astype(jnp.int32),
-                                  jnp.asarray(grid[0]), grid[1])
-        y_int = a8.astype(jnp.int32) * i_sigmoid_grid(g)
-        m8 = jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
-                                            prod[1]), -n8, n8 - 1
-                      ).astype(jnp.int8)
-        return lin(m8, tbl_l2)
-
-    def join(acc, tbl_branch, stream8, stream_rq):
-        yb = dyadic_requant_static(acc + tbl_branch["b"],
-                                   jnp.asarray(tbl_branch["m"]),
-                                   tbl_branch["e"])
-        ys = dyadic_requant_static(stream8.astype(jnp.int32),
-                                   jnp.asarray(stream_rq[0]), stream_rq[1])
-        return jnp.clip(yb + ys, -n8, n8 - 1).astype(jnp.int8)
+    r_idx = jnp.clip(r, 0, left)
 
     new_layers = []
     out = None
     for li, tbl in enumerate(tables["layers"]):
         lc = state["layers"][li]
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
-        acc = ffn(yln, tbl["ff1_l1"], tbl["ff1_l2"],
-                  tbl["ff1_grid"], tbl["ff1_prod"])
-        x = join(acc, tbl["ff1_l2"], x, tbl["j1_stream"])
+        acc = _ffn_int(yln, tbl["ff1_l1"], tbl["ff1_l2"],
+                       tbl["ff1_grid"], tbl["ff1_prod"], ab)
+        x = _join_int(acc, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
         # attention with cached keys/values
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
-        qu8 = _apply_rq(lin(yln, tbl["att_q_u"]), tbl["att_q_u"],
+        qu8 = _apply_rq(_dot8(yln, tbl["att_q_u"]["w"]), tbl["att_q_u"],
                         ab).reshape(b, n, h, d_k)
-        qv8 = _apply_rq(lin(yln, tbl["att_q_v"]), tbl["att_q_v"],
+        qv8 = _apply_rq(_dot8(yln, tbl["att_q_v"]["w"]), tbl["att_q_v"],
                         ab).reshape(b, n, h, d_k)
-        k_new = _apply_rq(lin(yln, tbl["att_k"]), tbl["att_k"],
-                          ab).reshape(b, n, h, d_k).astype(jnp.int8)
-        v_new = _apply_rq(lin(yln, tbl["att_v"]), tbl["att_v"],
-                          ab).reshape(b, n, h, d_k).astype(jnp.int8)
+        k_new = _apply_rq(_dot8(yln, tbl["att_k"]["w"]), tbl["att_k"],
+                          ab).reshape(b, n, h, d_k)
+        v_new = _apply_rq(_dot8(yln, tbl["att_v"]["w"]), tbl["att_v"],
+                          ab).reshape(b, n, h, d_k)
         kv_k = jnp.concatenate([lc["k8"], k_new], axis=1)
         kv_v = jnp.concatenate([lc["v8"], v_new], axis=1)
-        w_pos_int, w_pos_sc = tbl["att_pos_w"]
-        acc_pos = _dot8(pos8, w_pos_int)
-        m_pos, e_pos = _rq_table(pos_scale * w_pos_sc, tbl["S_att_pos"])
-        p8 = jnp.clip(dyadic_requant_static(acc_pos, jnp.asarray(m_pos),
-                                            e_pos), -n8, n8 - 1
-                      ).astype(jnp.int8).reshape(left + 1, h, d_k)
+        p8 = tables["_stream_p8"][li]
         ac = jnp.einsum("bihd,bjhd->bhij", qu8, kv_k,
                         preferred_element_type=jnp.int32)
         bd_full = jnp.einsum("bihd,phd->bhip", qv8, p8,
                              preferred_element_type=jnp.int32)
-        r_idx = jnp.clip(left + i_idx - j_idx, 0, left)
         bd = jnp.take_along_axis(
             bd_full, jnp.broadcast_to(r_idx[None, None],
                                       (b, h, n, left + n)), axis=-1)
@@ -568,38 +588,22 @@ def frozen_stream_step(tables, cfg: ConformerConfig, x_sub: Array, state
         c8 = jnp.clip(dyadic_requant_static(
             ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
             -n8, n8 - 1).astype(jnp.int8)
-        acc = lin(c8, tbl["att_out"])
-        x = join(acc, tbl["att_out"], x, tbl["j2_stream"])
+        acc = _dot8(c8, tbl["att_out"]["w"])
+        x = _join_int(acc, tbl["att_out"], x, tbl["j2_stream"], ab)
         # conv module with the cached GLU tail (cache zeros == the offline
         # causal left zero-padding)
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
-        a8c = _apply_rq(lin(yln, tbl["pw1_a"]), tbl["pw1_a"], ab)
-        g_grid = dyadic_requant_static(
-            lin(yln, tbl["pw1_g"]) + tbl["pw1_g"]["b"],
-            jnp.asarray(tbl["pw1_g"]["m"]), tbl["pw1_g"]["e"])
-        y_int = a8c.astype(jnp.int32) * i_sigmoid_grid(g_grid)
+        y_int = _glu_int(tbl, yln, ab)
         glu8 = jnp.clip(dyadic_requant_static(
             y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
             -n8, n8 - 1).astype(jnp.int8)
         glu_cat = jnp.concatenate([lc["glu8"], glu8], axis=1)
-        acc_dw = jax.lax.conv_general_dilated(
-            glu_cat, jnp.asarray(tbl["dw_w"]), (1,), [(0, 0)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=d, preferred_element_type=jnp.int32)
-        bn8 = _apply_affine_rq(acc_dw, tbl["dw_bn"], ab)
-        s_grid = dyadic_requant_static(bn8.astype(jnp.int32),
-                                       jnp.asarray(tbl["bn_grid"][0]),
-                                       tbl["bn_grid"][1])
-        y_int = bn8.astype(jnp.int32) * i_sigmoid_grid(s_grid)
-        mid8 = jnp.clip(dyadic_requant_static(
-            y_int, jnp.asarray(tbl["bn_prod"][0]), tbl["bn_prod"][1]),
-            -n8, n8 - 1).astype(jnp.int8)
-        acc = lin(mid8, tbl["pw2"])
-        x = join(acc, tbl["pw2"], x, tbl["j3_stream"])
+        acc = _conv_tail_int(tbl, glu_cat, (0, 0), d, ab)
+        x = _join_int(acc, tbl["pw2"], x, tbl["j3_stream"], ab)
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
-        acc = ffn(yln, tbl["ff2_l1"], tbl["ff2_l2"],
-                  tbl["ff2_grid"], tbl["ff2_prod"])
-        x = join(acc, tbl["ff2_l2"], x, tbl["j4_stream"])
+        acc = _ffn_int(yln, tbl["ff2_l1"], tbl["ff2_l2"],
+                       tbl["ff2_grid"], tbl["ff2_prod"], ab)
+        x = _join_int(acc, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
         new_layers.append({"k8": kv_k[:, -left:] if left else lc["k8"],
                            "v8": kv_v[:, -left:] if left else lc["v8"],
                            "glu8": glu_cat[:, -(kk - 1):] if kk > 1

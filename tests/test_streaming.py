@@ -330,3 +330,52 @@ def test_cache_aware_stream_audio_level():
     for i in range(0, len(audio), 6400):
         got2.extend(st.feed(audio[i:i + 6400]).tolist())
     np.testing.assert_array_equal(np.asarray(got2[: len(ids_ref)]), ids_ref)
+
+
+def test_cache_aware_stream_flush_and_wide_window():
+    """flush() drains the trailing frames of a non-hop-aligned utterance
+    (total streamed frames == offline), and a window_size=0.025 frontend
+    (win_length > 2*hop) still matches offline exactly — frames are only
+    emitted once their real future samples have arrived."""
+    from qasr_tpu.decode.streaming import CacheAwareConformerStream
+    from qasr_tpu.models.config import EncoderConfig
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    labels = (" ", "a", "b", "c")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0, "normalize": False,
+                      "window_size": 0.025},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=64, n_heads=4,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           att_context_size=(8, 0), causal_conv=True,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=4)
+    rng = np.random.default_rng(4)
+    calib = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    m.quantize_encoder([(calib, np.asarray([16000, 12800], np.int32))],
+                       quantize_attention=True, integer_softmax=True,
+                       integer_layernorm=True, integer_activations=True,
+                       static_attention=True)
+    m.freeze()
+
+    n_samp = 40075  # NOT hop-aligned
+    audio = (rng.normal(size=n_samp) * 0.1).astype(np.float32)
+    lp, el = m.forward(audio[None].copy(), np.asarray([n_samp], np.int32))
+    ids_ref = np.argmax(np.asarray(lp), axis=-1)[0][: int(el[0])]
+    offline_text = m.transcribe_greedy(audio[None].copy(),
+                                       np.asarray([n_samp], np.int32))[0]
+
+    st = CacheAwareConformerStream(m)
+    got = []
+    for i in range(0, n_samp, 6400):
+        got.extend(st.feed(audio[i:i + 6400]).tolist())
+    got.extend(st.flush().tolist())
+    assert len(got) == len(ids_ref), (len(got), len(ids_ref))
+    np.testing.assert_array_equal(np.asarray(got), ids_ref)
+    assert st.text() == offline_text
