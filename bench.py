@@ -7,7 +7,19 @@ target is >=20x real-time per v5e chip (BASELINE.json), so
 vs_baseline = rtfx / 20.
 
 Prints exactly one JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "mfu": F}
+
+Process structure (VERDICT r3 item 1): the default invocation is a PARENT
+that runs the actual bench in fresh child subprocesses with a bounded retry
+loop.  A wedged axon tunnel blocks jax.devices() forever inside an
+uninterruptible runtime thread (memory: whole sessions lost to this), so a
+failed attempt's process is unrecoverable — only a fresh process gets a
+fresh chance at the tunnel.  Each child runs the init watchdog
+(QASR_BENCH_INIT_TIMEOUT, default 300 s/attempt); the parent additionally
+enforces a hard wall timeout per attempt (QASR_BENCH_ATTEMPT_TIMEOUT,
+default 1200 s) and retries up to QASR_BENCH_ATTEMPTS (default 3) times, so
+a transient wedge costs one attempt instead of the round's perf evidence
+(BENCH_r03.json recorded nothing).
 """
 import json
 import sys
@@ -117,11 +129,90 @@ def main():
 
     step = _device_step_seconds(loop, audio, lengths, bands)
     rtfx = batch * seconds / step
+
+    # MFU: nominal model int8 MACs (static, from the plan, on the physical
+    # padded frame count) vs the v5e int8 peak — quantifies "fast" against
+    # the chip, not just against real-time
+    from qasr_tpu.utils.flops import ctc_model_step_macs, mel_frames, mfu
+    macs = ctc_model_step_macs(model, mel_frames(n), batch=batch)
     print(json.dumps({
         "metric": "quartznet15x5_w6a6_int8_rtfx_per_chip",
         "value": round(rtfx, 2),
         "unit": "audio_sec/sec",
         "vs_baseline": round(rtfx / 20.0, 3),
+        "mfu": round(mfu(macs, step), 4),
+        "device_step_ms": round(step * 1e3, 2),
+    }))
+
+
+def main_conformer():
+    """Frozen integer Conformer-CTC serving bench (VERDICT r3 item 2): the
+    round-3 flagship path (int8 GEMMs + exact dyadic requant chains +
+    integer softmax/LayerNorm glue) measured on the chip, with MFU."""
+    import jax.numpy as jnp
+
+    _setup_cache()
+
+    from qasr_tpu.models.config import (DecoderConfig, EncoderConfig,
+                                        ModelConfig)
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+    from qasr_tpu.utils.flops import conformer_step_macs, mfu
+
+    import os
+
+    layers = int(os.environ.get("QASR_BENCH_CONF_LAYERS", "16"))
+    d_model = int(os.environ.get("QASR_BENCH_CONF_DMODEL", "256"))
+    heads = 4
+    batch = int(os.environ.get("QASR_BENCH_CONF_BATCH", "32"))
+    seconds = float(os.environ.get("QASR_BENCH_CONF_SECONDS", "15"))
+    labels = tuple(" abcdefghijklmnopqrstuvwxyz'")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=80, blocks=[]),
+        decoder=DecoderConfig(feat_in=d_model, num_classes=len(labels)),
+        labels=labels, preprocessor={"features": 80, "dither": 0.0})
+    ccfg = ConformerConfig(feat_in=80, n_layers=layers, d_model=d_model,
+                           n_heads=heads, subsampling="striding",
+                           subsampling_factor=4,
+                           subsampling_conv_channels=d_model,
+                           conv_kernel_size=31, dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    n = int(16000 * seconds)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
+    alens = np.full((batch,), n, np.int32)
+    m.quantize_encoder([(audio[:4], alens[:4])], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+
+    a, al = jnp.asarray(audio), jnp.asarray(alens)
+
+    def run(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                lp, el = m.forward(a, al)
+            ids = np.asarray(jnp.argmax(lp, axis=-1))
+            best = min(best, time.perf_counter() - t0)
+        return best, ids
+
+    run(1)  # compile + warm
+    _, ids = run(1)
+    assert len(np.unique(ids)) > 1, "model output is degenerate"
+    step = (run(6)[0] - run(2)[0]) / 4
+    rtfx = batch * seconds / step
+    frames = 1 + n // 160
+    macs = conformer_step_macs(ccfg, frames, batch=batch,
+                               num_classes=len(labels))
+    print(json.dumps({
+        "metric": "conformer16x256_frozen_int8_rtfx_per_chip",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(rtfx / 20.0, 3),
+        "mfu": round(mfu(macs, step), 4),
+        "device_step_ms": round(step * 1e3, 2),
     }))
 
 
@@ -300,16 +391,89 @@ def _device_watchdog(timeout_s: float):
         os._exit(3)  # the stuck runtime thread cannot be interrupted
 
 
+def _select_entry():
+    if "--io" in sys.argv:
+        return main_io
+    if "conformer" in sys.argv:  # accepts `--model conformer` or `conformer`
+        return main_conformer
+    return main
+
+
+def _parent_retry_loop():
+    """Run the bench in fresh subprocesses until one prints a JSON result.
+
+    A process that touched a wedged tunnel is unrecoverable (the runtime
+    thread blocks in C++ and ignores signals short of SIGKILL), so each
+    attempt must be a brand-new interpreter.  On success the child's JSON
+    line is re-printed verbatim as THIS process's stdout tail — the driver
+    parses the last line."""
+    import os
+    import subprocess
+
+    attempts = int(os.environ.get("QASR_BENCH_ATTEMPTS", "3"))
+    attempt_timeout = float(os.environ.get("QASR_BENCH_ATTEMPT_TIMEOUT",
+                                           "1200"))
+    env = dict(os.environ)
+    env["QASR_BENCH_CHILD"] = "1"
+    env.setdefault("QASR_BENCH_INIT_TIMEOUT", "300")
+    last_rc, last_tail = 1, ""
+    for i in range(1, attempts + 1):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout)
+            rc, out, err = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc = -1
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+            err = f"attempt hard-timed out after {attempt_timeout:.0f}s"
+        result = None
+        for line in reversed(out.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                result = line
+                break
+        if rc == 0 and result is not None:
+            print(result)
+            return 0
+        last_rc = rc if rc > 0 else 3
+        last_tail = (err or out or "").strip().splitlines()[-3:]
+        dt = time.perf_counter() - t0
+        print(f"bench attempt {i}/{attempts} failed rc={rc} after {dt:.0f}s: "
+              + " | ".join(last_tail), file=sys.stderr)
+    print(f"bench: all {attempts} attempts failed; last: "
+          + " | ".join(last_tail), file=sys.stderr)
+    return last_rc
+
+
 if __name__ == "__main__":
     import os
 
-    _device_watchdog(float(os.environ.get("QASR_BENCH_INIT_TIMEOUT", "600")))
-    # the axon tunnel occasionally drops a request mid-run; one retry makes
-    # the driver's bench robust to that transient
-    entry_fn = main_io if "--io" in sys.argv else main
-    try:
-        entry_fn()
-    except Exception as e:  # noqa: BLE001
-        print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
-              file=sys.stderr)
-        entry_fn()
+    if os.environ.get("QASR_BENCH_CHILD") == "1":
+        fake = os.environ.get("QASR_BENCH_FAKE")
+        if fake is not None:
+            # harness self-test hook (tests/test_bench_harness.py): emit the
+            # given line(s) without touching the device
+            if fake == "hang":
+                time.sleep(3600)
+            print(fake)
+            sys.exit(int(os.environ.get("QASR_BENCH_FAKE_RC", "0")))
+        plat = os.environ.get("QASR_BENCH_PLATFORM")
+        if plat:
+            # CPU smoke-testing: the axon plugin re-registers itself on jax
+            # import and overrides JAX_PLATFORMS from the environment, so the
+            # config knob is the only reliable platform selector
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        _device_watchdog(float(os.environ.get("QASR_BENCH_INIT_TIMEOUT",
+                                              "300")))
+        _select_entry()()
+    else:
+        sys.exit(_parent_retry_loop())

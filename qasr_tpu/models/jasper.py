@@ -418,6 +418,28 @@ def group_shuffle(x: Array, groups: int) -> Array:
     return x.reshape(b, t, groups, c // groups).swapaxes(2, 3).reshape(b, t, c)
 
 
+def shuffle_channel_vector(v, groups: int):
+    """Apply GroupShuffle's channel permutation to a per-channel vector
+    (scale / dyadic mantissa).  Integer activations carry per-out-channel
+    scales out of every conv (QuantConv1d per_channel=True semantics,
+    reference quant_modules.py:251-267), so shuffling the values without
+    shuffling the grid would silently misquantize; the reference never hits
+    this because it dequantizes to float before GroupShuffle."""
+    c = v.shape[0]
+    return v.reshape(groups, c // groups).swapaxes(0, 1).reshape(c)
+
+
+def group_shuffle_q(x: "QTensor", groups: int) -> "QTensor":
+    """GroupShuffle on an integer activation: permute values AND, when the
+    scale is per-channel, the scale grid (reference QuantConv1d threads
+    `groups` straight through, quant_modules.py:232-250)."""
+    vals = group_shuffle(x.values, groups)
+    scale = x.scale
+    if getattr(scale, "ndim", 0) == 1:
+        scale = shuffle_channel_vector(scale, groups)
+    return QTensor(vals, scale)
+
+
 def _apply_activation(x: Array, kind: str) -> Array:
     if kind == "relu":
         return jax.nn.relu(x)
@@ -720,7 +742,7 @@ class QuantExec:
         return QTensor(jnp.round(y / x.scale).astype(jnp.int32), x.scale)
 
     def group_shuffle(self, x, groups):
-        raise NotImplementedError("grouped convs are not supported in quant mode")
+        return group_shuffle_q(x, groups)
 
     def squeeze_excite(self, block_idx, x, bp):
         # same restriction as the reference (jasper.py:399)

@@ -195,8 +195,15 @@ class ScaleFreezeExec:
     def activation(self, x: _SVal, dropout: float) -> _SVal:
         return x  # relu/hardtanh preserve the scale grid
 
-    def group_shuffle(self, x, groups):
-        raise NotImplementedError("grouped convs unsupported in quant mode")
+    def group_shuffle(self, x: _SVal, groups: int) -> _SVal:
+        # permute the per-channel scale grid exactly as the values are
+        # permuted at execution (models/jasper.py::group_shuffle_q) so the
+        # next site's dyadic mantissas line up channel-for-channel
+        scale = x.scale
+        if getattr(scale, "ndim", 0) == 1:
+            from qasr_tpu.models.jasper import shuffle_channel_vector
+            scale = shuffle_channel_vector(np.asarray(scale), groups)
+        return _SVal(scale, x.bound)
 
     def squeeze_excite(self, block_idx, x, bp):
         raise NotImplementedError("SqueezeExcite does not support quantization")
@@ -499,8 +506,9 @@ class FrozenExec:
         y = jnp.round(_apply_activation(x.dequantize(), self.activation_kind) / x.scale)
         return QTensor(y.astype(jnp.int32), x.scale)
 
-    def group_shuffle(self, x, groups):
-        raise NotImplementedError
+    def group_shuffle(self, x: QTensor, groups: int) -> QTensor:
+        from qasr_tpu.models.jasper import group_shuffle_q
+        return group_shuffle_q(x, groups)
 
     def squeeze_excite(self, block_idx, x, bp):
         raise NotImplementedError("SqueezeExcite does not support quantization")
