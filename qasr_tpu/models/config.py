@@ -160,7 +160,10 @@ def preprocessor_config_from_dict(d: dict):
                "preemph": "preemph", "dither": "dither", "pad_to": "pad_to",
                "pad_value": "pad_value", "mag_power": "mag_power",
                "lowfreq": "lowfreq", "highfreq": "highfreq",
-               "log": "log", "frame_splicing": "frame_splicing"}
+               "log": "log", "frame_splicing": "frame_splicing",
+               "max_duration": "max_duration",
+               "log_zero_guard_type": "log_zero_guard_type",
+               "log_zero_guard_value": "log_zero_guard_value"}
     kwargs = {tgt: d[src] for src, tgt in mapping.items() if src in d and d[src] is not None}
     return FeatureConfig(**kwargs)
 

@@ -88,15 +88,37 @@ def mel_filterbank(
 # ---------------------------------------------------------------------------
 
 
-def hann_window(win_length: int, n_fft: int) -> np.ndarray:
-    """torch.hann_window(win_length, periodic=False), zero-padded centered to
-    n_fft (torch.stft pads a short window this way)."""
+def make_window(kind: str, win_length: int, n_fft: int) -> np.ndarray:
+    """torch.{hann,hamming,blackman,bartlett}_window(win_length,
+    periodic=False), zero-padded centered to n_fft (torch.stft pads a short
+    window this way).  Mirrors the reference's torch_windows dict
+    (features.py:252-258).  'none' follows torch.stft(window=None)
+    semantics — a rectangular window of win_length — which is what the
+    reference *configures* for 'none' (its call site would actually crash on
+    `self.window.to(...)` with a None buffer, features.py:261-269; we accept
+    the config and do the documented thing)."""
     n = np.arange(win_length, dtype=np.float64)
-    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (win_length - 1))
+    theta = 2.0 * np.pi * n / (win_length - 1)
+    if kind == "hann":
+        w = 0.5 - 0.5 * np.cos(theta)
+    elif kind == "hamming":
+        w = 0.54 - 0.46 * np.cos(theta)
+    elif kind == "blackman":
+        w = 0.42 - 0.5 * np.cos(theta) + 0.08 * np.cos(2.0 * theta)
+    elif kind == "bartlett":
+        w = 1.0 - np.abs(2.0 * n / (win_length - 1) - 1.0)
+    elif kind in ("none", None, ""):
+        w = np.ones(win_length, dtype=np.float64)
+    else:
+        raise ValueError(f"unsupported window: {kind!r}")
     pad_l = (n_fft - win_length) // 2
     out = np.zeros(n_fft, dtype=np.float32)
     out[pad_l : pad_l + win_length] = w.astype(np.float32)
     return out
+
+
+def hann_window(win_length: int, n_fft: int) -> np.ndarray:
+    return make_window("hann", win_length, n_fft)
 
 
 def frame_signal(x: Array, n_fft: int, hop: int, center: bool) -> Array:
@@ -177,6 +199,7 @@ class FeatureConfig:
     pad_value: float = 0.0
     mag_power: float = 2.0
     frame_splicing: int = 1
+    max_duration: float = 16.7    # pad_to='max' target (features.py:287-290)
     stft_matmul: bool = False     # MXU DFT path instead of jnp.fft
 
     @property
@@ -196,8 +219,6 @@ class MelFrontend:
     """
 
     def __init__(self, cfg: FeatureConfig):
-        if cfg.window != "hann":
-            raise NotImplementedError("only hann window is supported")
         self.cfg = cfg
         # kept as HOST numpy on purpose: a jit that closes over these then
         # embeds them as HLO literals.  As pre-committed device buffers
@@ -206,11 +227,30 @@ class MelFrontend:
         # transfer bandwidth ~70x under the axon TPU tunnel (PERF.md round
         # 3d bisect: any executed program holding a captured device buffer
         # — even a scalar — triggers it; numpy-literal closures don't).
-        self.window = hann_window(cfg.win_length, cfg.n_fft)
+        v = cfg.log_zero_guard_value
+        if isinstance(v, str):  # "tiny"/"eps" (reference features.py:312-325)
+            if v == "tiny":
+                v = float(np.finfo(np.float32).tiny)
+            elif v == "eps":
+                v = float(np.finfo(np.float32).eps)
+            else:
+                raise ValueError(
+                    f"log_zero_guard_value must be a number, 'tiny' or "
+                    f"'eps'; got {v!r}")
+        self.log_guard = float(v)
+        self.window = make_window(cfg.window, cfg.win_length, cfg.n_fft)
         self.fb = mel_filterbank(
             cfg.sample_rate, cfg.n_fft, cfg.features, cfg.lowfreq, cfg.highfreq)
         if cfg.stft_matmul:
             self.cos_m, self.sin_m = dft_matrices(cfg.n_fft)
+        if cfg.pad_to == "max":
+            # max_length = ceil(max_duration*sr / hop) rounded up to pad 16
+            # — the reference rounds to ITS pad_to which is 'max' here, so
+            # it uses pad_to>0 arithmetic only when numeric (features.py:
+            # 287-290 computes max_pad with the numeric branch; with
+            # pad_to='max' that expression is skipped, max_pad=0)
+            self.max_length = int(math.ceil(
+                cfg.max_duration * cfg.sample_rate / cfg.hop_length))
 
     def out_length(self, lengths: Array) -> Array:
         # ceil(len / hop)  (features.py:327-328)
@@ -243,9 +283,9 @@ class MelFrontend:
         mel = jnp.matmul(p, self.fb, precision=jax.lax.Precision.HIGHEST)
         if cfg.log:
             if cfg.log_zero_guard_type == "add":
-                mel = jnp.log(mel + cfg.log_zero_guard_value)
+                mel = jnp.log(mel + self.log_guard)
             else:
-                mel = jnp.log(jnp.clip(mel, min=cfg.log_zero_guard_value))
+                mel = jnp.log(jnp.clip(mel, min=self.log_guard))
 
         t = mel.shape[1]
         mask = (jnp.arange(t)[None, :] < seq_len[:, None])  # (B, T)
@@ -258,8 +298,18 @@ class MelFrontend:
 
         mel = jnp.where(mask[:, :, None], mel, cfg.pad_value)
         if cfg.pad_to == "max":
-            raise NotImplementedError("pad_to='max' — use static bucketing instead")
-        if cfg.pad_to and t % cfg.pad_to:
+            # pad the time axis to the static max_duration frame count
+            # (features.py:390-391; F.pad with a negative amount truncates,
+            # matched here for audio longer than max_duration).  NB the
+            # reference's *constructor* trips on `'max' > 0` at
+            # features.py:288 in py3 — we implement the forward-path
+            # semantics the config documents.
+            if t < self.max_length:
+                mel = jnp.pad(mel, ((0, 0), (0, self.max_length - t), (0, 0)),
+                              constant_values=cfg.pad_value)
+            elif t > self.max_length:
+                mel = mel[:, : self.max_length]
+        elif cfg.pad_to and t % cfg.pad_to:
             mel = jnp.pad(mel, ((0, 0), (0, cfg.pad_to - t % cfg.pad_to), (0, 0)),
                           constant_values=cfg.pad_value)
         return mel, seq_len

@@ -118,3 +118,84 @@ def test_frontend_length_semantics():
     x = jnp.zeros((2, 3200), jnp.float32)
     _, sl = fe(x, jnp.asarray([3200, 161], jnp.int32))
     assert list(np.asarray(sl)) == [20, 2]  # ceil(len/160)
+
+
+@pytest.mark.parametrize("kind", ["hann", "hamming", "blackman", "bartlett"])
+def test_window_matches_torch(kind):
+    """VERDICT r4 item 6: per-window torch parity (reference torch_windows
+    dict, features.py:252-258, all periodic=False)."""
+    torch = pytest.importorskip("torch")
+    from qasr_tpu.ops.features import make_window
+
+    fn = {"hann": torch.hann_window, "hamming": torch.hamming_window,
+          "blackman": torch.blackman_window,
+          "bartlett": torch.bartlett_window}[kind]
+    ref = fn(320, periodic=False).numpy()
+    got = make_window(kind, 320, 512)
+    pad = (512 - 320) // 2
+    np.testing.assert_allclose(got[pad:pad + 320], ref, rtol=1e-6, atol=1e-7)
+    assert np.all(got[:pad] == 0) and np.all(got[pad + 320:] == 0)
+
+
+def test_window_none_is_rectangular():
+    from qasr_tpu.ops.features import make_window
+
+    got = make_window("none", 320, 512)
+    pad = (512 - 320) // 2
+    assert np.all(got[pad:pad + 320] == 1.0)
+    assert got.sum() == 320
+
+
+@pytest.mark.parametrize("kind", ["hamming", "blackman", "bartlett", "none"])
+def test_frontend_nonhann_windows_match_torch_stft(rng, kind):
+    """Full-frontend parity per window kind: our MelFrontend vs the torch
+    reference pipeline computed with torch.stft and the same window."""
+    torch = pytest.importorskip("torch")
+    from qasr_tpu.ops.features import make_window
+
+    cfg = FeatureConfig(dither=0.0, window=kind)
+    fe = MelFrontend(cfg)
+    lengths = np.asarray([8000, 5000], np.int32)
+    x = (rng.normal(size=(2, 8000)) * 0.1).astype(np.float32)
+    x[1, 5000:] = 0.0
+    got, got_len = fe(jnp.asarray(x), jnp.asarray(lengths))
+
+    xt = torch.from_numpy(x)
+    xt = torch.cat((xt[:, :1], xt[:, 1:] - cfg.preemph * xt[:, :-1]), dim=1)
+    window = torch.from_numpy(make_window(kind, cfg.win_length, cfg.n_fft))
+    spec = torch.stft(xt, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                      win_length=cfg.n_fft, center=True, window=window,
+                      return_complex=True)
+    mel_m = torch.from_numpy(
+        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.features))
+    mel = torch.log(torch.matmul(mel_m.T, spec.abs() ** 2)
+                    + cfg.log_zero_guard_value)
+    ref = np.zeros_like(mel.numpy())
+    for i, sl in enumerate(np.asarray(got_len)):
+        seg = mel[i, :, :sl]
+        m = seg.mean(dim=1, keepdim=True)
+        s = seg.std(dim=1, keepdim=True) + 1e-5
+        ref[i, :, :sl] = ((seg - m) / s).numpy()
+    t = np.asarray(got).shape[1]
+    diff = np.abs(np.asarray(got)[:, : mel.shape[2], :]
+                  - ref.transpose(0, 2, 1))
+    assert diff.mean() < 1e-3 and diff.max() < 1e-2, (diff.mean(), diff.max())
+    assert t % cfg.pad_to == 0
+
+
+def test_pad_to_max(rng):
+    """pad_to='max' pads T to the static max_duration frame count and
+    truncates beyond it (features.py:390-391)."""
+    cfg = FeatureConfig(dither=0.0, pad_to="max", max_duration=0.5)
+    fe = MelFrontend(cfg)
+    assert fe.max_length == 50  # ceil(0.5*16000/160)
+    x = (rng.normal(size=(2, 4000)) * 0.1).astype(np.float32)
+    out, sl = fe(jnp.asarray(x), jnp.asarray([4000, 3000], np.int32))
+    assert out.shape[1] == 50
+    # shorter-than-max input is zero-padded past its own frame count
+    assert np.all(np.asarray(out)[1, int(np.asarray(sl)[1]):, :] == 0)
+    # longer-than-max input is truncated
+    cfg2 = FeatureConfig(dither=0.0, pad_to="max", max_duration=0.1)
+    fe2 = MelFrontend(cfg2)
+    out2, _ = fe2(jnp.asarray(x), jnp.asarray([4000, 4000], np.int32))
+    assert out2.shape[1] == fe2.max_length == 10
