@@ -102,14 +102,31 @@ def params_from_state_dict(plan: EncoderPlan, sd: Dict[str, Any]) -> Dict[str, A
     return {"encoder": {"blocks": blocks}, "decoder": decoder}
 
 
-def state_dict_from_params(plan: EncoderPlan, params: Dict[str, Any]) -> Dict[str, Any]:
-    """Inverse mapping (for .nemo export interop)."""
+def state_dict_from_params(plan: EncoderPlan, params: Dict[str, Any],
+                           quant_layout: bool = False) -> Dict[str, Any]:
+    """Inverse mapping (for .nemo export interop).
+
+    quant_layout=False emits the stock-NeMo fp32 key layout found in NGC
+    .nemo checkpoints (``mconv.{i}.conv.weight``).  quant_layout=True emits
+    the Q-ASR module-tree layout: QuantConv1d.set_param (reference
+    quant_modules.py:232-250) clones the weight onto itself AND keeps the
+    original nn.Conv1d as a submodule, so each conv weight appears at BOTH
+    ``...conv.weight`` and ``...conv.conv.weight``; the decoder's 1x1 conv
+    is a bare QuantConv1d at ``decoder_layers.0`` (conv_asr.py:261-267).
+    """
     import torch
 
     sd: Dict[str, Any] = {}
 
-    def put_conv(key, w):
-        sd[key] = torch.from_numpy(np.asarray(w).transpose(2, 1, 0).copy())
+    def put_w(base, w, b=None):
+        wt = torch.from_numpy(np.asarray(w).transpose(2, 1, 0).copy())
+        sd[base + ".weight"] = wt
+        if b is not None:
+            sd[base + ".bias"] = torch.from_numpy(np.asarray(b).copy())
+        if quant_layout:
+            sd[base + ".conv.weight"] = wt.clone()
+            if b is not None:
+                sd[base + ".conv.bias"] = sd[base + ".bias"].clone()
 
     def put_bn(prefix, bnp):
         sd[prefix + ".weight"] = torch.from_numpy(np.asarray(bnp["gamma"]).copy())
@@ -123,22 +140,19 @@ def state_dict_from_params(plan: EncoderPlan, params: Dict[str, Any]) -> Dict[st
         for ci, spec in enumerate(bp.convs):
             mi, bni = slots[ci]
             base = f"encoder.encoder.{bp.index}.mconv.{mi}"
-            put_conv(base + ".conv.weight", bparams["convs"][ci]["w"])
-            if "b" in bparams["convs"][ci]:
-                sd[base + ".conv.bias"] = torch.from_numpy(
-                    np.asarray(bparams["convs"][ci]["b"]).copy())
+            put_w(base + ".conv", bparams["convs"][ci]["w"],
+                  bparams["convs"][ci].get("b"))
             if spec.has_bn and "bn" in bparams["convs"][ci]:
                 put_bn(f"encoder.encoder.{bp.index}.mconv.{bni}",
                        bparams["convs"][ci]["bn"])
         for pi in range(len(bp.res)):
             base = f"encoder.encoder.{bp.index}.res.{pi}"
-            put_conv(base + ".0.conv.weight", bparams["res"][pi]["w"])
+            put_w(base + ".0.conv", bparams["res"][pi]["w"])
             if "bn" in bparams["res"][pi]:
                 put_bn(base + ".1", bparams["res"][pi]["bn"])
 
-    put_conv("decoder.decoder_layers.0.weight", params["decoder"]["w"])
-    sd["decoder.decoder_layers.0.bias"] = torch.from_numpy(
-        np.asarray(params["decoder"]["b"]).copy())
+    put_w("decoder.decoder_layers.0", params["decoder"]["w"],
+          params["decoder"]["b"])
     return sd
 
 
