@@ -4,8 +4,13 @@ Equivalent of the reference Exportable mixin (core/classes/exportable.py:
 43-212, ONNX/TorchScript): on TPU the portable deployment format is
 serialized StableHLO via jax.export — hermetic, weight-embedded, reloadable
 without any qasr_tpu code.  The reference's enc+dec ONNX stitching
-(export_utils.attach_onnx_to_onnx, export_utils.py:192-232) is unnecessary:
-the whole pipeline is one jitted function.
+(export_utils.attach_onnx_to_onnx, export_utils.py:192-232) is unnecessary
+here: the whole pipeline is one jitted function.
+
+For actual ONNX interop (feeding onnxruntime/TensorRT deployments like the
+reference's `scripts/convasr_to_onnx.py`), see `compat/onnx_export.py` —
+an in-tree ModelProto writer (no `onnx` package) exporting the fp32
+ConvASR graphs, plus the stitcher and a numpy validator.
 """
 from __future__ import annotations
 
