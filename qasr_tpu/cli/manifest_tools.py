@@ -20,6 +20,19 @@ for durations, in-tree stratified split instead of sklearn, no librosa):
   vad-data        scripts/process_vad_data.py:81-270 — speech + background
                   folders -> per-class train/val/test manifests with
                   segment windows (duration_max/stride).
+  an4             scripts/process_an4_data.py:30-91 — extracted AN4 tree ->
+                  train/test manifests; .sph decoded in-tree
+                  (data/sphere.py) instead of shelling to sox.
+  hub5            scripts/process_hub5_data.py:75-210 — LDC HUB5 tree ->
+                  per-speaker >=min_slice_duration segments +
+                  manifest_hub5.json (stm scrub, channel select, in-tree
+                  sph decode instead of sph2pipe).
+  commonvoice     scripts/get_commonvoice_data.py:81-111 — one split .tsv
+                  -> resampled mono wavs + manifest (clips pre-converted
+                  to wav out of band: no mp3 codec in this image).
+  rir             scripts/get_openslr_rir.py:47-99 — extracted RIRS_NOISES
+                  tree: split multi-channel real RIRs per channel, move
+                  simulated RIRs, write rir.json.
 
     python -m qasr_tpu.cli.manifest_tools scp --scp wav.scp --id 2 \
         --out manifest.json --split
@@ -27,6 +40,7 @@ for durations, in-tree stratified split instead of sklearn, no librosa):
 from __future__ import annotations
 
 import json
+import math
 import os
 from argparse import ArgumentParser
 from collections import defaultdict
@@ -337,6 +351,265 @@ def process_vad_data(speech_dir: str, background_dir: str, out_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# corpus getters (the download steps are network-bound and happen out of
+# band in this image; everything after the download is reproduced here)
+
+
+def _convert_sph_tree(root: str) -> int:
+    """Convert every .sph under root to a sibling .wav (the reference shells
+    to sox, process_an4_data.py:63-66; here data/sphere.py decodes in-tree).
+    Existing .wav siblings are kept."""
+    from qasr_tpu.data.sphere import sphere_to_wav
+
+    n = 0
+    for dirpath, _, names in os.walk(root):
+        for name in sorted(names):
+            if name.endswith(".sph"):
+                sph = os.path.join(dirpath, name)
+                wav = sph[:-4] + ".wav"
+                if not os.path.exists(wav):
+                    sphere_to_wav(sph, wav)
+                    n += 1
+    return n
+
+
+def _an4_manifest(data_root: str, transcripts_path: str, manifest_path: str,
+                  wav_path: str) -> int:
+    """AN4 transcription lines `<s> text </s> (fileID)` -> manifest rows
+    (process_an4_data.py:30-54, incl. the fileID -> speaker-dir layout)."""
+    rows = []
+    with open(transcripts_path) as fin:
+        for line in fin:
+            line = line.rstrip("\n")
+            if "(" not in line:
+                continue
+            transcript = line[: line.find("(") - 1].lower()
+            transcript = transcript.replace("<s>", "").replace("</s>", "").strip()
+            file_id = line[line.find("(") + 1: -1].rstrip(")")
+            speaker = file_id[file_id.find("-") + 1: file_id.rfind("-")]
+            audio_path = os.path.join(data_root, wav_path, speaker,
+                                      file_id + ".wav")
+            rows.append({"audio_filepath": audio_path,
+                         "duration": wav_duration(audio_path),
+                         "text": transcript})
+    _write_manifest(manifest_path, rows)
+    return len(rows)
+
+
+def process_an4(data_root: str) -> Dict[str, int]:
+    """Extracted AN4 tree -> train/test manifests
+    (scripts/process_an4_data.py:57-91; sph conversion in-tree)."""
+    data_root = os.path.abspath(data_root)
+    converted = _convert_sph_tree(os.path.join(data_root, "an4"))
+    counts = {"converted_sph": converted}
+    for split, trans, wavs in (
+            ("train", "an4_train.transcription", "an4/wav/an4_clstk"),
+            ("test", "an4_test.transcription", "an4/wav/an4test_clstk")):
+        tpath = os.path.join(data_root, "an4", "etc", trans)
+        mpath = os.path.join(data_root, "an4", f"{split}_manifest.json")
+        counts[split] = _an4_manifest(data_root, tpath, mpath, wavs)
+    return counts
+
+
+_HUB5_STM_RE = None
+# transcript fix the reference carries (process_hub5_data.py:55)
+_HUB5_TRANSCRIPT_BUGS = {"en_4622-B-12079-12187": "KIND OF WEIRD BUT"}
+
+
+def _hub5_parse_stm(stm_path: str) -> List[dict]:
+    """STM lines -> utterance dicts with the reference's text scrubbing
+    (process_hub5_data.py:88-127)."""
+    global _HUB5_STM_RE
+    import re
+
+    if _HUB5_STM_RE is None:
+        _HUB5_STM_RE = re.compile(
+            r"^(\w+)\s+(\w+)\s+(\w+)\s+([0-9.]+)\s+([0-9.]+)\s+(<.*>)?\s+(.+)$")
+    utts = []
+    with open(stm_path) as fh:
+        for line in fh:
+            if line.startswith(";;") or "IGNORE_TIME_SEGMENT_" in line:
+                continue
+            line = (line.replace("<B_ASIDE>", "").replace("<E_ASIDE>", "")
+                    .replace("(%HESITATION)", "UH").replace("-", "")
+                    .replace("(%UH)", "UH").replace("(%AH)", "UH")
+                    .replace("(", "").replace(")", "").lower())
+            m = _HUB5_STM_RE.search(line.strip())
+            if not m:
+                continue
+            fname, channel, speaker, begin, end, _, transcript = m.groups()
+            begin, end = float(begin), float(end)
+            uid = f"{fname}-{channel}-{int(begin * 100)}-{int(end * 100)}"
+            fix = _HUB5_TRANSCRIPT_BUGS.get(uid)
+            utts.append({"filename": fname, "channel": channel,
+                         "speaker_id": speaker, "begin": begin, "end": end,
+                         "transcript": fix if fix is not None else transcript})
+    return utts
+
+
+def process_hub5(data_root: str, dest_root: str,
+                 min_slice_duration: float = 10.0) -> Dict[str, int]:
+    """LDC HUB5 tree -> per-speaker >= min_slice_duration wav segments +
+    manifest_hub5.json (scripts/process_hub5_data.py:75-210; sph decode
+    in-tree instead of sph2pipe)."""
+    import wave
+
+    import numpy as np
+
+    from qasr_tpu.data.sphere import sphere_to_wav
+
+    full_wav = os.path.join(dest_root, "full_audio_wav")
+    audio_dir = os.path.join(dest_root, "audio")
+    os.makedirs(full_wav, exist_ok=True)
+    os.makedirs(audio_dir, exist_ok=True)
+    sph_root = os.path.join(data_root, "hub5e_00", "english")
+    n_conv = 0
+    for name in sorted(os.listdir(sph_root)) if os.path.isdir(sph_root) else []:
+        if name.endswith(".sph"):
+            base = name[:-4]
+            wav = os.path.join(full_wav, base + ".wav")
+            if not os.path.exists(wav):
+                sphere_to_wav(os.path.join(sph_root, name), wav)
+                n_conv += 1
+    stm = os.path.join(data_root, "2000_hub5_eng_eval_tr", "reference",
+                       "hub5e00.english.000405.stm")
+    utts = sorted(_hub5_parse_stm(stm),
+                  key=lambda u: (u["speaker_id"], u["begin"]))
+
+    manifest_path = os.path.join(dest_root, "manifest_hub5.json")
+    rows: List[dict] = []
+    prev_id, id_count = None, 0
+    sr, audio = None, None
+    tbuf, abuf, dur = "", [], 0.0
+    for u in utts:
+        if u["speaker_id"] != prev_id:
+            prev_id, id_count = u["speaker_id"], 0
+            with wave.open(os.path.join(full_wav, u["filename"] + ".wav"),
+                           "rb") as w:
+                sr = w.getframerate()
+                ch = w.getnchannels()
+                audio = np.frombuffer(w.readframes(w.getnframes()),
+                                      "<i2").reshape(-1, ch)
+            tbuf, abuf, dur = "", [], 0.0
+        chan = 0 if u["channel"].lower() == "a" else 1
+        chan = min(chan, audio.shape[1] - 1)
+        tbuf += u["transcript"]
+        abuf.append(audio[math.floor(u["begin"] * sr):
+                          math.ceil(u["end"] * sr), chan])
+        dur += u["end"] - u["begin"]
+        if dur < min_slice_duration:
+            tbuf += " "
+        else:
+            id_count += 1
+            seg_path = os.path.join(audio_dir,
+                                    f"{u['speaker_id']}_{id_count:03}.wav")
+            with wave.open(seg_path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(np.concatenate(abuf).astype("<i2").tobytes())
+            rows.append({"audio_filepath": seg_path, "duration": dur,
+                         "text": tbuf})
+            tbuf, abuf, dur = "", [], 0.0
+    _write_manifest(manifest_path, rows)
+    return {"converted_sph": n_conv, "segments": len(rows)}
+
+
+def commonvoice_manifest(tsv: str, data_root: str, manifest_path: str,
+                         sample_rate: int = 16000) -> int:
+    """One CommonVoice split .tsv -> resampled mono wavs under
+    data_root/wav/ + manifest (get_commonvoice_data.py:81-111; clips must
+    already be wav — this image has no mp3 codec, convert out of band)."""
+    import csv
+
+    from qasr_tpu.data.audio import read_wav, resample, write_wav
+
+    wav_dir = os.path.join(data_root, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    clips = os.path.join(os.path.dirname(os.path.abspath(tsv)), "clips")
+    rows = []
+    with open(tsv, newline="") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            rel = row["path"]
+            text = row["sentence"].lower().strip()
+            src = os.path.join(clips, rel)
+            base = os.path.splitext(os.path.basename(rel))[0]
+            if not os.path.exists(src) and src.endswith(".mp3") \
+                    and os.path.exists(src[:-4] + ".wav"):
+                src = src[:-4] + ".wav"  # pre-converted tree
+            if src.endswith(".mp3"):
+                raise NotImplementedError(
+                    f"{src}: no mp3 codec in this image; pre-convert clips "
+                    f"to wav (the reference shells to sox for the same step,"
+                    f" get_commonvoice_data.py:96-99)")
+            x, sr = read_wav(src)
+            if sr != sample_rate:
+                x = resample(x, sr, sample_rate)
+            out_wav = os.path.join(wav_dir, base + ".wav")
+            write_wav(out_wav, x, sample_rate)
+            rows.append({"audio_filepath": os.path.abspath(out_wav),
+                         "duration": len(x) / sample_rate, "text": text})
+    _write_manifest(manifest_path, rows)
+    return len(rows)
+
+
+def process_rir(data_root: str, dest_root: str) -> Dict[str, int]:
+    """Extracted RIRS_NOISES tree -> single-channel real RIR wavs + a
+    manifest over every processed wav (get_openslr_rir.py:47-99: multi-
+    channel real RIRs split per channel via sox remix; here stdlib wave)."""
+    import shutil
+    import wave
+
+    import numpy as np
+
+    os.makedirs(dest_root, exist_ok=True)
+    real_dir = os.path.join(dest_root, "real_rirs")
+    os.makedirs(real_dir, exist_ok=True)
+    rir_list = os.path.join(data_root, "RIRS_NOISES",
+                            "real_rirs_isotropic_noises", "rir_list")
+    n_split = 0
+    with open(rir_list) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 5:
+                continue
+            src = os.path.join(data_root, parts[4])
+            with wave.open(src, "rb") as w:
+                ch = w.getnchannels()
+                sr = w.getframerate()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if ch == 1:
+                shutil.copy(src, real_dir)
+            else:
+                dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[width]
+                x = np.frombuffer(raw, dt).reshape(-1, ch)
+                stem = os.path.splitext(os.path.basename(src))[0]
+                for c in range(ch):  # sox remix is 1-based; file suffix too
+                    out = os.path.join(real_dir, f"{stem}-{c + 1}.wav")
+                    with wave.open(out, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(width)
+                        w.setframerate(sr)
+                        w.writeframes(np.ascontiguousarray(x[:, c]).tobytes())
+                    n_split += 1
+    sim_src = os.path.join(data_root, "RIRS_NOISES", "simulated_rirs")
+    sim_dst = os.path.join(dest_root, "simulated_rirs")
+    if os.path.isdir(sim_src) and not os.path.isdir(sim_dst):
+        shutil.move(sim_src, sim_dst)
+    rows = []
+    for dirpath, _, names in os.walk(dest_root):
+        for name in sorted(names):
+            if name.endswith(".wav"):
+                p = os.path.join(dirpath, name)
+                rows.append({"audio_filepath": p,
+                             "duration": wav_duration(p),
+                             "offset": 0, "text": "_"})
+    _write_manifest(os.path.join(dest_root, "rir.json"), rows)
+    return {"channel_splits": n_split, "rirs": len(rows)}
+
+
+# ---------------------------------------------------------------------------
 
 
 def main(argv=None) -> None:
@@ -373,6 +646,28 @@ def main(argv=None) -> None:
     vd.add_argument("--val_size", type=float, default=0.1)
     vd.add_argument("--seg_len", type=float, default=0.63)
 
+    an = sub.add_parser("an4", help="process_an4_data.py role (extracted "
+                                    "tree; sph decoded in-tree)")
+    an.add_argument("--data_root", required=True)
+
+    h5 = sub.add_parser("hub5", help="process_hub5_data.py role")
+    h5.add_argument("--data_root", required=True)
+    h5.add_argument("--dest_root", required=True)
+    h5.add_argument("--min_slice_duration", type=float, default=10.0)
+
+    cv = sub.add_parser("commonvoice",
+                        help="get_commonvoice_data.py role (one split tsv; "
+                             "clips pre-converted to wav)")
+    cv.add_argument("--tsv", required=True)
+    cv.add_argument("--data_root", required=True)
+    cv.add_argument("--manifest_dir", default=".")
+    cv.add_argument("--sample_rate", type=int, default=16000)
+
+    rr = sub.add_parser("rir", help="get_openslr_rir.py role (extracted "
+                                    "RIRS_NOISES tree)")
+    rr.add_argument("--data_root", required=True)
+    rr.add_argument("--dest_root", required=True)
+
     args = p.parse_args(argv)
     if args.cmd == "scp":
         rows = scp_to_manifest(args.scp, args.id, args.out, args.split)
@@ -392,6 +687,20 @@ def main(argv=None) -> None:
                                   args.test_size, args.val_size,
                                   args.seg_len)
         print(json.dumps(counts))
+    elif args.cmd == "an4":
+        print(json.dumps(process_an4(args.data_root)))
+    elif args.cmd == "hub5":
+        print(json.dumps(process_hub5(args.data_root, args.dest_root,
+                                      args.min_slice_duration)))
+    elif args.cmd == "commonvoice":
+        stem = os.path.splitext(os.path.basename(args.tsv))[0]
+        out = os.path.join(args.manifest_dir,
+                           f"commonvoice_{stem}_manifest.json")
+        n = commonvoice_manifest(args.tsv, args.data_root, out,
+                                 args.sample_rate)
+        print(f"wrote {n} rows to {out}")
+    elif args.cmd == "rir":
+        print(json.dumps(process_rir(args.data_root, args.dest_root)))
 
 
 if __name__ == "__main__":
