@@ -198,10 +198,28 @@ def main_conformer():
             best = min(best, time.perf_counter() - t0)
         return best, ids
 
-    run(1)  # compile + warm
-    _, ids = run(1)
-    assert len(np.unique(ids)) > 1, "model output is degenerate"
-    step = (run(6)[0] - run(2)[0]) / 4
+    def measure():
+        run(1)  # compile + warm
+        _, ids = run(1)
+        assert len(np.unique(ids)) > 1, "model output is degenerate"
+        return (run(6)[0] - run(2)[0]) / 4
+
+    # two schedules, bit-identical numerics (test_gemm_fused.py): XLA
+    # standalone requant fusions vs Pallas GEMM+epilogue kernels.  Report
+    # whichever the chip prefers.
+    steps = {}
+    for flag in ("0", "1"):
+        if os.environ.get("QASR_BENCH_CONF_FUSED", "") not in ("", flag):
+            continue
+        os.environ["QASR_CONF_FUSED"] = flag
+        try:
+            steps[flag] = measure()
+        except Exception as exc:  # Mosaic/compile regression on one leg
+            print(f"# conformer fused={flag} leg failed: {exc}",
+                  file=sys.stderr)
+    assert steps, "both conformer legs failed"
+    flag = min(steps, key=steps.get)
+    step = steps[flag]
     rtfx = batch * seconds / step
     frames = 1 + n // 160
     macs = conformer_step_macs(ccfg, frames, batch=batch,
@@ -213,6 +231,8 @@ def main_conformer():
         "vs_baseline": round(rtfx / 20.0, 3),
         "mfu": round(mfu(macs, step), 4),
         "device_step_ms": round(step * 1e3, 2),
+        "fused_epilogues": flag == "1",
+        "step_ms_by_leg": {k: round(v * 1e3, 2) for k, v in steps.items()},
     }))
 
 

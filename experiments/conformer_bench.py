@@ -88,7 +88,11 @@ def main():
                        integer_activations=True, static_attention=True)
     timed_rtfx("ptq_int8_gemm")
     m.freeze()
+    os.environ["QASR_CONF_FUSED"] = "0"
     timed_rtfx("frozen_integer")
+    # same numerics, Pallas GEMM+epilogue schedule (kernels/gemm_fused.py)
+    os.environ["QASR_CONF_FUSED"] = "1"
+    timed_rtfx("frozen_integer_fused")
 
 
 if __name__ == "__main__":

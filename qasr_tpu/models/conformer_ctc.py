@@ -143,8 +143,13 @@ class ConformerCTC:
         """Cache the jitted eval forward; rebuild when the quantization
         state changes (a fresh jit per call would retrace every time).
         Keyed on a monotonic state version, NOT object ids — CPython
-        reuses freed ids, which could serve a stale executable."""
-        key = (getattr(self, "_q_version", 0), self.decoder_kind)
+        reuses freed ids, which could serve a stale executable.  The
+        QASR_CONF_FUSED flag joins the key: it selects the fused Pallas
+        GEMM epilogues at trace time (quantize/conformer_freeze.py)."""
+        import os
+
+        key = (getattr(self, "_q_version", 0), self.decoder_kind,
+               os.environ.get("QASR_CONF_FUSED", "0"))
         cached = getattr(self, "_fwd_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]

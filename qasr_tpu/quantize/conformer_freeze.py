@@ -130,6 +130,42 @@ def _dot8(x8: Array, w_int8) -> Array:
         preferred_element_type=jnp.int32)
 
 
+def _fused_enabled() -> bool:
+    """QASR_CONF_FUSED=1 routes every frozen linear through the Pallas
+    fused GEMM+epilogue kernels (kernels/gemm_fused.py): the int32
+    accumulator stays in VMEM and the requant chain runs on the VPU under
+    the MXU dots instead of as standalone XLA fusions.  Bit-identical to
+    the default XLA composition (asserted in test_gemm_fused.py).  Read at
+    trace time, so flipping the env var requires a fresh jit."""
+    import os
+
+    return os.environ.get("QASR_CONF_FUSED", "0") == "1"
+
+
+def _lin_rq(x8: Array, tbl: Dict[str, Any], ab: int) -> Array:
+    """linear -> acc bias -> dyadic requant -> clamp -> int8."""
+    if _fused_enabled():
+        from qasr_tpu.kernels.gemm_fused import fused_lin_rq
+
+        n = 2 ** (ab - 1) - 1
+        return fused_lin_rq(x8, tbl["w"], tbl["b"], tbl["m"], tbl["e"],
+                            lo=-n, hi=n - 1)
+    return _apply_rq(_dot8(x8, tbl["w"]), tbl, ab)
+
+
+def _join_lin(x8: Array, tbl: Dict[str, Any], stream8: Array, stream_rq,
+              ab: int) -> Array:
+    """Residual join with the branch GEMM fused in when enabled."""
+    if _fused_enabled():
+        from qasr_tpu.kernels.gemm_fused import fused_lin_join
+
+        n = 2 ** (ab - 1) - 1
+        return fused_lin_join(x8, tbl["w"], tbl["b"], tbl["m"], tbl["e"],
+                              stream8, int(stream_rq[0]), stream_rq[1],
+                              lo=-n, hi=n - 1)
+    return _join_int(_dot8(x8, tbl["w"]), tbl, stream8, stream_rq, ab)
+
+
 # ---------------------------------------------------------------------------
 # freeze
 # ---------------------------------------------------------------------------
@@ -300,15 +336,23 @@ def freeze_conformer(params, cfg: ConformerConfig,
 # cache-aware stream step — one source of truth for the dataflow)
 
 
-def _ffn_int(x8, tbl_l1, tbl_l2, grid, prod, ab: int):
+def _ffn_mid(x8, tbl_l1, grid, prod, ab: int):
+    """FFN first half: l1 linear -> act requant -> integer swish ->
+    product requant -> int8 (everything before the l2 dot)."""
     n = 2 ** (ab - 1) - 1
+    if _fused_enabled():
+        from qasr_tpu.kernels.gemm_fused import fused_lin_swish
+
+        return fused_lin_swish(x8, tbl_l1["w"], tbl_l1["b"], tbl_l1["m"],
+                               tbl_l1["e"], int(grid[0]), grid[1],
+                               int(prod[0]), prod[1], lo=-n, hi=n - 1)
     a8 = _apply_rq(_dot8(x8, tbl_l1["w"]), tbl_l1, ab)
     g = dyadic_requant_static(a8.astype(jnp.int32),
                               jnp.asarray(grid[0]), grid[1])
     y_int = a8.astype(jnp.int32) * i_sigmoid_grid(g)
-    m8 = jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
-                                        prod[1]), -n, n - 1).astype(jnp.int8)
-    return _dot8(m8, tbl_l2["w"])
+    return jnp.clip(dyadic_requant_static(y_int, jnp.asarray(prod[0]),
+                                          prod[1]), -n, n - 1
+                    ).astype(jnp.int8)
 
 
 def _join_int(acc, tbl_branch, stream8, stream_rq, ab: int):
@@ -321,9 +365,9 @@ def _join_int(acc, tbl_branch, stream8, stream_rq, ab: int):
     return jnp.clip(yb + ys, -n, n - 1).astype(jnp.int8)
 
 
-def _conv_tail_int(tbl, glu_cat, padding, d: int, ab: int):
+def _conv_tail_mid(tbl, glu_cat, padding, d: int, ab: int):
     """depthwise conv over (cache||new or padded) GLU ints -> BN fold ->
-    i-swish -> pw2 accumulator."""
+    i-swish -> int8 pw2 input (everything before the pw2 dot)."""
     n = 2 ** (ab - 1) - 1
     acc_dw = jax.lax.conv_general_dilated(
         glu_cat, jnp.asarray(tbl["dw_w"]), (1,), [tuple(padding)],
@@ -334,15 +378,13 @@ def _conv_tail_int(tbl, glu_cat, padding, d: int, ab: int):
                                    jnp.asarray(tbl["bn_grid"][0]),
                                    tbl["bn_grid"][1])
     y_int = bn8.astype(jnp.int32) * i_sigmoid_grid(s_grid)
-    mid8 = jnp.clip(dyadic_requant_static(
+    return jnp.clip(dyadic_requant_static(
         y_int, jnp.asarray(tbl["bn_prod"][0]), tbl["bn_prod"][1]),
         -n, n - 1).astype(jnp.int8)
-    return _dot8(mid8, tbl["pw2"]["w"])
 
 
 def _glu_int(tbl, yln, ab: int):
-    n = 2 ** (ab - 1) - 1
-    a8c = _apply_rq(_dot8(yln, tbl["pw1_a"]["w"]), tbl["pw1_a"], ab)
+    a8c = _lin_rq(yln, tbl["pw1_a"], ab)
     g_grid = dyadic_requant_static(
         _dot8(yln, tbl["pw1_g"]["w"]) + tbl["pw1_g"]["b"],
         jnp.asarray(tbl["pw1_g"]["m"]), tbl["pw1_g"]["e"])
@@ -369,8 +411,7 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         y = feats
     # single float->int boundary: quantize onto the pre_out site
     x8 = jnp.clip(jnp.round(y / tables["S_pre"]), -n, n - 1).astype(jnp.int8)
-    x = _apply_rq(_dot8(x8, tables["pre"]["w"]) + tables["pre"]["b"],
-                  {"m": tables["pre"]["m"], "e": tables["pre"]["e"]}, ab)
+    x = _lin_rq(x8, tables["pre"], ab)
 
     b, t = x.shape[:2]
     valid = jnp.arange(t)[None, :] < lens[:, None]
@@ -383,26 +424,18 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
     pos8 = jnp.asarray(
         np.clip(np.round(pos_np / pos_scale), -n, n - 1).astype(np.int8))
 
-    def lin(x8, tbl):
-        # PURE accumulator: the int32 bias is added by _apply_rq / join
-        return _dot8(x8, tbl["w"])
-
     for li, tbl in enumerate(tables["layers"]):
         # FFN1 half-step
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
-        acc = _ffn_int(yln, tbl["ff1_l1"], tbl["ff1_l2"],
-                       tbl["ff1_grid"], tbl["ff1_prod"], ab)
-        x = _join_int(acc, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
+        m8 = _ffn_mid(yln, tbl["ff1_l1"], tbl["ff1_grid"],
+                      tbl["ff1_prod"], ab)
+        x = _join_lin(m8, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
         # attention
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
-        qu8 = _apply_rq(lin(yln, tbl["att_q_u"]), tbl["att_q_u"],
-                        ab).reshape(b, t, h, d_k)
-        qv8 = _apply_rq(lin(yln, tbl["att_q_v"]), tbl["att_q_v"],
-                        ab).reshape(b, t, h, d_k)
-        k8 = _apply_rq(lin(yln, tbl["att_k"]), tbl["att_k"],
-                       ab).reshape(b, t, h, d_k)
-        v8 = _apply_rq(lin(yln, tbl["att_v"]), tbl["att_v"],
-                       ab).reshape(b, t, h, d_k)
+        qu8 = _lin_rq(yln, tbl["att_q_u"], ab).reshape(b, t, h, d_k)
+        qv8 = _lin_rq(yln, tbl["att_q_v"], ab).reshape(b, t, h, d_k)
+        k8 = _lin_rq(yln, tbl["att_k"], ab).reshape(b, t, h, d_k)
+        v8 = _lin_rq(yln, tbl["att_v"], ab).reshape(b, t, h, d_k)
         w_pos_int, w_pos_sc = tbl["att_pos_w"]
         acc_pos = _dot8(pos8, w_pos_int)
         m_pos, e_pos = _rq_table(pos_scale * w_pos_sc, tbl["S_att_pos"])
@@ -427,8 +460,7 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         c8 = jnp.clip(dyadic_requant_static(
             ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
             -n, n - 1).astype(jnp.int8)
-        acc = lin(c8, tbl["att_out"])
-        x = _join_int(acc, tbl["att_out"], x, tbl["j2_stream"], ab)
+        x = _join_lin(c8, tbl["att_out"], x, tbl["j2_stream"], ab)
         # conv module
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
         y_int = _glu_int(tbl, yln, ab)
@@ -436,13 +468,13 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         glu8 = jnp.clip(dyadic_requant_static(
             y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
             -n, n - 1).astype(jnp.int8)
-        acc = _conv_tail_int(tbl, glu8, cfg.dw_padding, d, ab)
-        x = _join_int(acc, tbl["pw2"], x, tbl["j3_stream"], ab)
+        mid8 = _conv_tail_mid(tbl, glu8, cfg.dw_padding, d, ab)
+        x = _join_lin(mid8, tbl["pw2"], x, tbl["j3_stream"], ab)
         # FFN2 half-step
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
-        acc = _ffn_int(yln, tbl["ff2_l1"], tbl["ff2_l2"],
-                       tbl["ff2_grid"], tbl["ff2_prod"], ab)
-        x = _join_int(acc, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
+        m8 = _ffn_mid(yln, tbl["ff2_l1"], tbl["ff2_grid"],
+                      tbl["ff2_prod"], ab)
+        x = _join_lin(m8, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
         # ln_out: requant into the next layer's stream, or emit float
         if "m" in tbl["ln_out"]:
             x = _apply_affine_rq(i_layernorm_core(x), tbl["ln_out"], ab)
@@ -532,8 +564,7 @@ def _frozen_stream_step_body(tables, cfg: ConformerConfig, x_sub: Array,
 
     x8 = jnp.clip(jnp.round(x_sub / tables["S_pre"]), -n8, n8 - 1
                   ).astype(jnp.int8)
-    x = _apply_rq(_dot8(x8, tables["pre"]["w"]) + tables["pre"]["b"],
-                  {"m": tables["pre"]["m"], "e": tables["pre"]["e"]}, ab)
+    x = _lin_rq(x8, tables["pre"], ab)
     b, n = x.shape[:2]
     seen = state["seen"]
 
@@ -553,19 +584,15 @@ def _frozen_stream_step_body(tables, cfg: ConformerConfig, x_sub: Array,
     for li, tbl in enumerate(tables["layers"]):
         lc = state["layers"][li]
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
-        acc = _ffn_int(yln, tbl["ff1_l1"], tbl["ff1_l2"],
-                       tbl["ff1_grid"], tbl["ff1_prod"], ab)
-        x = _join_int(acc, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
+        m8 = _ffn_mid(yln, tbl["ff1_l1"], tbl["ff1_grid"],
+                      tbl["ff1_prod"], ab)
+        x = _join_lin(m8, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
         # attention with cached keys/values
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
-        qu8 = _apply_rq(_dot8(yln, tbl["att_q_u"]["w"]), tbl["att_q_u"],
-                        ab).reshape(b, n, h, d_k)
-        qv8 = _apply_rq(_dot8(yln, tbl["att_q_v"]["w"]), tbl["att_q_v"],
-                        ab).reshape(b, n, h, d_k)
-        k_new = _apply_rq(_dot8(yln, tbl["att_k"]["w"]), tbl["att_k"],
-                          ab).reshape(b, n, h, d_k)
-        v_new = _apply_rq(_dot8(yln, tbl["att_v"]["w"]), tbl["att_v"],
-                          ab).reshape(b, n, h, d_k)
+        qu8 = _lin_rq(yln, tbl["att_q_u"], ab).reshape(b, n, h, d_k)
+        qv8 = _lin_rq(yln, tbl["att_q_v"], ab).reshape(b, n, h, d_k)
+        k_new = _lin_rq(yln, tbl["att_k"], ab).reshape(b, n, h, d_k)
+        v_new = _lin_rq(yln, tbl["att_v"], ab).reshape(b, n, h, d_k)
         kv_k = jnp.concatenate([lc["k8"], k_new], axis=1)
         kv_v = jnp.concatenate([lc["v8"], v_new], axis=1)
         p8 = tables["_stream_p8"][li]
@@ -588,8 +615,7 @@ def _frozen_stream_step_body(tables, cfg: ConformerConfig, x_sub: Array,
         c8 = jnp.clip(dyadic_requant_static(
             ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
             -n8, n8 - 1).astype(jnp.int8)
-        acc = _dot8(c8, tbl["att_out"]["w"])
-        x = _join_int(acc, tbl["att_out"], x, tbl["j2_stream"], ab)
+        x = _join_lin(c8, tbl["att_out"], x, tbl["j2_stream"], ab)
         # conv module with the cached GLU tail (cache zeros == the offline
         # causal left zero-padding)
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
@@ -598,12 +624,12 @@ def _frozen_stream_step_body(tables, cfg: ConformerConfig, x_sub: Array,
             y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
             -n8, n8 - 1).astype(jnp.int8)
         glu_cat = jnp.concatenate([lc["glu8"], glu8], axis=1)
-        acc = _conv_tail_int(tbl, glu_cat, (0, 0), d, ab)
-        x = _join_int(acc, tbl["pw2"], x, tbl["j3_stream"], ab)
+        mid8 = _conv_tail_mid(tbl, glu_cat, (0, 0), d, ab)
+        x = _join_lin(mid8, tbl["pw2"], x, tbl["j3_stream"], ab)
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
-        acc = _ffn_int(yln, tbl["ff2_l1"], tbl["ff2_l2"],
-                       tbl["ff2_grid"], tbl["ff2_prod"], ab)
-        x = _join_int(acc, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
+        m8 = _ffn_mid(yln, tbl["ff2_l1"], tbl["ff2_grid"],
+                      tbl["ff2_prod"], ab)
+        x = _join_lin(m8, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
         new_layers.append({"k8": kv_k[:, -left:] if left else lc["k8"],
                            "v8": kv_v[:, -left:] if left else lc["v8"],
                            "glu8": glu_cat[:, -(kk - 1):] if kk > 1

@@ -86,7 +86,21 @@ def export_frozen_conformer_ctc(model, batch: int, num_samples: int,
 
     audio = jnp.zeros((batch, num_samples), jnp.float32)
     lens = jnp.zeros((batch,), jnp.int32)
-    blob = export_fn(fn, (audio, lens))
+    # force the portable XLA composition during the export trace: the fused
+    # Pallas epilogues (QASR_CONF_FUSED=1) lower to TPU-only custom-calls,
+    # which a hermetic StableHLO artifact must not embed (bit-identical
+    # numerics either way, test_gemm_fused.py)
+    import os
+
+    prev = os.environ.get("QASR_CONF_FUSED")
+    os.environ["QASR_CONF_FUSED"] = "0"
+    try:
+        blob = export_fn(fn, (audio, lens))
+    finally:
+        if prev is None:
+            os.environ.pop("QASR_CONF_FUSED", None)
+        else:
+            os.environ["QASR_CONF_FUSED"] = prev
     with open(path, "wb") as f:
         f.write(blob)
     return path
