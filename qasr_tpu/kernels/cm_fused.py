@@ -607,3 +607,106 @@ def fused_dw_cm(xg, band, bias, mask, m, e: int, bits: int, relu: bool,
     out = _dw_call(xg2, band, bias2, m2, mask2, e=int(e), bits=bits, relu=relu,
                    m16=m16, tc=tc, interpret=interpret)
     return out.reshape(c, 128, b_, n_to)
+
+
+# ---------------------------------------------------------------------------
+# Pointwise conv with the residual-JOIN epilogue (VERDICT r3 item 4's
+# 3-input chain): the block-tail 1x1 conv's dot runs on the MXU while the
+# VPU performs the two-requant residual join —
+#   requant(acc + bias, m, e) + requant(res, m_r, e_r) -> clamp [-n-1, n]
+#   -> int8
+# (FrozenExecCM.residual_add semantics, quantize/freeze.py:723-730; the
+# clamp is fixedpoint_mul's output clamp, reference quant_utils.py:213-214).
+# Fusing the join here removes the tail accumulator's int32 HBM round-trip
+# and the standalone 2x40-int-op join fusion (~7 ms at B=32, PERF.md).
+# ---------------------------------------------------------------------------
+
+
+def _drs(z, m, e: int, m16: bool):
+    if m16:
+        return dyadic_requant_static16(z, m, e)
+    return dyadic_requant_static(z, m, e)
+
+
+def _pw3_join_call(x3, wt, b, m, m_r, res3, *, e, e_r, bits, m16, interpret):
+    cout, cin = wt.shape
+    bt = x3.shape[2]
+    tm = cout if cout <= 256 else 256
+    while cout % tm:
+        tm //= 2
+    grid = (cout // tm, 128 // ROWS)
+    has_bias = b is not None
+    in_specs = [
+        pl.BlockSpec((cin, ROWS, bt), lambda i, j: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, cin), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x3, wt]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b)
+    in_specs += [
+        pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, ROWS, bt), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [m, m_r, res3]
+
+    def kern(*refs):
+        if has_bias:
+            x_ref, w_ref, b_ref, m_ref, mr_ref, r_ref, o_ref, s_ref = refs
+        else:
+            x_ref, w_ref, m_ref, mr_ref, r_ref, o_ref, s_ref = refs
+            b_ref = None
+        n8 = 2 ** (bits - 1) - 1
+        # same ROWS staging scheme as _pw3_call (see its comment: the
+        # int8-narrowing (tm, bt) -> (tm, 1, bt) relayout is unsupported,
+        # so the narrow runs once on the int32 scratch)
+        for r in range(ROWS):
+            acc = jax.lax.dot_general(
+                w_ref[:], x_ref[:, r, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            if b_ref is not None:
+                acc = acc + b_ref[:]
+            q = _drs(acc, m_ref[:], e, m16) \
+                + _drs(r_ref[:, r, :], mr_ref[:], e_r, m16)
+            s_ref[:, r, :] = jnp.clip(q, -n8 - 1, n8)
+        o_ref[:] = s_ref[:].astype(jnp.int8)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((cout, 128, bt), jnp.int8),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, ROWS, bt), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, ROWS, bt), jnp.int32)],
+        interpret=interpret,
+    )(*args)
+
+
+def fused_pw_join_cm(x3, wt, bias, res3, m, e: int, m_r, e_r: int,
+                     bits: int, m16: bool = False, interpret=None) -> Array:
+    """Block-tail pointwise conv + residual join, channel-major 3D form.
+
+    x3: (Cin, 128, bt) int8 tail-conv input; wt: (Cout, Cin) int8
+    (transposed weight); bias: (Cout,) int32 or None; res3: (Cout, 128, bt)
+    int32 residual-branch accumulator (its own bias already added);
+    m/m_r: (Cout,) int32 mantissas; e/e_r static exponents.  Returns
+    (Cout, 128, bt) int8 — exactly
+    narrow(requant_clamp(requant(x@w+b, m, e) + requant(res, m_r, e_r),
+    bits)).
+    """
+    if interpret is None:
+        interpret = _should_interpret()
+    cout = wt.shape[0]
+    bias2 = None if bias is None else jnp.asarray(bias, jnp.int32).reshape(-1, 1)
+    m2 = jnp.broadcast_to(jnp.asarray(m, jnp.int32).reshape(-1, 1),
+                          (cout, 1))
+    mr2 = jnp.broadcast_to(jnp.asarray(m_r, jnp.int32).reshape(-1, 1),
+                           (cout, 1))
+    return _pw3_join_call(x3, wt, bias2, m2, mr2, res3.astype(jnp.int32),
+                          e=int(e), e_r=int(e_r), bits=bits, m16=m16,
+                          interpret=interpret)

@@ -152,10 +152,17 @@ def make_frozen_fn(model, tables, argmax: bool = False,
             bands = {k: jnp.asarray(v) for k, v in bands_np.items()}
         mult = 128 * _plan_total_stride(plan)
         if use_fused:
+            # QASR_CM_JOIN=1: block-tail pw dots flush through the 3-input
+            # fused residual-join kernel (dot + two-requant join epilogue);
+            # bit-identical (test_pallas_depthwise.py), opt-in pending an
+            # on-chip measurement vs the XLA join fusion
+            join_flag = os.environ.get("QASR_CM_JOIN", "0") == "1"
+
             def make_exec(dw_bands):
                 return FrozenExecCMF(tables, qcfg, activation=plan.activation,
                                      dw_bands=dw_bands, dw_jmins=jmins,
-                                     fuse_pw=fused_flag == "2")
+                                     fuse_pw=fused_flag == "2",
+                                     fuse_join=join_flag)
         else:
             def make_exec(dw_bands):
                 return FrozenExecCM(tables, qcfg, activation=plan.activation,
@@ -443,7 +450,7 @@ class ASRModel:
         # rebuilds the executor instead of silently reusing the old one
         exec_env = tuple(os.environ.get(v, "") for v in
                          ("QASR_DW_MXU", "QASR_CM", "QASR_CM_FUSED",
-                          "QASR_DW_TM"))
+                          "QASR_DW_TM", "QASR_CM_JOIN"))
         key = (mode, self.qcfg,
                (dyadic,) + exec_env if mode == "frozen" else None)
         if key in self._jit_cache:

@@ -818,7 +818,8 @@ class FrozenExecCMF(FrozenExecCM):
 
     def __init__(self, tables, qcfg: QuantConfig, *, activation: str,
                  dw_bands: Dict[str, Array], dw_jmins: Dict[str, int],
-                 fuse_pw: bool = False, tp_axis: Optional[str] = None,
+                 fuse_pw: bool = False, fuse_join: bool = False,
+                 tp_axis: Optional[str] = None,
                  tp_size: int = 1, sp_axis: Optional[str] = None,
                  sp_size: int = 1):
         super().__init__(tables, qcfg, activation=activation,
@@ -826,6 +827,12 @@ class FrozenExecCMF(FrozenExecCM):
                          tp_axis=tp_axis, tp_size=tp_size,
                          sp_axis=sp_axis, sp_size=sp_size)
         self.fuse_pw = fuse_pw
+        # fuse_join: the block-tail pointwise conv stays pending through
+        # residual_add, which flushes it through the 3-input fused kernel
+        # (dot + two-requant join epilogue, kernels/cm_fused.py::
+        # fused_pw_join_cm) instead of [XLA dot -> int32 HBM round-trip ->
+        # standalone join fusion]
+        self.fuse_join = fuse_join
 
     # -- pending resolution --------------------------------------------------
 
@@ -974,10 +981,14 @@ class FrozenExecCMF(FrozenExecCM):
             xq = self._gather_tp(xq)
         p = _PendingConv(pkind, xq, entry, spec, key, lens.shape[0])
         band2 = self.dw_bands_cm.get(key)
+        blk = self.t["blocks"][bi]
+        res_tail = (kind == "convs" and len(blk["res_act"]) > 0
+                    and i == len(blk["convs"]) - 1)
         eligible = (
             (pkind == "dw" and spec.stride == 1
              and getattr(band2, "ndim", 0) == 2)
-            or (pkind == "pw" and self.fuse_pw))
+            or (pkind == "pw" and self.fuse_pw)
+            or (pkind == "pw" and self.fuse_join and res_tail))
         if eligible:
             return p, new_lens
         # ineligible for deferred fusion: materialize through XLA right away
@@ -992,10 +1003,26 @@ class FrozenExecCMF(FrozenExecCM):
         return super().activation(x, dropout)
 
     def residual_add(self, block_idx: int, pane: int, out, res_out, mode: str):
-        if isinstance(out, _PendingConv):
-            out = self._flush_int32(out)
         if isinstance(res_out, _PendingConv):
             res_out = self._flush_int32(res_out)
+        if (isinstance(out, _PendingConv) and self.fuse_join
+                and out.kind == "pw" and not out.relu):
+            from qasr_tpu.kernels.cm_fused import fused_pw_join_cm
+
+            e = self.t["blocks"][block_idx]["res_act"][pane]
+            assert isinstance(e["e"], int) and isinstance(e["e_r"], int)
+            w0 = out.entry["w"][0]
+            wt = (jnp.asarray(np.ascontiguousarray(np.asarray(w0).T))
+                  if isinstance(w0, np.ndarray) else w0.T)
+            c_out, _, b_, n_t = res_out.values.shape
+            q8 = fused_pw_join_cm(
+                out.xq, wt, out.entry.get("b"),
+                res_out.values.reshape(c_out, 128, b_ * n_t),
+                e["m"], e["e"], e["m_r"], e["e_r"],
+                self.qcfg.act_bit, m16=self.m16)
+            return QTensor(q8.reshape(c_out, 128, b_, n_t), e["scale"])
+        if isinstance(out, _PendingConv):
+            out = self._flush_int32(out)
         return super().residual_add(block_idx, pane, out, res_out, mode)
 
     def block_end(self, x):

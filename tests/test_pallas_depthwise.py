@@ -203,7 +203,10 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
                       ("cmf-dw", {"QASR_DW_MXU": "1", "QASR_CM": "1",
                                   "QASR_CM_FUSED": "1"}),
                       ("cmf-all", {"QASR_DW_MXU": "1", "QASR_CM": "1",
-                                   "QASR_CM_FUSED": "2"})]:
+                                   "QASR_CM_FUSED": "2"}),
+                      ("cmf-join", {"QASR_DW_MXU": "1", "QASR_CM": "1",
+                                    "QASR_CM_FUSED": "1",
+                                    "QASR_CM_JOIN": "1"})]:
         for k, v in env.items():
             monkeypatch.setenv(k, v)
         m = ASRModel.from_config(cfg, seed=0)
@@ -215,7 +218,7 @@ def test_dw_mxu_whole_model_bit_identical(rng, monkeypatch):
         else:
             m.qstate = qstate
         outs[name] = m.forward(audio, lens, mode="frozen")
-    for k in ("btc", "cm", "cmf-dw", "cmf-all"):
+    for k in ("btc", "cm", "cmf-dw", "cmf-all", "cmf-join"):
         for j in range(3):
             np.testing.assert_array_equal(outs["off"][j], outs[k][j],
                                           err_msg=f"{k} out{j}")
@@ -311,3 +314,53 @@ def test_fused_dw_tm_matches_lane_kernel(b, n_t, c, k, d, bias, relu, m16,
                              m16=m16, interpret=True)
     np.testing.assert_array_equal(np.asarray(jnp.transpose(got_tm, (1, 2, 0))),
                                   np.asarray(ref))
+
+
+def test_fused_join_dense_residual_bit_identical(rng, monkeypatch):
+    """QASR_CM_JOIN with DENSE residual blocks: pane 0 flushes the pending
+    block-tail conv through the fused 3-input join kernel; panes >0 join
+    onto the previous join's int8 output through the unfused path (their
+    `out` is no longer a pending dot).  Both schedules must agree bit for
+    bit with the join kernel off."""
+    import numpy as np
+
+    from qasr_tpu.models.config import (
+        BlockConfig, DecoderConfig, EncoderConfig, ModelConfig,
+    )
+    from qasr_tpu.models.ctc_model import ASRModel
+
+    blocks = (
+        BlockConfig(filters=64, repeat=1, kernel=(7,), stride=(2,),
+                    residual=False, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(11,), residual=True,
+                    residual_dense=True, separable=True),
+        BlockConfig(filters=64, repeat=2, kernel=(13,), residual=True,
+                    residual_dense=True, separable=True),
+    )
+    enc = EncoderConfig(feat_in=64, blocks=blocks, activation="relu")
+    cfg = ModelConfig(encoder=enc,
+                      decoder=DecoderConfig(feat_in=64, num_classes=28),
+                      preprocessor={"features": 64, "dither": 1e-5})
+    audio = rng.normal(size=(2, 12000)).astype(np.float32) * 0.1
+    lens = np.asarray([12000, 9000], np.int32)
+
+    monkeypatch.setenv("QASR_DW_MXU", "1")
+    monkeypatch.setenv("QASR_CM", "1")
+    monkeypatch.setenv("QASR_CM_FUSED", "1")
+    qstate = None
+    outs = {}
+    for join in ("0", "1"):
+        monkeypatch.setenv("QASR_CM_JOIN", join)
+        m = ASRModel.from_config(cfg, seed=0)
+        m.set_quant_bit(6, "all")
+        m.bn_folding()
+        if qstate is None:
+            m.calibrate_on_noise(batches=1, batch_size=2, seconds=0.5)
+            qstate = m.qstate
+        else:
+            m.qstate = qstate
+        # the second dense block joins >1 pane
+        assert len(m.plan.blocks[2].res) >= 2
+        outs[join] = m.forward(audio, lens, mode="frozen")
+    for j in range(3):
+        np.testing.assert_array_equal(outs["0"][j], outs["1"][j])
