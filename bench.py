@@ -133,8 +133,13 @@ def main():
     # MFU: nominal model int8 MACs (static, from the plan, on the physical
     # padded frame count) vs the v5e int8 peak — quantifies "fast" against
     # the chip, not just against real-time
+    from qasr_tpu.models.ctc_model import _plan_total_stride
     from qasr_tpu.utils.flops import ctc_model_step_macs, mel_frames, mfu
-    macs = ctc_model_step_macs(model, mel_frames(n), batch=batch)
+    # the frozen executable pads frames to 128 * total_stride
+    # (make_frozen_fn, ctc_model.py) — MFU must count the frames it runs
+    macs = ctc_model_step_macs(
+        model, mel_frames(n, align=128 * _plan_total_stride(model.plan)),
+        batch=batch)
     print(json.dumps({
         "metric": "quartznet15x5_w6a6_int8_rtfx_per_chip",
         "value": round(rtfx, 2),
@@ -225,7 +230,7 @@ def main_conformer():
     macs = conformer_step_macs(ccfg, frames, batch=batch,
                                num_classes=len(labels))
     print(json.dumps({
-        "metric": "conformer16x256_frozen_int8_rtfx_per_chip",
+        "metric": f"conformer{layers}x{d_model}_frozen_int8_rtfx_per_chip",
         "value": round(rtfx, 2),
         "unit": "audio_sec/sec",
         "vs_baseline": round(rtfx / 20.0, 3),

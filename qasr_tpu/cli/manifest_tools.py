@@ -412,8 +412,11 @@ def process_an4(data_root: str) -> Dict[str, int]:
 
 
 _HUB5_STM_RE = None
-# transcript fix the reference carries (process_hub5_data.py:55)
-_HUB5_TRANSCRIPT_BUGS = {"en_4622-B-12079-12187": "KIND OF WEIRD BUT"}
+# transcript fix the reference carries (process_hub5_data.py:55) — keyed
+# lowercase because the STM line is lowercased before the uid is built
+# (the reference keeps the uppercase key, so its own fix is dead code;
+# here the fix actually applies, in the manifest's lowercase convention)
+_HUB5_TRANSCRIPT_BUGS = {"en_4622-b-12079-12187": "kind of weird but"}
 
 
 def _hub5_parse_stm(stm_path: str) -> List[dict]:
@@ -578,7 +581,8 @@ def process_rir(data_root: str, dest_root: str) -> Dict[str, int]:
                 ch = w.getnchannels()
                 sr = w.getframerate()
                 width = w.getsampwidth()
-                raw = w.readframes(w.getnframes())
+                # decode the payload only when a channel split is needed
+                raw = w.readframes(w.getnframes()) if ch > 1 else b""
             if ch == 1:
                 shutil.copy(src, real_dir)
             else:

@@ -278,9 +278,16 @@ def speaker_decoder_to_onnx(dec_params: Dict[str, Any], *,
     corr = g.op("Div", [tf, tm1], name="pool.bessel")
     var = g.op("Mul", [var0, corr], name="pool.var")
     std = g.op("Sqrt", [var], name="pool.std")
-    mean2 = g.op("ReduceMean", [x], name="pool.mean2", axes=[2], keepdims=0)
+    # (B, C, 1) -> (B, C): reuse pool.mean instead of reducing T twice
+    mean2 = g.op("Squeeze",
+                 [mean, g.tensor("pool.sqz_axes", np.asarray([2], np.int64))],
+                 name="pool.mean2")
     pooled = g.op("Concat", [mean2, std], name="pool.cat", axis=1)  # (B, 2C)
 
+    if not dec_params["emb_layers"]:
+        raise NotImplementedError(
+            "ONNX speaker export needs at least one embedding layer (the "
+            "'embs' output port is the last embedding's pre-BN linear)")
     emb_out = pooled
     feat_in = None
     for li, lp in enumerate(dec_params["emb_layers"]):

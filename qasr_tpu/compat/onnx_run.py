@@ -126,6 +126,8 @@ def _eval_node(n: NodeIR, env: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         y = np.sqrt(ins[0])
     elif op == "Reshape":
         y = _reshape(ins[0], [int(v) for v in ins[1]])
+    elif op == "Squeeze":  # opset 13: axes is the second INPUT
+        y = np.squeeze(ins[0], axis=tuple(int(v) for v in ins[1]))
     elif op == "Transpose":
         y = np.transpose(ins[0], a["perm"])
     elif op == "ReduceMean":

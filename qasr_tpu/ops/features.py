@@ -244,11 +244,10 @@ class MelFrontend:
         if cfg.stft_matmul:
             self.cos_m, self.sin_m = dft_matrices(cfg.n_fft)
         if cfg.pad_to == "max":
-            # max_length = ceil(max_duration*sr / hop) rounded up to pad 16
-            # — the reference rounds to ITS pad_to which is 'max' here, so
-            # it uses pad_to>0 arithmetic only when numeric (features.py:
-            # 287-290 computes max_pad with the numeric branch; with
-            # pad_to='max' that expression is skipped, max_pad=0)
+            # max_length = ceil(max_duration*sr / hop), UNALIGNED — the
+            # reference's numeric-pad_to rounding (features.py:287-290)
+            # only runs for numeric pad_to; with pad_to='max' max_pad=0
+            # and the frame count is used as-is
             self.max_length = int(math.ceil(
                 cfg.max_duration * cfg.sample_rate / cfg.hop_length))
 

@@ -60,7 +60,9 @@ def ctc_model_step_macs(model, n_frames: int, batch: int = 1) -> int:
 def mel_frames(n_samples: int, hop: int = 160, align: int = 64) -> int:
     """Physical mel frame count the executable runs: torch.stft center=True
     frame count (1 + L//hop, reference features.py:327-328) padded to the
-    serving alignment (models/jasper.py::pad_frames_aligned)."""
+    serving alignment.  `align` must match the executable's padding —
+    pad_frames_aligned's default 64 for the BTC paths, 128 * total_stride
+    for the frozen channel-major path (make_frozen_fn, ctc_model.py)."""
     frames = 1 + n_samples // hop
     return frames + (-frames) % align
 

@@ -356,3 +356,17 @@ def test_corpus_cli_entries(tmp_path, capsys):
     main(["an4", "--data_root", str(tmp_path)])
     out = json.loads(capsys.readouterr().out)
     assert out["train"] == 1 and out["test"] == 1
+
+
+def test_hub5_transcript_fix_applies(tmp_path):
+    """The known-bad STM transcript (reference process_hub5_data.py:55) is
+    replaced.  The reference keys its fix dict with the UPPERCASE uid but
+    builds uids from the lowercased line, so its own fix is dead code;
+    here the lowercase key actually matches."""
+    from qasr_tpu.cli.manifest_tools import _hub5_parse_stm
+
+    stm = tmp_path / "x.stm"
+    stm.write_text(
+        "en_4622 B en_4622_B 120.79 121.87 <o,f0,male> SOME WRONG WORDS\n")
+    utts = _hub5_parse_stm(str(stm))
+    assert utts[0]["transcript"] == "kind of weird but"
