@@ -209,20 +209,24 @@ def main_conformer():
         assert len(np.unique(ids)) > 1, "model output is degenerate"
         return (run(6)[0] - run(2)[0]) / 4
 
-    # two schedules, bit-identical numerics (test_gemm_fused.py): XLA
-    # standalone requant fusions vs Pallas GEMM+epilogue kernels.  Report
-    # whichever the chip prefers.
+    # three schedules, bit-identical numerics (test_gemm_fused.py,
+    # test_int_attention.py): pure XLA, Pallas GEMM+epilogue kernels, and
+    # GEMM kernels + the fused integer attention.  Report whichever the
+    # chip prefers.  QASR_BENCH_CONF_LEG=<name> restricts to one leg.
+    legs = {"xla": ("0", "0"), "fused": ("1", "0"),
+            "fused+att": ("1", "1")}
+    only = os.environ.get("QASR_BENCH_CONF_LEG", "")
     steps = {}
-    for flag in ("0", "1"):
-        if os.environ.get("QASR_BENCH_CONF_FUSED", "") not in ("", flag):
+    for name, (gemm, att) in legs.items():
+        if only and only != name:
             continue
-        os.environ["QASR_CONF_FUSED"] = flag
+        os.environ["QASR_CONF_FUSED"] = gemm
+        os.environ["QASR_CONF_ATT"] = att
         try:
-            steps[flag] = measure()
+            steps[name] = measure()
         except Exception as exc:  # Mosaic/compile regression on one leg
-            print(f"# conformer fused={flag} leg failed: {exc}",
-                  file=sys.stderr)
-    assert steps, "both conformer legs failed"
+            print(f"# conformer leg {name} failed: {exc}", file=sys.stderr)
+    assert steps, "all conformer legs failed"
     flag = min(steps, key=steps.get)
     step = steps[flag]
     rtfx = batch * seconds / step
@@ -236,7 +240,7 @@ def main_conformer():
         "vs_baseline": round(rtfx / 20.0, 3),
         "mfu": round(mfu(macs, step), 4),
         "device_step_ms": round(step * 1e3, 2),
-        "fused_epilogues": flag == "1",
+        "winning_leg": flag,
         "step_ms_by_leg": {k: round(v * 1e3, 2) for k, v in steps.items()},
     }))
 

@@ -89,10 +89,15 @@ def main():
     timed_rtfx("ptq_int8_gemm")
     m.freeze()
     os.environ["QASR_CONF_FUSED"] = "0"
+    os.environ["QASR_CONF_ATT"] = "0"
     timed_rtfx("frozen_integer")
     # same numerics, Pallas GEMM+epilogue schedule (kernels/gemm_fused.py)
     os.environ["QASR_CONF_FUSED"] = "1"
     timed_rtfx("frozen_integer_fused")
+    # + fused integer attention (kernels/int_attention.py): the (T, T)
+    # score world stays in VMEM
+    os.environ["QASR_CONF_ATT"] = "1"
+    timed_rtfx("frozen_integer_fused_att")
 
 
 if __name__ == "__main__":

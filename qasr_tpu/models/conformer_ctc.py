@@ -144,12 +144,14 @@ class ConformerCTC:
         state changes (a fresh jit per call would retrace every time).
         Keyed on a monotonic state version, NOT object ids — CPython
         reuses freed ids, which could serve a stale executable.  The
-        QASR_CONF_FUSED flag joins the key: it selects the fused Pallas
-        GEMM epilogues at trace time (quantize/conformer_freeze.py)."""
+        QASR_CONF_FUSED / QASR_CONF_ATT flags join the key: they select the
+        fused Pallas GEMM-epilogue / attention kernels at trace time
+        (quantize/conformer_freeze.py)."""
         import os
 
         key = (getattr(self, "_q_version", 0), self.decoder_kind,
-               os.environ.get("QASR_CONF_FUSED", "0"))
+               os.environ.get("QASR_CONF_FUSED", "0"),
+               os.environ.get("QASR_CONF_ATT", "0"))
         cached = getattr(self, "_fwd_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]

@@ -166,6 +166,30 @@ def _join_lin(x8: Array, tbl: Dict[str, Any], stream8: Array, stream_rq,
     return _join_int(_dot8(x8, tbl["w"]), tbl, stream8, stream_rq, ab)
 
 
+def _att_fused_enabled(t: int) -> bool:
+    """QASR_CONF_ATT=1 routes the offline attention core (scores + integer
+    softmax + context) through the fused Pallas kernel
+    (kernels/int_attention.py) — the (T, T) int32 score world stays in
+    VMEM.  Bit-identical (test_int_attention.py).  Trace-time flag."""
+    import os
+
+    if os.environ.get("QASR_CONF_ATT", "0") != "1":
+        return False
+    from qasr_tpu.kernels.int_attention import supports
+
+    return supports(t)
+
+
+def _ctx_pair(att_context_size) -> Tuple[int, int]:
+    """(left, right) ints, -1 = unlimited (attention_mask's parsing,
+    models/conformer.py:190-210)."""
+    if isinstance(att_context_size, (tuple, list)):
+        return int(att_context_size[0]), int(att_context_size[1])
+    if att_context_size is None:
+        return -1, -1
+    return int(att_context_size), int(att_context_size)
+
+
 # ---------------------------------------------------------------------------
 # freeze
 # ---------------------------------------------------------------------------
@@ -442,24 +466,36 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         p8 = jnp.clip(dyadic_requant_static(acc_pos, jnp.asarray(m_pos),
                                             e_pos), -n, n - 1
                       ).astype(jnp.int8).reshape(2 * t - 1, h, d_k)
-        ac = jnp.einsum("bihd,bjhd->bhij", qu8, k8,
-                        preferred_element_type=jnp.int32)
-        bd_full = jnp.einsum("bihd,phd->bhip", qv8, p8,
-                             preferred_element_type=jnp.int32)
-        idx = (t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :]
-        bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None],
-                                 axis=-1)
-        q_grid = (dyadic_requant_static(ac, jnp.asarray(tbl["ac_grid"][0]),
-                                        tbl["ac_grid"][1])
-                  + dyadic_requant_static(bd, jnp.asarray(tbl["bd_grid"][0]),
-                                          tbl["bd_grid"][1]))
-        a8 = i_softmax_grid(q_grid, mask=att_mask[:, None],
-                            out_bits=ab).astype(jnp.int8)
-        ctx = jnp.einsum("bhij,bjhd->bihd", a8, v8,
-                         preferred_element_type=jnp.int32).reshape(b, t, d)
-        c8 = jnp.clip(dyadic_requant_static(
-            ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
-            -n, n - 1).astype(jnp.int8)
+        if _att_fused_enabled(t):
+            from qasr_tpu.kernels.int_attention import fused_int_attention
+
+            left, right = _ctx_pair(cfg.att_context_size)
+            c8 = fused_int_attention(
+                qu8, qv8, k8, v8, p8, lens,
+                ac=(int(tbl["ac_grid"][0]), tbl["ac_grid"][1]),
+                bd=(int(tbl["bd_grid"][0]), tbl["bd_grid"][1]),
+                ctx_rq=(int(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
+                left=left, right=right, nbits=ab)
+        else:
+            ac = jnp.einsum("bihd,bjhd->bhij", qu8, k8,
+                            preferred_element_type=jnp.int32)
+            bd_full = jnp.einsum("bihd,phd->bhip", qv8, p8,
+                                 preferred_element_type=jnp.int32)
+            idx = (t - 1) + np.arange(t)[:, None] - np.arange(t)[None, :]
+            bd = jnp.take_along_axis(bd_full, jnp.asarray(idx)[None, None],
+                                     axis=-1)
+            q_grid = (dyadic_requant_static(
+                ac, jnp.asarray(tbl["ac_grid"][0]), tbl["ac_grid"][1])
+                + dyadic_requant_static(
+                    bd, jnp.asarray(tbl["bd_grid"][0]), tbl["bd_grid"][1]))
+            a8 = i_softmax_grid(q_grid, mask=att_mask[:, None],
+                                out_bits=ab).astype(jnp.int8)
+            ctx = jnp.einsum("bhij,bjhd->bihd", a8, v8,
+                             preferred_element_type=jnp.int32
+                             ).reshape(b, t, d)
+            c8 = jnp.clip(dyadic_requant_static(
+                ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
+                -n, n - 1).astype(jnp.int8)
         x = _join_lin(c8, tbl["att_out"], x, tbl["j2_stream"], ab)
         # conv module
         yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
