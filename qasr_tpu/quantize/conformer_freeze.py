@@ -461,11 +461,16 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
         k8 = _lin_rq(yln, tbl["att_k"], ab).reshape(b, t, h, d_k)
         v8 = _lin_rq(yln, tbl["att_v"], ab).reshape(b, t, h, d_k)
         w_pos_int, w_pos_sc = tbl["att_pos_w"]
-        acc_pos = _dot8(pos8, w_pos_int)
         m_pos, e_pos = _rq_table(pos_scale * w_pos_sc, tbl["S_att_pos"])
-        p8 = jnp.clip(dyadic_requant_static(acc_pos, jnp.asarray(m_pos),
-                                            e_pos), -n, n - 1
-                      ).astype(jnp.int8).reshape(2 * t - 1, h, d_k)
+        if _fused_enabled():
+            from qasr_tpu.kernels.gemm_fused import fused_lin_rq
+
+            p8 = fused_lin_rq(pos8, w_pos_int, None, m_pos, e_pos,
+                              lo=-n, hi=n - 1).reshape(2 * t - 1, h, d_k)
+        else:
+            p8 = jnp.clip(dyadic_requant_static(
+                _dot8(pos8, w_pos_int), jnp.asarray(m_pos), e_pos),
+                -n, n - 1).astype(jnp.int8).reshape(2 * t - 1, h, d_k)
         if _att_fused_enabled(t):
             from qasr_tpu.kernels.int_attention import fused_int_attention
 
