@@ -72,7 +72,9 @@ def _kern(qu_ref, qv_ref, k_ref, v_ref, pt_ref, len_ref, o_ref, *,
     k = k_ref[0, 0]              # (tp, dkp) int8
     v = v_ref[0, 0]
     pt = pt_ref[0]               # (2*tp, dkp) int8, row-REVERSED P~
-    ln = len_ref[0, 0]
+    # lens rides as the FULL (B, 1) array in SMEM (a (1, 1) block would
+    # violate the TPU block-divisibility rule) — index the batch here
+    ln = len_ref[pl.program_id(0), 0]
 
     ac = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.int32)  # (TQ, tp)
@@ -180,7 +182,7 @@ def fused_int_attention(qu8: Array, qv8: Array, k8: Array, v8: Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * tp, dkp), lambda bi, hi, iq: (hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bi, hi, iq: (bi, 0),
+            pl.BlockSpec((b, 1), lambda bi, hi, iq: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, TQ, dkp),
