@@ -634,6 +634,23 @@ def _pw3_join_call(x3, wt, b, m, m_r, res3, *, e, e_r, bits, m16, interpret):
     tm = cout if cout <= 256 else 256
     while cout % tm:
         tm //= 2
+
+    # VMEM guard (measured on v5e: tm=cin=256, bt=384 exceeds the 16M
+    # scoped-vmem limit at 18.6M — the int32 residual block + scratch
+    # dominate, and this kernel carries one more (tm, ROWS, bt) int32
+    # operand than _pw3_call): shrink the Cout tile until the
+    # double-buffered working set fits with margin.  Tiling only; the
+    # result is bit-identical at any tm.
+    def _est(tm_):
+        xb = cin * ROWS * bt            # int8 input slab
+        wb = tm_ * cin                  # int8 weights
+        rb = tm_ * ROWS * bt * 4        # int32 residual block
+        ob = tm_ * ROWS * bt            # int8 out
+        sb = tm_ * ROWS * bt * 4        # int32 scratch
+        return 2 * (xb + wb + rb + ob) + sb
+
+    while tm > 8 and _est(tm) > 11 * 2 ** 20:
+        tm //= 2
     grid = (cout // tm, 128 // ROWS)
     has_bias = b is not None
     in_specs = [
