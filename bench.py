@@ -209,12 +209,13 @@ def main_conformer():
         assert len(np.unique(ids)) > 1, "model output is degenerate"
         return (run(6)[0] - run(2)[0]) / 4
 
-    # three schedules, bit-identical numerics (test_gemm_fused.py,
-    # test_int_attention.py): pure XLA, Pallas GEMM+epilogue kernels, and
-    # GEMM kernels + the fused integer attention.  Report whichever the
-    # chip prefers.  QASR_BENCH_CONF_LEG=<name> restricts to one leg.
+    # four schedules, bit-identical numerics (test_gemm_fused.py,
+    # test_int_attention.py): pure XLA, Pallas GEMM+epilogue kernels,
+    # XLA GEMMs + fused integer attention, and both kernels together.
+    # Report whichever the chip prefers.  QASR_BENCH_CONF_LEG=<name>
+    # restricts to one leg.
     legs = {"xla": ("0", "0"), "fused": ("1", "0"),
-            "fused+att": ("1", "1")}
+            "att": ("0", "1"), "fused+att": ("1", "1")}
     only = os.environ.get("QASR_BENCH_CONF_LEG", "")
     steps = {}
     for name, (gemm, att) in legs.items():

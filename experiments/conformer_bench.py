@@ -98,6 +98,10 @@ def main():
     # score world stays in VMEM
     os.environ["QASR_CONF_ATT"] = "1"
     timed_rtfx("frozen_integer_fused_att")
+    # fused attention with XLA GEMMs (the r4 on-chip winner at B=32:
+    # the GEMM kernels lose their retile toll, attention keeps its win)
+    os.environ["QASR_CONF_FUSED"] = "0"
+    timed_rtfx("frozen_integer_att")
 
 
 if __name__ == "__main__":

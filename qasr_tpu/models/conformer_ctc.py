@@ -149,9 +149,10 @@ class ConformerCTC:
         (quantize/conformer_freeze.py)."""
         import os
 
+        from qasr_tpu.quantize.conformer_freeze import _att_flag
+
         key = (getattr(self, "_q_version", 0), self.decoder_kind,
-               os.environ.get("QASR_CONF_FUSED", "0"),
-               os.environ.get("QASR_CONF_ATT", "0"))
+               os.environ.get("QASR_CONF_FUSED", "0"), _att_flag())
         cached = getattr(self, "_fwd_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]

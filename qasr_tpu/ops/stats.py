@@ -74,7 +74,7 @@ def histogram_quantile(x: Array, q, splits: int = 32, refine: int = 5) -> Array:
     mids = (lo + hi) * 0.5
     nq = qs.shape[0]
     out = mids[:nq] + frac * (mids[nq:] - mids[:nq])
-    return out[0] if jnp.ndim(q) == 0 else out
+    return out[0] if np.ndim(q) == 0 else out
 
 
 def quantile_range(x: Array, percentile: float, splits: int = 32,

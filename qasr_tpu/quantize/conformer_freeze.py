@@ -166,14 +166,26 @@ def _join_lin(x8: Array, tbl: Dict[str, Any], stream8: Array, stream_rq,
     return _join_int(_dot8(x8, tbl["w"]), tbl, stream8, stream_rq, ab)
 
 
-def _att_fused_enabled(t: int) -> bool:
-    """QASR_CONF_ATT=1 routes the offline attention core (scores + integer
-    softmax + context) through the fused Pallas kernel
-    (kernels/int_attention.py) — the (T, T) int32 score world stays in
-    VMEM.  Bit-identical (test_int_attention.py).  Trace-time flag."""
+def _att_flag() -> str:
+    """Effective QASR_CONF_ATT value.  Unset defaults to ON on TPU — the
+    measured serving winner (PERF.md round 4: 176 vs 495 ms/step for the
+    16x256 frozen encoder at B=32; the (T,T) int32 score world stays in
+    VMEM) — and OFF elsewhere, where the kernel would run in interpret
+    mode and dominate the runtime."""
     import os
 
-    if os.environ.get("QASR_CONF_ATT", "0") != "1":
+    v = os.environ.get("QASR_CONF_ATT")
+    if v is not None:
+        return v
+    return "1" if jax.default_backend() == "tpu" else "0"
+
+
+def _att_fused_enabled(t: int) -> bool:
+    """QASR_CONF_ATT routes the offline attention core (scores + integer
+    softmax + context) through the fused Pallas kernel
+    (kernels/int_attention.py).  Bit-identical (test_int_attention.py).
+    Trace-time flag; default per `_att_flag`."""
+    if _att_flag() != "1":
         return False
     from qasr_tpu.kernels.int_attention import supports
 

@@ -87,20 +87,24 @@ def export_frozen_conformer_ctc(model, batch: int, num_samples: int,
     audio = jnp.zeros((batch, num_samples), jnp.float32)
     lens = jnp.zeros((batch,), jnp.int32)
     # force the portable XLA composition during the export trace: the fused
-    # Pallas epilogues (QASR_CONF_FUSED=1) lower to TPU-only custom-calls,
+    # Pallas epilogues (QASR_CONF_FUSED=1) and the fused integer attention
+    # (QASR_CONF_ATT, default ON on TPU) lower to TPU-only custom-calls,
     # which a hermetic StableHLO artifact must not embed (bit-identical
-    # numerics either way, test_gemm_fused.py)
+    # numerics either way, test_gemm_fused.py / test_int_attention.py)
     import os
 
-    prev = os.environ.get("QASR_CONF_FUSED")
+    prev = {k: os.environ.get(k) for k in ("QASR_CONF_FUSED",
+                                           "QASR_CONF_ATT")}
     os.environ["QASR_CONF_FUSED"] = "0"
+    os.environ["QASR_CONF_ATT"] = "0"
     try:
         blob = export_fn(fn, (audio, lens))
     finally:
-        if prev is None:
-            os.environ.pop("QASR_CONF_FUSED", None)
-        else:
-            os.environ["QASR_CONF_FUSED"] = prev
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     with open(path, "wb") as f:
         f.write(blob)
     return path
