@@ -58,7 +58,12 @@ def _to_np(t):
     return np.asarray(t.detach().cpu().numpy(), np.float32)
 
 
-def params_from_state_dict(plan: EncoderPlan, sd: Dict[str, Any]) -> Dict[str, Any]:
+def encoder_params_from_state_dict(plan: EncoderPlan,
+                                   sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map just the ``encoder.*`` keys (raises KeyError on any missing
+    weight — doubling as the strict-keys validation load_state_dict
+    performs in the reference's checkpoint-port flow,
+    scripts/asr_checkpoint_port.py:63-64)."""
     import jax.numpy as jnp
 
     def conv_w(key):
@@ -93,13 +98,19 @@ def params_from_state_dict(plan: EncoderPlan, sd: Dict[str, Any]) -> Dict[str, A
                  "bn": bn(base + ".1")}
             res.append(p)
         blocks.append({"convs": convs, "res": res})
+    return {"blocks": blocks}
 
+
+def params_from_state_dict(plan: EncoderPlan, sd: Dict[str, Any]) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    encoder = encoder_params_from_state_dict(plan, sd)
     dec_w = _to_np(sd["decoder.decoder_layers.0.weight"])  # (V+1, C, 1)
     decoder = {
         "w": jnp.asarray(dec_w.transpose(2, 1, 0)),
         "b": jnp.asarray(_to_np(sd["decoder.decoder_layers.0.bias"])),
     }
-    return {"encoder": {"blocks": blocks}, "decoder": decoder}
+    return {"encoder": encoder, "decoder": decoder}
 
 
 def state_dict_from_params(plan: EncoderPlan, params: Dict[str, Any],

@@ -651,6 +651,15 @@ def _pw3_join_call(x3, wt, b, m, m_r, res3, *, e, e_r, bits, m16, interpret):
 
     while tm > 8 and _est(tm) > 11 * 2 ** 20:
         tm //= 2
+    if _est(tm) > 11 * 2 ** 20:
+        # Even the smallest Cout tile overflows scoped VMEM (huge bt/cin):
+        # fail with the numbers rather than let Mosaic emit an opaque
+        # scoped-vmem compile error with no hint the guard gave up.
+        raise ValueError(
+            f"fused_pw_join_cm: minimum tile (tm=8, cin={cin}, bt={bt}) "
+            f"needs {_est(tm) / 2 ** 20:.1f} MiB VMEM > 11 MiB budget; "
+            "shrink the time tile (bt) or use the unfused path "
+            "(QASR_CM_JOIN=0)")
     grid = (cout // tm, 128 // ROWS)
     has_bias = b is not None
     in_specs = [

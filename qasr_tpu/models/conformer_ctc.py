@@ -144,15 +144,14 @@ class ConformerCTC:
         state changes (a fresh jit per call would retrace every time).
         Keyed on a monotonic state version, NOT object ids — CPython
         reuses freed ids, which could serve a stale executable.  The
-        QASR_CONF_FUSED / QASR_CONF_ATT flags join the key: they select the
-        fused Pallas GEMM-epilogue / attention kernels at trace time
+        effective kernel-selection flags join the key (one helper resolves
+        backend-dependent defaults for BOTH flags, ADVICE r4): they select
+        the fused Pallas GEMM-epilogue / attention kernels at trace time
         (quantize/conformer_freeze.py)."""
-        import os
-
-        from qasr_tpu.quantize.conformer_freeze import _att_flag
+        from qasr_tpu.quantize.conformer_freeze import effective_kernel_flags
 
         key = (getattr(self, "_q_version", 0), self.decoder_kind,
-               os.environ.get("QASR_CONF_FUSED", "0"), _att_flag())
+               tuple(sorted(effective_kernel_flags().items())))
         cached = getattr(self, "_fwd_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]

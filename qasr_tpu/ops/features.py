@@ -292,6 +292,8 @@ class MelFrontend:
             mel = _normalize_per_feature(mel, mask, seq_len)
         elif cfg.normalize == "all_features":
             mel = _normalize_all_features(mel, mask, seq_len)
+        elif _is_fixed_stats(cfg.normalize):
+            mel = _normalize_fixed(mel, cfg.normalize)
         elif cfg.normalize:
             raise NotImplementedError(cfg.normalize)
 
@@ -355,6 +357,43 @@ def crop_or_pad_spectrogram(x: Array, lengths: Array, audio_length: int,
         x = jnp.pad(x, ((0, 0), (left, total - left), (0, 0)),
                     constant_values=pad_value)
     return x, jnp.full_like(lengths, audio_length)
+
+
+def _is_fixed_stats(normalize) -> bool:
+    """The reference's third normalize mode is a mapping holding both
+    'fixed_mean' and 'fixed_std' (features.py:77-82); any other non-string
+    value falls through to its silent identity `else: return x` — we raise
+    instead (a typo'd dict should not silently skip normalization)."""
+    try:
+        return "fixed_mean" in normalize and "fixed_std" in normalize \
+            and not isinstance(normalize, str)
+    except TypeError:
+        return False
+
+
+def _normalize_fixed(x: Array, spec) -> Array:
+    """(x - fixed_mean) / fixed_std with caller-supplied constants
+    (reference features.py:77-82).  The reference reshapes the constants
+    with .view(B, C) — which for a C-length list only succeeds at B=1
+    (torch.view cannot broadcast); we apply the documented semantics,
+    broadcasting a (C,) vector over batch+time and a (B, C) table over
+    time.  NB the reference branch adds no +1e-5 std guard and does no
+    valid-frame masking — matched (padding is re-masked right after)."""
+    mean = jnp.asarray(np.asarray(spec["fixed_mean"], dtype=np.float32))
+    std = jnp.asarray(np.asarray(spec["fixed_std"], dtype=np.float32))
+    c = x.shape[2]
+    def _bc(v):  # -> broadcastable against channels-last (B, T, C)
+        if v.ndim == 0:
+            return v
+        if v.ndim == 1:
+            if v.shape[0] != c:
+                raise ValueError(
+                    f"fixed stats length {v.shape[0]} != features {c}")
+            return v[None, None, :]
+        if v.ndim == 2 and v.shape[1] == c:
+            return v[:, None, :]
+        raise ValueError(f"fixed stats shape {v.shape} not (C,) or (B, C)")
+    return (x - _bc(mean)) / _bc(std)
 
 
 def _normalize_per_feature(x: Array, mask: Array, seq_len: Array) -> Array:

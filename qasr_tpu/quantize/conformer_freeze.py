@@ -130,6 +130,25 @@ def _dot8(x8: Array, w_int8) -> Array:
         preferred_element_type=jnp.int32)
 
 
+def _fused_flag() -> str:
+    """Effective QASR_CONF_FUSED value.  Unset defaults to OFF everywhere:
+    the GEMM-epilogue kernels LOSE at every measured shape (PERF.md round 4:
+    +17 ms at 16x256) — opt-in pending the d_model>=512 measurement."""
+    import os
+
+    return os.environ.get("QASR_CONF_FUSED", "0")
+
+
+def effective_kernel_flags() -> Dict[str, str]:
+    """The trace-time kernel-selection flags with their backend-dependent
+    defaults resolved.  This is the ONE place callers (jit cache keys,
+    bench JSON echo) should read them from — reading the env vars raw
+    silently misses backend-dependent defaults like QASR_CONF_ATT's
+    TPU-on/CPU-off rule and would serve a stale executable after a backend
+    change (ADVICE r4)."""
+    return {"QASR_CONF_FUSED": _fused_flag(), "QASR_CONF_ATT": _att_flag()}
+
+
 def _fused_enabled() -> bool:
     """QASR_CONF_FUSED=1 routes every frozen linear through the Pallas
     fused GEMM+epilogue kernels (kernels/gemm_fused.py): the int32
@@ -137,9 +156,7 @@ def _fused_enabled() -> bool:
     the MXU dots instead of as standalone XLA fusions.  Bit-identical to
     the default XLA composition (asserted in test_gemm_fused.py).  Read at
     trace time, so flipping the env var requires a fresh jit."""
-    import os
-
-    return os.environ.get("QASR_CONF_FUSED", "0") == "1"
+    return _fused_flag() == "1"
 
 
 def _lin_rq(x8: Array, tbl: Dict[str, Any], ab: int) -> Array:

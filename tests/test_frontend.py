@@ -199,3 +199,55 @@ def test_pad_to_max(rng):
     fe2 = MelFrontend(cfg2)
     out2, _ = fe2(jnp.asarray(x), jnp.asarray([4000, 4000], np.int32))
     assert out2.shape[1] == fe2.max_length == 10
+
+
+def test_fixed_stats_normalization_matches_torch(rng):
+    """normalize={'fixed_mean': ..., 'fixed_std': ...} applies caller
+    constants (reference features.py:77-82).  The reference's .view(B, C)
+    reshape only succeeds at B=1 for a (C,)-vector spec, so the exact-parity
+    check runs there; the (B, C) table form covers the broadcast we
+    document."""
+    torch = pytest.importorskip("torch")
+    c = 64
+    mean = (rng.normal(size=c) * 2.0).astype(np.float32)
+    std = (np.abs(rng.normal(size=c)) + 0.5).astype(np.float32)
+    spec = {"fixed_mean": mean.tolist(), "fixed_std": std.tolist()}
+    cfg = FeatureConfig(dither=0.0, normalize=spec)
+    fe = MelFrontend(cfg)
+    x = (rng.normal(size=(1, 16000)) * 0.1).astype(np.float32)
+    lengths = np.asarray([16000], np.int32)
+    got, sl = fe(jnp.asarray(x), jnp.asarray(lengths))
+
+    # reference branch at B=1: (x - mean.view(B,C,1)) / std.view(B,C,1)
+    base_cfg = FeatureConfig(dither=0.0, normalize="")
+    raw, _ = MelFrontend(base_cfg)(jnp.asarray(x), jnp.asarray(lengths))
+    raw_t = torch.from_numpy(np.asarray(raw)).permute(0, 2, 1)  # (B, C, T)
+    m_t = torch.tensor(spec["fixed_mean"]).view(1, c).unsqueeze(2)
+    s_t = torch.tensor(spec["fixed_std"]).view(1, c).unsqueeze(2)
+    ref = ((raw_t - m_t) / s_t).permute(0, 2, 1).numpy()
+    sl0 = int(np.asarray(sl)[0])
+    np.testing.assert_allclose(np.asarray(got)[:, :sl0], ref[:, :sl0],
+                               rtol=1e-5, atol=1e-5)
+    # padding past seq_len stays at pad_value, not normalized garbage
+    assert np.all(np.asarray(got)[0, sl0:, :] == cfg.pad_value)
+
+    # (B, C) per-sample table broadcasts over time
+    b = 2
+    tbl_m = (rng.normal(size=(b, c))).astype(np.float32)
+    tbl_s = (np.abs(rng.normal(size=(b, c))) + 0.5).astype(np.float32)
+    cfg2 = FeatureConfig(dither=0.0, normalize={"fixed_mean": tbl_m.tolist(),
+                                                "fixed_std": tbl_s.tolist()})
+    x2 = (rng.normal(size=(b, 16000)) * 0.1).astype(np.float32)
+    l2 = np.asarray([16000, 12000], np.int32)
+    got2, sl2 = MelFrontend(cfg2)(jnp.asarray(x2), jnp.asarray(l2))
+    raw2, _ = MelFrontend(base_cfg)(jnp.asarray(x2), jnp.asarray(l2))
+    want = (np.asarray(raw2) - tbl_m[:, None, :]) / tbl_s[:, None, :]
+    for i, s_i in enumerate(np.asarray(sl2)):
+        np.testing.assert_allclose(np.asarray(got2)[i, :s_i],
+                                   want[i, :s_i], rtol=1e-5, atol=1e-5)
+
+    # malformed fixed-stats dicts raise instead of silently skipping
+    with pytest.raises(ValueError):
+        MelFrontend(FeatureConfig(dither=0.0, normalize={
+            "fixed_mean": [0.0] * 3, "fixed_std": [1.0] * 3}))(
+                jnp.asarray(x), jnp.asarray(lengths))
