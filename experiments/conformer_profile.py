@@ -40,6 +40,8 @@ def main():
                     help="profile with QASR_CONF_FUSED=1")
     args = ap.parse_args()
     os.environ["QASR_CONF_FUSED"] = "1" if args.fused else "0"
+    # the family loops below call the freeze helpers directly, so the env
+    # flags only matter for the dedicated kernel families added for round 5
 
     from qasr_tpu.utils.compile_cache import setup_compile_cache
     os.environ.setdefault(
@@ -184,6 +186,31 @@ def main():
         return y
     timed("conv_module", convm, x8, stream8)
 
+    # 2b) attention core via the fused Pallas kernel (round-4 default under
+    # TPU) — the number the 176 ms step actually contains
+    from qasr_tpu.kernels.int_attention import fused_int_attention, supports
+    if supports(t):
+        lens_dev = jnp.full((b,), t, jnp.int32)
+        left, right = CF._ctx_pair(ccfg.att_context_size)
+
+        def att_kernel(qu, qv, k8v, v8):
+            quh = qu.reshape(b, t, h, d_k)
+            qvh = qv.reshape(b, t, h, d_k)
+            kh = k8v.reshape(b, t, h, d_k)
+            vh = v8.reshape(b, t, h, d_k)
+            y = None
+            for _ in range(L):
+                y = fused_int_attention(
+                    quh, qvh, kh, vh, pos8.reshape(2 * t - 1, h, d_k),
+                    lens_dev,
+                    ac=(int(tbl["ac_grid"][0]), tbl["ac_grid"][1]),
+                    bd=(int(tbl["bd_grid"][0]), tbl["bd_grid"][1]),
+                    ctx_rq=(int(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
+                    left=left, right=right, nbits=ab)
+                quh = y.reshape(b, t, h, d_k)
+            return y
+        timed("attn_core_fused_kernel", att_kernel, x8, x8, x8, x8)
+
     # 5) i-LayerNorm glue: 5 per layer in the full model (4 pre + ln_out)
     def ln(x32v):
         y = x32v
@@ -192,6 +219,27 @@ def main():
                                     ab).astype(jnp.int32) << 10
         return y
     timed("i_layernorm_x5", ln, x32)
+
+    # 6) float subsampler (the one float region; never profiled before
+    # round 5): 2x conv2d stride-2 stack from (B, frames, 80) mel input
+    from qasr_tpu.models.conformer import subsample_convs
+    frames = 1 + int(16000 * args.seconds) // 160
+    feats = jnp.asarray(rng.normal(size=(b, frames, 80)).astype(np.float32))
+    flens = jnp.full((b,), frames, jnp.int32)
+    sub_tbl = tables["subsampler"]
+
+    def subsampler(f, fl):
+        y, lens2 = subsample_convs(sub_tbl, ccfg, f, fl)
+        return y
+    timed("subsampler_float(x1)", subsampler, feats, flens)
+
+    # 7) pre projection + float->int boundary (x1)
+    def pre(f):
+        x8v = jnp.clip(jnp.round(f / tables["S_pre"]), -n8, n8 - 1
+                       ).astype(jnp.int8)
+        return CF._lin_rq(x8v, tables["pre"], ab)
+    y_sub = subsample_convs(sub_tbl, ccfg, feats, flens)[0]
+    timed("pre_projection(x1)", pre, y_sub)
 
 
 if __name__ == "__main__":

@@ -146,7 +146,8 @@ def effective_kernel_flags() -> Dict[str, str]:
     silently misses backend-dependent defaults like QASR_CONF_ATT's
     TPU-on/CPU-off rule and would serve a stale executable after a backend
     change (ADVICE r4)."""
-    return {"QASR_CONF_FUSED": _fused_flag(), "QASR_CONF_ATT": _att_flag()}
+    return {"QASR_CONF_FUSED": _fused_flag(), "QASR_CONF_ATT": _att_flag(),
+            "QASR_CONF_MOD": _mod_flag()}
 
 
 def _fused_enabled() -> bool:
@@ -207,6 +208,28 @@ def _att_fused_enabled(t: int) -> bool:
     from qasr_tpu.kernels.int_attention import supports
 
     return supports(t)
+
+
+def _mod_flag() -> str:
+    """Effective QASR_CONF_MOD value (module-granularity fused kernels:
+    kernels/conf_module.py).  Unset defaults to OFF pending the on-chip
+    measurement; flip to the _att_flag TPU-on rule once it wins."""
+    import os
+
+    return os.environ.get("QASR_CONF_MOD", "0")
+
+
+def _mod_enabled(t: int, cfg: ConformerConfig) -> bool:
+    """QASR_CONF_MOD routes the FFN half-steps, the LayerNorm glue, the
+    residual joins, and the whole conv-module sublayer through the
+    module-granularity Pallas kernels (kernels/conf_module.py) — one
+    pallas call per sublayer, int32 intermediates VMEM-resident.
+    Bit-identical (test_conf_module.py).  Trace-time flag."""
+    if _mod_flag() != "1":
+        return False
+    from qasr_tpu.kernels.conf_module import supports
+
+    return supports(t, cfg.d_model, cfg.ff_expansion_factor)
 
 
 def _ctx_pair(att_context_size) -> Tuple[int, int]:
@@ -477,14 +500,26 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
     pos8 = jnp.asarray(
         np.clip(np.round(pos_np / pos_scale), -n, n - 1).astype(np.int8))
 
+    mod = _mod_enabled(t, cfg)
+    if mod:
+        from qasr_tpu.kernels.conf_module import fused_conv_block, \
+            fused_ffn_ln
+
     for li, tbl in enumerate(tables["layers"]):
-        # FFN1 half-step
-        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
-        m8 = _ffn_mid(yln, tbl["ff1_l1"], tbl["ff1_grid"],
-                      tbl["ff1_prod"], ab)
-        x = _join_lin(m8, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
-        # attention
-        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
+        if mod:
+            # FFN1 half-step + ln_att tail in one kernel
+            x, yln = fused_ffn_ln(x, tbl["ln_ff1"], tbl["ff1_l1"],
+                                  tbl["ff1_grid"], tbl["ff1_prod"],
+                                  tbl["ff1_l2"], tbl["j1_stream"],
+                                  tail_tbl=tbl["ln_att"], nbits=ab)
+        else:
+            # FFN1 half-step
+            yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff1"], ab)
+            m8 = _ffn_mid(yln, tbl["ff1_l1"], tbl["ff1_grid"],
+                          tbl["ff1_prod"], ab)
+            x = _join_lin(m8, tbl["ff1_l2"], x, tbl["j1_stream"], ab)
+            # attention
+            yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_att"], ab)
         qu8 = _lin_rq(yln, tbl["att_q_u"], ab).reshape(b, t, h, d_k)
         qv8 = _lin_rq(yln, tbl["att_q_v"], ab).reshape(b, t, h, d_k)
         k8 = _lin_rq(yln, tbl["att_k"], ab).reshape(b, t, h, d_k)
@@ -530,23 +565,37 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
             c8 = jnp.clip(dyadic_requant_static(
                 ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
                 -n, n - 1).astype(jnp.int8)
-        x = _join_lin(c8, tbl["att_out"], x, tbl["j2_stream"], ab)
-        # conv module
-        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
-        y_int = _glu_int(tbl, yln, ab)
-        y_int = jnp.where(pad_mask[:, :, None], 0, y_int)
-        glu8 = jnp.clip(dyadic_requant_static(
-            y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
-            -n, n - 1).astype(jnp.int8)
-        mid8 = _conv_tail_mid(tbl, glu8, cfg.dw_padding, d, ab)
-        x = _join_lin(mid8, tbl["pw2"], x, tbl["j3_stream"], ab)
-        # FFN2 half-step
-        yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
-        m8 = _ffn_mid(yln, tbl["ff2_l1"], tbl["ff2_grid"],
-                      tbl["ff2_prod"], ab)
-        x = _join_lin(m8, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
+        last = "m" not in tbl["ln_out"]
+        if mod:
+            # att_out join + whole conv module in one kernel
+            x = fused_conv_block(c8, x, lens, tbl, cfg.dw_padding, nbits=ab)
+            # FFN2 half-step + ln_out tail (None on the last layer: its
+            # ln_out is the float gamma/beta boundary below)
+            x, x_next = fused_ffn_ln(
+                x, tbl["ln_ff2"], tbl["ff2_l1"], tbl["ff2_grid"],
+                tbl["ff2_prod"], tbl["ff2_l2"], tbl["j4_stream"],
+                tail_tbl=None if last else tbl["ln_out"], nbits=ab)
+            if not last:
+                x = x_next
+                continue
+        else:
+            x = _join_lin(c8, tbl["att_out"], x, tbl["j2_stream"], ab)
+            # conv module
+            yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_conv"], ab)
+            y_int = _glu_int(tbl, yln, ab)
+            y_int = jnp.where(pad_mask[:, :, None], 0, y_int)
+            glu8 = jnp.clip(dyadic_requant_static(
+                y_int, jnp.asarray(tbl["glu_prod"][0]), tbl["glu_prod"][1]),
+                -n, n - 1).astype(jnp.int8)
+            mid8 = _conv_tail_mid(tbl, glu8, cfg.dw_padding, d, ab)
+            x = _join_lin(mid8, tbl["pw2"], x, tbl["j3_stream"], ab)
+            # FFN2 half-step
+            yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
+            m8 = _ffn_mid(yln, tbl["ff2_l1"], tbl["ff2_grid"],
+                          tbl["ff2_prod"], ab)
+            x = _join_lin(m8, tbl["ff2_l2"], x, tbl["j4_stream"], ab)
         # ln_out: requant into the next layer's stream, or emit float
-        if "m" in tbl["ln_out"]:
+        if not last:
             x = _apply_affine_rq(i_layernorm_core(x), tbl["ln_out"], ab)
         else:
             y = i_layernorm_core(x).astype(jnp.float32) / (1 << _K_LN)

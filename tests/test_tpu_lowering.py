@@ -91,3 +91,51 @@ def test_pw_and_dw_cm_lowers():
     _lower(lambda x, w, b_, m_, mk: fused_pw_cm(
         x, w, b_, mk, m_, 18, 7, True, interpret=False),
         x3, wt, b96, m96, mask2)
+
+
+def test_conf_module_lowers(monkeypatch):
+    """The round-5 module-granularity kernels: the in-kernel i-LayerNorm
+    (vector integer division + Newton i_sqrt fori_loop), the depthwise
+    sublane rolls, and the two-output FFN kernel all must pass Mosaic
+    lowering, at the serving d_model and a d_model=512 scale point."""
+    import qasr_tpu.quantize.conformer_freeze as CF
+    from qasr_tpu.kernels.conf_module import fused_conv_block, fused_ffn_ln
+    from qasr_tpu.models.conformer import ConformerConfig, \
+        init_conformer_params
+    from qasr_tpu.quantize.conformer_ptq import (
+        ConformerQuantConfig, calibrate_conformer,
+    )
+
+    for d_model, heads in ((256, 4), (512, 8)):
+        cfg = ConformerConfig(feat_in=32, n_layers=1, d_model=d_model,
+                              n_heads=heads, subsampling="striding",
+                              subsampling_factor=4,
+                              subsampling_conv_channels=16,
+                              conv_kernel_size=31, dropout=0.0)
+        qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
+                                    quantize_attention=True,
+                                    integer_softmax=True,
+                                    integer_layernorm=True,
+                                    integer_activations=True,
+                                    static_attention=True)
+        params = init_conformer_params(0, cfg)
+        rng = np.random.default_rng(3)
+        batches = [(rng.normal(size=(2, 40, 32)).astype(np.float32),
+                    np.asarray([40, 33], np.int32))]
+        qstate = jax.tree_util.tree_map(
+            np.asarray, calibrate_conformer(params, cfg, qcfg, batches))
+        tables = CF.freeze_conformer(params, cfg, qcfg, qstate)
+        tbl = tables["layers"][0]
+
+        b, t = 2, 376
+        x8 = _i8(rng, b, t, d_model)
+        c8 = _i8(rng, b, t, d_model)
+        lens = jnp.asarray([376, 300], jnp.int32)
+
+        _lower(lambda x: fused_ffn_ln(
+            x, tbl["ln_ff1"], tbl["ff1_l1"], tbl["ff1_grid"],
+            tbl["ff1_prod"], tbl["ff1_l2"], tbl["j1_stream"],
+            tail_tbl=tbl["ln_att"], nbits=8, interpret=False)[0], x8)
+        _lower(lambda c, x, ln: fused_conv_block(
+            c, x, ln, tbl, cfg.dw_padding, nbits=8, interpret=False),
+            c8, x8, lens)
