@@ -91,6 +91,80 @@ def _device_step_seconds(loop, audio, lengths, bands, lo=2, hi=12, reps=3):
     return (timed(hi) - timed(lo)) / (hi - lo)
 
 
+def _quartznet_flags():
+    """Effective executor/numerics flags active for the frozen QuartzNet
+    path (VERDICT r4 item 7: the BENCH record must say which kernel
+    defaults were live so a future perf delta can be told apart from a
+    default flip).  Defaults mirror models/ctc_model.py::make_frozen_fn."""
+    import os
+
+    return {
+        "QASR_DYADIC_MODE": os.environ.get("QASR_DYADIC_MODE", "static_e"),
+        "QASR_DW_MXU": os.environ.get("QASR_DW_MXU", "auto"),
+        "QASR_CM": os.environ.get("QASR_CM", "1"),
+        "QASR_CM_FUSED": os.environ.get("QASR_CM_FUSED", "1"),
+        "QASR_DW_TM": os.environ.get("QASR_DW_TM", "0"),
+        "QASR_CM_JOIN": os.environ.get("QASR_CM_JOIN", "0"),
+    }
+
+
+def _conformer_build(layers=16, d_model=256, batch=32, seconds=15.0):
+    """Build + calibrate + freeze the flagship integer Conformer and return
+    (measure, macs, batch, seconds): `measure()` compiles under the CURRENT
+    env flags and returns the per-step seconds (fetch-forced deltas)."""
+    import jax.numpy as jnp
+
+    from qasr_tpu.models.config import (DecoderConfig, EncoderConfig,
+                                        ModelConfig)
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+    from qasr_tpu.utils.flops import conformer_step_macs
+
+    heads = 4
+    labels = tuple(" abcdefghijklmnopqrstuvwxyz'")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=80, blocks=[]),
+        decoder=DecoderConfig(feat_in=d_model, num_classes=len(labels)),
+        labels=labels, preprocessor={"features": 80, "dither": 0.0})
+    ccfg = ConformerConfig(feat_in=80, n_layers=layers, d_model=d_model,
+                           n_heads=heads, subsampling="striding",
+                           subsampling_factor=4,
+                           subsampling_conv_channels=d_model,
+                           conv_kernel_size=31, dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    n = int(16000 * seconds)
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
+    alens = np.full((batch,), n, np.int32)
+    m.quantize_encoder([(audio[:4], alens[:4])], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+
+    a, al = jnp.asarray(audio), jnp.asarray(alens)
+
+    def run(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                lp, el = m.forward(a, al)
+            ids = np.asarray(jnp.argmax(lp, axis=-1))
+            best = min(best, time.perf_counter() - t0)
+        return best, ids
+
+    def measure():
+        run(1)  # compile + warm
+        _, ids = run(1)
+        assert len(np.unique(ids)) > 1, "model output is degenerate"
+        return (run(6)[0] - run(2)[0]) / 4
+
+    frames = 1 + n // 160
+    macs = conformer_step_macs(ccfg, frames, batch=batch,
+                               num_classes=len(labels))
+    return measure, macs, batch, seconds
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -140,89 +214,88 @@ def main():
     macs = ctc_model_step_macs(
         model, mel_frames(n, align=128 * _plan_total_stride(model.plan)),
         batch=batch)
-    print(json.dumps({
+
+    # speed-of-light ledger (VERDICT r4 item 3): report the per-resource
+    # floor next to the measurement so the driver's record can tell
+    # near-floor from stalled
+    from qasr_tpu.utils.flops import quartznet_sol_ledger
+    ledger = quartznet_sol_ledger(model, n, batch, measured_step_s=step)
+
+    out = {
         "metric": "quartznet15x5_w6a6_int8_rtfx_per_chip",
         "value": round(rtfx, 2),
         "unit": "audio_sec/sec",
         "vs_baseline": round(rtfx / 20.0, 3),
         "mfu": round(mfu(macs, step), 4),
+        "mfu_floor": round(ledger["mfu_floor"], 4),
+        "sol_floor_ms": round(ledger["floor_ms"], 2),
+        "sol_floor_fraction": round(ledger["floor_fraction"], 3),
         "device_step_ms": round(step * 1e3, 2),
-    }))
+        "flags": _quartznet_flags(),
+    }
+
+    # frozen-Conformer flagship leg in the same headline JSON (VERDICT r4
+    # item 1a): default kernel flags, compile budgeted against the warm
+    # .jax_cache.  A failure here must not cost the QuartzNet record.
+    import os
+    try:
+        if os.environ.get("QASR_BENCH_HEADLINE_CONF", "1") == "0":
+            raise RuntimeError("disabled by QASR_BENCH_HEADLINE_CONF=0")
+        from qasr_tpu.quantize.conformer_freeze import effective_kernel_flags
+        from qasr_tpu.utils.flops import mfu as _mfu
+        measure_c, cmacs, cb, cs = _conformer_build(
+            layers=int(os.environ.get("QASR_BENCH_CONF_LAYERS", "16")),
+            d_model=int(os.environ.get("QASR_BENCH_CONF_DMODEL", "256")),
+            batch=int(os.environ.get("QASR_BENCH_CONF_BATCH", "32")),
+            seconds=float(os.environ.get("QASR_BENCH_CONF_SECONDS", "15")))
+        cstep = measure_c()
+        out.update({
+            "conformer_rtfx": round(cb * cs / cstep, 2),
+            "conformer_step_ms": round(cstep * 1e3, 2),
+            "conformer_mfu": round(_mfu(cmacs, cstep), 4),
+            "conformer_flags": effective_kernel_flags(),
+        })
+    except Exception as exc:
+        print(f"# conformer headline leg failed: {exc}", file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 def main_conformer():
     """Frozen integer Conformer-CTC serving bench (VERDICT r3 item 2): the
     round-3 flagship path (int8 GEMMs + exact dyadic requant chains +
     integer softmax/LayerNorm glue) measured on the chip, with MFU."""
-    import jax.numpy as jnp
+    import os
 
     _setup_cache()
 
-    from qasr_tpu.models.config import (DecoderConfig, EncoderConfig,
-                                        ModelConfig)
-    from qasr_tpu.models.conformer import ConformerConfig
-    from qasr_tpu.models.conformer_ctc import ConformerCTC
-    from qasr_tpu.utils.flops import conformer_step_macs, mfu
-
-    import os
+    from qasr_tpu.utils.flops import mfu
 
     layers = int(os.environ.get("QASR_BENCH_CONF_LAYERS", "16"))
     d_model = int(os.environ.get("QASR_BENCH_CONF_DMODEL", "256"))
-    heads = 4
     batch = int(os.environ.get("QASR_BENCH_CONF_BATCH", "32"))
     seconds = float(os.environ.get("QASR_BENCH_CONF_SECONDS", "15"))
-    labels = tuple(" abcdefghijklmnopqrstuvwxyz'")
-    cfg = ModelConfig(
-        encoder=EncoderConfig(feat_in=80, blocks=[]),
-        decoder=DecoderConfig(feat_in=d_model, num_classes=len(labels)),
-        labels=labels, preprocessor={"features": 80, "dither": 0.0})
-    ccfg = ConformerConfig(feat_in=80, n_layers=layers, d_model=d_model,
-                           n_heads=heads, subsampling="striding",
-                           subsampling_factor=4,
-                           subsampling_conv_channels=d_model,
-                           conv_kernel_size=31, dropout=0.0)
-    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
-    n = int(16000 * seconds)
-    rng = np.random.default_rng(0)
-    audio = (rng.normal(size=(batch, n)) * 0.1).astype(np.float32)
-    alens = np.full((batch,), n, np.int32)
-    m.quantize_encoder([(audio[:4], alens[:4])], quantize_attention=True,
-                       integer_softmax=True, integer_layernorm=True,
-                       integer_activations=True, static_attention=True)
-    m.freeze()
+    measure, macs, batch, seconds = _conformer_build(
+        layers=layers, d_model=d_model, batch=batch, seconds=seconds)
 
-    a, al = jnp.asarray(audio), jnp.asarray(alens)
-
-    def run(k):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(k):
-                lp, el = m.forward(a, al)
-            ids = np.asarray(jnp.argmax(lp, axis=-1))
-            best = min(best, time.perf_counter() - t0)
-        return best, ids
-
-    def measure():
-        run(1)  # compile + warm
-        _, ids = run(1)
-        assert len(np.unique(ids)) > 1, "model output is degenerate"
-        return (run(6)[0] - run(2)[0]) / 4
-
-    # four schedules, bit-identical numerics (test_gemm_fused.py,
-    # test_int_attention.py): pure XLA, Pallas GEMM+epilogue kernels,
-    # XLA GEMMs + fused integer attention, and both kernels together.
-    # Report whichever the chip prefers.  QASR_BENCH_CONF_LEG=<name>
-    # restricts to one leg.
-    legs = {"xla": ("0", "0"), "fused": ("1", "0"),
-            "att": ("0", "1"), "fused+att": ("1", "1")}
-    only = os.environ.get("QASR_BENCH_CONF_LEG", "")
+    # kernel schedules, bit-identical numerics (test_gemm_fused.py,
+    # test_int_attention.py, test_conf_module.py): pure XLA, Pallas
+    # GEMM-epilogue kernels, fused integer attention, and the round-5
+    # module-granularity kernels (FFN/conv-module/LN in one pallas call per
+    # sublayer).  Report whichever the chip prefers.
+    # QASR_BENCH_CONF_LEG=<name>[,<name>...] restricts the set.
+    legs = {"xla": ("0", "0", "0"), "fused": ("1", "0", "0"),
+            "att": ("0", "1", "0"), "fused+att": ("1", "1", "0"),
+            "mod": ("0", "0", "1"), "mod+att": ("0", "1", "1")}
+    only = [s for s in os.environ.get("QASR_BENCH_CONF_LEG", "").split(",")
+            if s]
     steps = {}
-    for name, (gemm, att) in legs.items():
-        if only and only != name:
+    for name, (gemm, att, mod) in legs.items():
+        if only and name not in only:
             continue
         os.environ["QASR_CONF_FUSED"] = gemm
         os.environ["QASR_CONF_ATT"] = att
+        os.environ["QASR_CONF_MOD"] = mod
         try:
             steps[name] = measure()
         except Exception as exc:  # Mosaic/compile regression on one leg
@@ -231,9 +304,6 @@ def main_conformer():
     flag = min(steps, key=steps.get)
     step = steps[flag]
     rtfx = batch * seconds / step
-    frames = 1 + n // 160
-    macs = conformer_step_macs(ccfg, frames, batch=batch,
-                               num_classes=len(labels))
     print(json.dumps({
         "metric": f"conformer{layers}x{d_model}_frozen_int8_rtfx_per_chip",
         "value": round(rtfx, 2),
@@ -395,6 +465,88 @@ def main_io(wall_target: Optional[float] = None, batch: int = 64,
     }))
 
 
+def main_streaming():
+    """On-chip streaming-latency bench (VERDICT r4 item 4): the serving
+    metric the throughput headline doesn't tell.  Two stacks, one chunk
+    size (1 s):
+
+      - frozen W6A6 QuartzNet through the re-windowed StreamingTranscriber
+        (receptive-field context recompute per chunk), and
+      - a causal frozen integer Conformer (att_context (136, 0) ~ 5.4 s
+        left, causal convs) through CacheAwareConformerStream — O(1)
+        per-layer int8 KV/conv caches, each frame computed once,
+        bit-identical to offline (test_streaming.py).
+
+    Reports first/steady/p95 chunk latency and sustained streaming RTFx
+    per stack.  Smaller chunks = lower added latency but worse RTFx (fixed
+    per-chunk dispatch + context recompute amortize over fewer frames).
+    """
+    import os
+
+    _setup_cache()
+
+    from qasr_tpu.decode.streaming import (CacheAwareConformerStream,
+                                           StreamingTranscriber)
+
+    secs = float(os.environ.get("QASR_STREAM_SECONDS", "60"))
+    chunk_s = float(os.environ.get("QASR_STREAM_CHUNK_S", "1.0"))
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=int(16000 * secs)) * 0.1).astype(np.float32)
+
+    out = {"metric": "asr_streaming_steady_chunk_latency_ms",
+           "unit": "ms", "chunk_audio_s": chunk_s, "audio_s": secs}
+
+    # -- QuartzNet frozen, re-windowed streamer
+    from __graft_entry__ import _calibrated_frozen_quartznet
+    qn = _calibrated_frozen_quartznet(weight_bit=6, act_bit=6)
+    st = StreamingTranscriber(qn, chunk_frames=int(chunk_s * 100))
+    st.transcribe(audio[: len(audio) // 4])  # compile/warm the window shape
+    rep = st.latency_report(audio)
+    out["quartznet_frozen"] = {k: round(v, 2) if isinstance(v, float) else v
+                               for k, v in rep.items()}
+
+    # -- causal frozen Conformer, cache-aware O(1) state
+    from qasr_tpu.models.config import (DecoderConfig, EncoderConfig,
+                                        ModelConfig)
+    from qasr_tpu.models.conformer import ConformerConfig
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    layers = int(os.environ.get("QASR_BENCH_CONF_LAYERS", "16"))
+    d_model = int(os.environ.get("QASR_BENCH_CONF_DMODEL", "256"))
+    labels = tuple(" abcdefghijklmnopqrstuvwxyz'")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=80, blocks=[]),
+        decoder=DecoderConfig(feat_in=d_model, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 80, "dither": 0.0, "normalize": False})
+    ccfg = ConformerConfig(feat_in=80, n_layers=layers, d_model=d_model,
+                           n_heads=4, subsampling="striding",
+                           subsampling_factor=4,
+                           subsampling_conv_channels=d_model,
+                           conv_kernel_size=31,
+                           att_context_size=(136, 0), causal_conv=True,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    calib = (rng.normal(size=(2, 16000 * 4)) * 0.1).astype(np.float32)
+    m.quantize_encoder([(calib, np.asarray([64000, 48000], np.int32))],
+                       quantize_attention=True, integer_softmax=True,
+                       integer_layernorm=True, integer_activations=True,
+                       static_attention=True)
+    m.freeze()
+    ca = CacheAwareConformerStream(m)
+    ca.latency_report(audio[: int(16000 * 8)],
+                      chunk_samples=int(16000 * chunk_s))  # compile/warm
+    rep = ca.latency_report(audio, chunk_samples=int(16000 * chunk_s))
+    out["conformer_cache_aware"] = {
+        k: round(v, 2) if isinstance(v, float) else v for k, v in rep.items()}
+
+    out["value"] = out["conformer_cache_aware"]["steady_chunk_latency_ms"]
+    # north-star: steady chunk latency under the chunk's own duration
+    # (real-time with margin); vs_baseline = chunk_s / steady
+    out["vs_baseline"] = round(chunk_s * 1e3 / max(out["value"], 1e-9), 3)
+    print(json.dumps(out))
+
+
 def _device_watchdog(timeout_s: float):
     """Fail FAST when the TPU tunnel is wedged instead of hanging the whole
     bench run: first-touch jax.devices() blocks indefinitely while the axon
@@ -424,6 +576,8 @@ def _device_watchdog(timeout_s: float):
 def _select_entry():
     if "--io" in sys.argv:
         return main_io
+    if "--streaming" in sys.argv:
+        return main_streaming
     if "conformer" in sys.argv:  # accepts `--model conformer` or `conformer`
         return main_conformer
     return main
@@ -441,8 +595,11 @@ def _parent_retry_loop():
     import subprocess
 
     attempts = int(os.environ.get("QASR_BENCH_ATTEMPTS", "3"))
+    # 2000 s: the headline now compiles TWO models (QuartzNet + the
+    # Conformer leg) in a cold-cache worst case; warm .jax_cache runs
+    # finish in ~2 min
     attempt_timeout = float(os.environ.get("QASR_BENCH_ATTEMPT_TIMEOUT",
-                                           "1200"))
+                                           "2000"))
     env = dict(os.environ)
     env["QASR_BENCH_CHILD"] = "1"
     env.setdefault("QASR_BENCH_INIT_TIMEOUT", "300")

@@ -600,3 +600,40 @@ class CacheAwareConformerStream:
         return ctc_collapse(np.asarray(self._ids)[None],
                             self.model.blank_id,
                             self.model.vocabulary)[0]
+
+    def latency_report(self, audio: np.ndarray,
+                       chunk_samples: int) -> dict:
+        """Cache-aware counterpart of StreamingTranscriber.latency_report:
+        feed `audio` in fixed `chunk_samples` slices back-to-back, timing
+        each feed() (frontend + subsampler + frozen stream step + head +
+        greedy), plus the final flush().  Fields match the windowed
+        streamers' report so PERF/BENCH tables line up; `state_frames` is
+        the O(1) per-layer cache depth (the whole point vs the re-windowed
+        streamer's receptive-field recompute)."""
+        import time
+
+        self.reset()
+        lat: List[float] = []
+        t_all0 = time.perf_counter()
+        for s0 in range(0, len(audio), chunk_samples):
+            t0 = time.perf_counter()
+            self.feed(audio[s0:s0 + chunk_samples])
+            lat.append(time.perf_counter() - t0)
+        self.flush()
+        total = time.perf_counter() - t_all0
+        if not lat:
+            return {"chunks": 0}
+        fcfg = self.model.frontend.cfg
+        lat_ms = np.asarray(lat) * 1e3
+        return {
+            "chunks": len(lat),
+            "chunk_audio_s": chunk_samples / float(fcfg.sample_rate),
+            "first_chunk_latency_ms": float(lat_ms[0]),
+            "mean_chunk_latency_ms": float(lat_ms.mean()),
+            "p95_chunk_latency_ms": float(np.percentile(lat_ms, 95)),
+            "steady_chunk_latency_ms": float(np.median(lat_ms[1:])
+                                             if len(lat_ms) > 1
+                                             else lat_ms[0]),
+            "streaming_rtfx": len(audio) / float(fcfg.sample_rate) / total,
+            "state_frames": int(self.ccfg.att_context[0]),
+        }

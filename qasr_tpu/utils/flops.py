@@ -110,3 +110,121 @@ def mfu(macs_per_step: int, step_seconds: float,
         peak_ops: float = V5E_INT8_OPS_PER_S) -> float:
     """Model FLOPs utilization: 2*MACs / sec vs chip int8 peak."""
     return (2.0 * macs_per_step / step_seconds) / peak_ops
+
+
+# ---------------------------------------------------------------------------
+# Speed-of-light ledger (VERDICT r4 item 3): per-resource floor for the
+# frozen QuartzNet step, summed against the measured step time, so "8.1%
+# MFU" is a measurement against the chip's structure, not an argument.
+# ---------------------------------------------------------------------------
+
+# v5e HBM bandwidth (public spec).
+V5E_HBM_B_PER_S = 819.0e9
+# VPU int32 elementwise peak, derived: (8,128) vector unit, 4 ALUs/cell,
+# clock = bf16_peak / (4 MXUs * 128*128 MACs * 2) = 197e12/131072 = 1.5 GHz
+# -> 8*128*4*1.5e9 ~= 6.1e12 int32 ops/s.  An optimistic (high) peak makes
+# the floor conservative (low).
+V5E_VPU_INT32_OPS_PER_S = 6.1e12
+# int32 VPU ops per two-limb exact dyadic requant element
+# (ops/quant_prims.py::dyadic_requant_static): _mul_wide 16x16 limb split
+# (2 shifts + 2 muls + 2 adds + carry ~ 8) + constant-shift round-half-even
+# (~6) + sign/abs/restore (~3, skipped on nonneg sites) + clip/cast (~2).
+REQUANT_OPS_PER_ELT = 16
+# Measured, proven-unavoidable pallas<->XLA retile copies at B=64
+# (PERF.md round 3c: five attacks all lose; exactly 2 per dw site).
+QUARTZNET_B64_RETILE_MS = 14.0
+
+
+def _dw_n_d(kernel: int, stride: int, dilation: int, padding: int) -> int:
+    """Band-tile count of the channel-major banded depthwise scheme
+    (kernels/dw_mxu.py::band_tiles_cm)."""
+    lo = -padding
+    hi = stride * 127 + dilation * (kernel - 1) - padding
+    return hi // 128 - lo // 128 + 1
+
+
+def quartznet_sol_ledger(model, n_samples: int, batch: int,
+                         measured_step_s: "float | None" = None) -> dict:
+    """Resource-floor ledger for one frozen channel-major QuartzNet step.
+
+    Returns per-resource floor times (seconds) computed statically from the
+    EncoderPlan on the physical padded frame count, plus the measured retile
+    constant, their sum, and `mfu_floor` = the MFU the nominal model would
+    score at the floor step time.  Floors assume NO overlap between
+    resources (each term is that subsystem's minimum busy time; the sum is
+    an upper bound on the floor if the chip overlaps them, which keeps the
+    reported gap honest-side-low).
+    """
+    from qasr_tpu.models.ctc_model import _plan_total_stride
+
+    plan = model.plan
+    frames = mel_frames(n_samples, align=128 * _plan_total_stride(plan))
+    peak_macs = V5E_INT8_OPS_PER_S / 2.0
+
+    pw_macs = 0          # MXU contractions at nominal cost
+    dw_exec_macs = 0     # banded-Toeplitz executed MACs (the proven scheme)
+    dw_nom_macs = 0      # nominal dw MACs on the same padded frames
+    rq_elts = 0          # requanted elements (one per conv output elt)
+    rq_elts_join = 0     # residual-join add+clamp elements
+    hbm_bytes = 0        # int8 activations: 1 write + 1 read per site output
+
+    def pad128(t: int) -> int:
+        return t + (-t) % 128
+
+    t = frames
+    for b in plan.blocks:
+        t_in = t
+        for c in b.convs:
+            t_out = conv_out_len(t, c.kernel, c.stride, c.dilation,
+                                 c.padding)
+            tp = pad128(t_out)
+            if c.groups == c.in_ch and c.kernel > 1:  # depthwise site
+                n_d = _dw_n_d(c.kernel, c.stride, c.dilation, c.padding)
+                dw_exec_macs += batch * c.out_ch * n_d * 128 * tp
+                dw_nom_macs += batch * tp * c.out_ch * c.kernel
+            else:
+                pw_macs += batch * tp * c.out_ch * (c.in_ch // c.groups) \
+                    * c.kernel
+            rq_elts += batch * tp * c.out_ch
+            hbm_bytes += 2 * batch * tp * c.out_ch  # int8 write + read
+            t = t_out
+        for c in b.res:
+            t_res = pad128(conv_out_len(t_in, c.kernel, c.stride,
+                                        c.dilation, c.padding))
+            pw_macs += batch * t_res * c.out_ch * (c.in_ch // c.groups) \
+                * c.kernel
+            rq_elts += batch * t_res * c.out_ch
+            hbm_bytes += 2 * batch * t_res * c.out_ch
+        if b.residual:
+            rq_elts_join += batch * pad128(t) * b.convs[-1].out_ch
+    # decoder 1x1 head
+    n_cls = model.cfg.decoder.num_classes + 1
+    pw_macs += batch * pad128(t) * plan.feat_out * n_cls
+    hbm_bytes += 2 * batch * pad128(t) * plan.feat_out
+
+    mxu_s = (pw_macs + dw_exec_macs) / peak_macs
+    vpu_s = (rq_elts * REQUANT_OPS_PER_ELT + rq_elts_join * 4) \
+        / V5E_VPU_INT32_OPS_PER_S
+    hbm_s = hbm_bytes / V5E_HBM_B_PER_S
+    copies_s = QUARTZNET_B64_RETILE_MS / 1e3 if batch == 64 else \
+        QUARTZNET_B64_RETILE_MS / 1e3 * batch / 64
+    floor_s = mxu_s + vpu_s + hbm_s + copies_s
+
+    nominal = ctc_model_step_macs(model, frames, batch=batch)
+    out = {
+        "frames_padded": frames,
+        "mxu_ms": mxu_s * 1e3,
+        "mxu_pw_ms": pw_macs / peak_macs * 1e3,
+        "mxu_dw_banded_ms": dw_exec_macs / peak_macs * 1e3,
+        "vpu_requant_ms": vpu_s * 1e3,
+        "hbm_ms": hbm_s * 1e3,
+        "retile_copies_ms": copies_s * 1e3,
+        "floor_ms": floor_s * 1e3,
+        "nominal_gmacs": nominal / 1e9,
+        "dw_band_overcount": dw_exec_macs / max(1, dw_nom_macs),
+        "mfu_floor": mfu(nominal, floor_s),
+    }
+    if measured_step_s is not None:
+        out["measured_ms"] = measured_step_s * 1e3
+        out["floor_fraction"] = floor_s / measured_step_s
+    return out

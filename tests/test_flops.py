@@ -65,3 +65,28 @@ def test_decoder_included():
     model = ASRModel.from_config(cfg)
     enc, t = encoder_plan_macs(model.plan, 16)
     assert ctc_model_step_macs(model, 16) == enc + t * 8 * 29
+
+
+def test_quartznet_sol_ledger_partition():
+    """Speed-of-light ledger (VERDICT r4 item 3): terms positive, floor is
+    their exact sum, mfu_floor > the measured-MFU class, and the measured
+    round-4 step sits between the floor and 2x the floor (the certified
+    '67% of floor' story; a plan or constant drift that broke either side
+    should fail loudly here)."""
+    model = ASRModel.from_pretrained("QuartzNet15x5Base-En", seed=0,
+                                     allow_random_weights=True)
+    from qasr_tpu.utils.flops import quartznet_sol_ledger
+    led = quartznet_sol_ledger(model, 16000 * 15, 64,
+                               measured_step_s=0.05787)
+    terms = [led["mxu_ms"], led["vpu_requant_ms"], led["hbm_ms"],
+             led["retile_copies_ms"]]
+    assert all(t > 0 for t in terms)
+    assert abs(sum(terms) - led["floor_ms"]) < 1e-6
+    assert abs(led["mxu_pw_ms"] + led["mxu_dw_banded_ms"]
+               - led["mxu_ms"]) < 1e-6
+    assert led["floor_ms"] < led["measured_ms"] < 2 * led["floor_ms"]
+    assert 0.08 < led["mfu_floor"] < 0.2
+    assert led["dw_band_overcount"] > 3  # banded scheme's known 3-8x
+    # floor scales with batch: half the batch, half(ish) the floor
+    led32 = quartznet_sol_ledger(model, 16000 * 15, 32)
+    assert 0.4 < led32["floor_ms"] / led["floor_ms"] < 0.6

@@ -379,3 +379,28 @@ def test_cache_aware_stream_flush_and_wide_window():
     assert len(got) == len(ids_ref), (len(got), len(ids_ref))
     np.testing.assert_array_equal(np.asarray(got), ids_ref)
     assert st.text() == offline_text
+
+
+def test_cache_aware_latency_report_fields():
+    """latency_report (bench --streaming backend): feeds the whole signal,
+    reports the shared field schema, resets state first (a prior feed must
+    not leak into the report's transcript)."""
+    from qasr_tpu.decode.streaming import CacheAwareConformerStream
+
+    m = _causal_frozen_conformer(n_layers=1, seed=5)
+    st = CacheAwareConformerStream(m)
+    rng = np.random.default_rng(5)
+    audio = (rng.normal(size=32000) * 0.1).astype(np.float32)
+    st.feed(audio[:8000])  # stale state the report must reset away
+    rep = st.latency_report(audio, chunk_samples=8000)
+    assert rep["chunks"] == 4
+    assert rep["chunk_audio_s"] == 0.5
+    for k in ("first_chunk_latency_ms", "steady_chunk_latency_ms",
+              "p95_chunk_latency_ms", "mean_chunk_latency_ms",
+              "streaming_rtfx"):
+        assert rep[k] > 0
+    assert rep["state_frames"] == 8
+    # the report's full pass equals offline greedy (reset + feed + flush)
+    offline = m.transcribe_greedy(audio[None].copy(),
+                                  np.asarray([32000], np.int32))[0]
+    assert st.text() == offline
