@@ -286,7 +286,9 @@ def main_conformer():
     # QASR_BENCH_CONF_LEG=<name>[,<name>...] restricts the set.
     legs = {"xla": ("0", "0", "0"), "fused": ("1", "0", "0"),
             "att": ("0", "1", "0"), "fused+att": ("1", "1", "0"),
-            "mod": ("0", "0", "1"), "mod+att": ("0", "1", "1")}
+            "mod": ("0", "0", "1"), "mod+att": ("0", "1", "1"),
+            "conv": ("0", "0", "conv"), "conv+att": ("0", "1", "conv"),
+            "ffn+att": ("0", "1", "ffn")}
     only = [s for s in os.environ.get("QASR_BENCH_CONF_LEG", "").split(",")
             if s]
     steps = {}

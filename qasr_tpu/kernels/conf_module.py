@@ -71,13 +71,22 @@ def pad_t(t: int) -> int:
     return t + (-t) % 32
 
 
-def supports(t: int, d: int, ff: int = 4) -> bool:
+def supports_ffn(t: int, d: int, ff: int = 4) -> bool:
+    """VMEM fit for `fused_ffn_ln`: the (tp, ff*d) int32 mid slab x2
+    (acc + swish product) plus the two int8 weight mats dominate."""
     tp = pad_t(t)
-    # dominant slabs: FFN mid (tp, ff*d) int32 x2 (acc + swish product),
-    # conv GLU (tp, 2d) int32 x2, weights d*ff*d x2 int8
-    ffn = 2 * tp * ff * d * 4 + 2 * d * ff * d
-    conv = 4 * tp * 2 * d * 4
-    return max(ffn, conv) <= _VMEM_BUDGET
+    return 2 * tp * ff * d * 4 + 2 * d * ff * d <= _VMEM_BUDGET
+
+
+def supports_conv(t: int, d: int) -> bool:
+    """VMEM fit for `fused_conv_block`: GLU (tp, 2d) int32 x2 plus the
+    (tp, d)-class stream/tap slabs."""
+    tp = pad_t(t)
+    return 4 * tp * 2 * d * 4 <= _VMEM_BUDGET
+
+
+def supports(t: int, d: int, ff: int = 4) -> bool:
+    return supports_ffn(t, d, ff) and supports_conv(t, d)
 
 
 def _rq(z, m, e: int):

@@ -212,24 +212,38 @@ def _att_fused_enabled(t: int) -> bool:
 
 def _mod_flag() -> str:
     """Effective QASR_CONF_MOD value (module-granularity fused kernels:
-    kernels/conf_module.py).  Unset defaults to OFF pending the on-chip
-    measurement; flip to the _att_flag TPU-on rule once it wins."""
+    kernels/conf_module.py).  Values: "0" (none), "1" (both families),
+    "conv" (fused_conv_block only), "ffn" (fused_ffn_ln only).  The
+    round-5 on-chip probe split cleanly: the conv-module kernel wins
+    1.9x (74.2 -> 39.2 ms for the 16-layer aggregate at 16x256 B=32)
+    while the FFN kernel LOSES 2.6x (56.6 -> 147.5 ms: its (Tp, 4d)
+    int32 mid forces a 1-row sublane grid that starves the MXU), so
+    unset defaults to "conv" on TPU and OFF elsewhere (interpret-mode
+    Pallas would dominate)."""
     import os
 
-    return os.environ.get("QASR_CONF_MOD", "0")
+    v = os.environ.get("QASR_CONF_MOD")
+    if v is not None:
+        return v
+    return "conv" if jax.default_backend() == "tpu" else "0"
 
 
-def _mod_enabled(t: int, cfg: ConformerConfig) -> bool:
-    """QASR_CONF_MOD routes the FFN half-steps, the LayerNorm glue, the
-    residual joins, and the whole conv-module sublayer through the
-    module-granularity Pallas kernels (kernels/conf_module.py) — one
-    pallas call per sublayer, int32 intermediates VMEM-resident.
-    Bit-identical (test_conf_module.py).  Trace-time flag."""
-    if _mod_flag() != "1":
-        return False
-    from qasr_tpu.kernels.conf_module import supports
+def _mod_parts(t: int, cfg: ConformerConfig) -> Tuple[bool, bool]:
+    """(use_ffn_kernel, use_conv_kernel) for this trace.  QASR_CONF_MOD
+    routes sublayers through the module-granularity Pallas kernels
+    (kernels/conf_module.py) — one pallas call per sublayer, int32
+    intermediates VMEM-resident.  Bit-identical (test_conf_module.py).
+    Trace-time flag; each family additionally gated on its own VMEM-fit
+    rule so an unsupported shape silently composes the XLA path."""
+    v = _mod_flag()
+    if v not in ("1", "conv", "ffn"):
+        return False, False
+    from qasr_tpu.kernels.conf_module import supports_conv, supports_ffn
 
-    return supports(t, cfg.d_model, cfg.ff_expansion_factor)
+    ffn = v in ("1", "ffn") and supports_ffn(t, cfg.d_model,
+                                             cfg.ff_expansion_factor)
+    conv = v in ("1", "conv") and supports_conv(t, cfg.d_model)
+    return ffn, conv
 
 
 def _ctx_pair(att_context_size) -> Tuple[int, int]:
@@ -500,13 +514,13 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
     pos8 = jnp.asarray(
         np.clip(np.round(pos_np / pos_scale), -n, n - 1).astype(np.int8))
 
-    mod = _mod_enabled(t, cfg)
-    if mod:
+    mod_ffn, mod_conv = _mod_parts(t, cfg)
+    if mod_ffn or mod_conv:
         from qasr_tpu.kernels.conf_module import fused_conv_block, \
             fused_ffn_ln
 
     for li, tbl in enumerate(tables["layers"]):
-        if mod:
+        if mod_ffn:
             # FFN1 half-step + ln_att tail in one kernel
             x, yln = fused_ffn_ln(x, tbl["ln_ff1"], tbl["ff1_l1"],
                                   tbl["ff1_grid"], tbl["ff1_prod"],
@@ -566,18 +580,9 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
                 ctx, jnp.asarray(tbl["ctx_rq"][0]), tbl["ctx_rq"][1]),
                 -n, n - 1).astype(jnp.int8)
         last = "m" not in tbl["ln_out"]
-        if mod:
+        if mod_conv:
             # att_out join + whole conv module in one kernel
             x = fused_conv_block(c8, x, lens, tbl, cfg.dw_padding, nbits=ab)
-            # FFN2 half-step + ln_out tail (None on the last layer: its
-            # ln_out is the float gamma/beta boundary below)
-            x, x_next = fused_ffn_ln(
-                x, tbl["ln_ff2"], tbl["ff2_l1"], tbl["ff2_grid"],
-                tbl["ff2_prod"], tbl["ff2_l2"], tbl["j4_stream"],
-                tail_tbl=None if last else tbl["ln_out"], nbits=ab)
-            if not last:
-                x = x_next
-                continue
         else:
             x = _join_lin(c8, tbl["att_out"], x, tbl["j2_stream"], ab)
             # conv module
@@ -589,6 +594,17 @@ def frozen_conformer_apply(tables, cfg: ConformerConfig, feats: Array,
                 -n, n - 1).astype(jnp.int8)
             mid8 = _conv_tail_mid(tbl, glu8, cfg.dw_padding, d, ab)
             x = _join_lin(mid8, tbl["pw2"], x, tbl["j3_stream"], ab)
+        if mod_ffn:
+            # FFN2 half-step + ln_out tail (None on the last layer: its
+            # ln_out is the float gamma/beta boundary below)
+            x, x_next = fused_ffn_ln(
+                x, tbl["ln_ff2"], tbl["ff2_l1"], tbl["ff2_grid"],
+                tbl["ff2_prod"], tbl["ff2_l2"], tbl["j4_stream"],
+                tail_tbl=None if last else tbl["ln_out"], nbits=ab)
+            if not last:
+                x = x_next
+                continue
+        else:
             # FFN2 half-step
             yln = _apply_affine_rq(i_layernorm_core(x), tbl["ln_ff2"], ab)
             m8 = _ffn_mid(yln, tbl["ff2_l1"], tbl["ff2_grid"],

@@ -115,18 +115,26 @@ def test_frozen_conformer_mod_bit_identical(frozen_small, monkeypatch):
     lens = jnp.asarray([70, 49, 70], jnp.int32)
 
     outs = {}
-    for mod, att in (("0", "0"), ("1", "0"), ("1", "1")):
+    for mod, att in (("0", "0"), ("1", "0"), ("1", "1"),
+                     ("conv", "0"), ("conv", "1"), ("ffn", "0")):
         monkeypatch.setenv("QASR_CONF_MOD", mod)
         monkeypatch.setenv("QASR_CONF_ATT", att)
         out, ol = jax.jit(lambda f, l: CF.frozen_conformer_apply(
             tables, cfg, f, l))(feats, lens)
         outs[(mod, att)] = (np.asarray(out), np.asarray(ol))
-    for key in (("1", "0"), ("1", "1")):
+    for key in (("1", "0"), ("1", "1"), ("conv", "0"), ("conv", "1"),
+                ("ffn", "0")):
         np.testing.assert_array_equal(outs[("0", "0")][1], outs[key][1])
         np.testing.assert_array_equal(outs[("0", "0")][0], outs[key][0])
 
 
 def test_supports_guard():
+    from qasr_tpu.kernels.conf_module import supports_conv, supports_ffn
+
     assert supports(376, 256) and supports(376, 512)
     assert not supports(4000, 1024)
+    # the FFN kernel additionally holds its two (d, ff*d) weight mats:
+    # shapes exist where conv-only fits but the FFN kernel does not (the
+    # per-family gate in conformer_freeze._mod_parts relies on this split)
+    assert supports_conv(256, 1024) and not supports_ffn(256, 1024)
     assert pad_t(376) == 384 and pad_t(128) == 128

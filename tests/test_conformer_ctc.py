@@ -389,3 +389,76 @@ def test_corpus_wer_frozen_matches_ptq():
     total_words = sum(len(t.split()) for t in texts)
     assert abs(wer_frozen - wer_ptq) <= 2.0 / total_words, \
         (wer_frozen, wer_ptq)
+
+
+def test_corpus_wer_frozen_matches_ptq_w6a6_d512():
+    """W6A6 zero-shot at d_model=512 / 8 heads (VERDICT r4 stretch): the
+    scale the reference Conformer config family tops out at
+    (examples/asr/experimental/conformer/ goes to d_model 512).  Guards
+    the frozen path's int8 context requant at wide heads (d_k=64: the
+    per-head score/ctx accumulators grow 4x vs the d=64 test above, so a
+    requant-headroom bug would surface here first): frozen WER within one
+    substitution of the calibrated PTQ path, both at weight_bit=6/act_bit=6."""
+    from tests.corpus_utils import make_corpus, tokenize
+    from qasr_tpu.decode.ctc import WER
+
+    labels = tuple(" abcdefghijklmnopqrstuvwxyz")
+    cfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=512, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    ccfg = ConformerConfig(feat_in=32, n_layers=1, d_model=512, n_heads=8,
+                           subsampling="striding", subsampling_factor=4,
+                           subsampling_conv_channels=16, conv_kernel_size=9,
+                           dropout=0.0)
+    m = ConformerCTC.from_config(cfg, ccfg, seed=0)
+    texts, audio, lens = make_corpus(30, seed=3)
+    toks, tlens = tokenize(texts, labels)
+    opt = optax.adam(1e-3)
+    state = opt.init(m.params)
+
+    @jax.jit
+    def step(params, state, rng, a, al, tk, tl):
+        loss, g = jax.value_and_grad(m.loss_fn)(params, a, al, tk, tl,
+                                                rng=rng)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+    params = m.params
+    for _ in range(300):
+        idx = nprng.choice(len(texts), size=10, replace=False)
+        rng, sub = jax.random.split(rng)
+        params, state, _ = step(params, state, sub, audio[idx],
+                                lens[idx], toks[idx], tlens[idx])
+    m.params = params
+
+    def wer_of():
+        w = WER(list(labels))
+        for i in range(0, len(texts), 10):
+            sl = slice(i, i + 10)
+            lp, el = m.forward(audio[sl], lens[sl])
+            preds = np.asarray(jnp.argmax(lp, axis=-1))
+            w.update(preds, toks[sl], tlens[sl], np.asarray(el))
+        return w.compute()
+
+    wer_f = wer_of()
+    assert wer_f < 0.15, f"float d=512 model failed to train (WER {wer_f})"
+
+    calib = [(audio[i:i + 10], lens[i:i + 10]) for i in range(0, 30, 10)]
+    m.quantize_encoder(calib, weight_bit=6, act_bit=6,
+                       quantize_attention=True, integer_softmax=True,
+                       integer_layernorm=True, integer_activations=True,
+                       static_attention=True)
+    wer_ptq = wer_of()
+    m.freeze()
+    wer_frozen = wer_of()
+    total_words = sum(len(t.split()) for t in texts)
+    assert abs(wer_frozen - wer_ptq) <= 2.0 / total_words, \
+        (wer_frozen, wer_ptq)
+    # zero-shot W6A6 quality at this width: the calibrated path itself must
+    # stay within a few substitutions of float (wide-head requant headroom)
+    assert wer_ptq <= wer_f + 6.0 / total_words, (wer_ptq, wer_f)
