@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qasr_tpu.ops.fast_int import floor_div
 from qasr_tpu.ops.integer_softmax import N_IN, _PRESHIFT, i_exp
 from qasr_tpu.ops.quant_prims import dyadic_requant_static
 
@@ -107,8 +108,7 @@ def _kern(qu_ref, qv_ref, k_ref, v_ref, pt_ref, len_ref, o_ref, *,
     q_exp = jnp.right_shift(q_exp, _PRESHIFT)
     denom = jnp.maximum(jnp.sum(q_exp, axis=-1, keepdims=True), 1)
     n8 = 2 ** (nbits - 1) - 1
-    a8 = jnp.floor_divide(q_exp * n8 + jnp.floor_divide(denom, 2),
-                          denom).astype(jnp.int8)
+    a8 = floor_div(q_exp * n8 + (denom >> 1), denom).astype(jnp.int8)
 
     ctx = jax.lax.dot_general(a8, v, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)  # (TQ, dkp)

@@ -97,13 +97,19 @@ class ConformerCTC:
             return _qlinear(params["decoder"], eq, self.enc_qcfg.weight_bit)
         return enc @ params["decoder"]["w"] + params["decoder"]["b"]
 
-    def _apply(self, params, feats, feat_lens, train=False, rng=None):
-        if self.enc_frozen is not None and not train:
+    def _apply(self, params, feats, feat_lens, train=False, rng=None,
+               frozen_tables=None):
+        """frozen_tables overrides self.enc_frozen — _forward_fn passes the
+        merge_tables() reconstruction so the frozen weights ride as jit
+        runtime arguments instead of baked HLO constants."""
+        tables = frozen_tables if frozen_tables is not None \
+            else self.enc_frozen
+        if tables is not None and not train:
             from qasr_tpu.quantize.conformer_freeze import (
                 frozen_conformer_apply,
             )
 
-            enc, enc_lens = frozen_conformer_apply(self.enc_frozen,
+            enc, enc_lens = frozen_conformer_apply(tables,
                                                    self.ccfg, feats,
                                                    feat_lens)
         elif self.enc_qstate is not None and not train:
@@ -156,10 +162,33 @@ class ConformerCTC:
         if cached is not None and cached[0] == key:
             return cached[1]
 
-        @jax.jit
-        def fn(params, audio, alens):
-            feats, feat_lens = self.frontend(audio, alens, dither=0.0)
-            return self._apply(params, feats, feat_lens)
+        if self.enc_frozen is not None:
+            # weights-as-args: the frozen tables' array leaves ride as jit
+            # runtime arguments (uploaded once, reused every call) — the
+            # compile payload stays O(program) instead of O(weights), so
+            # wide models compile over payload-capped transports and a
+            # table swap (re-freeze) reuses nothing stale (the version key
+            # rebuilds this closure)
+            from qasr_tpu.quantize.conformer_freeze import (
+                merge_tables, partition_tables,
+            )
+
+            spec, arrs = partition_tables(self.enc_frozen)
+            arrs = [jnp.asarray(a) for a in arrs]
+
+            @jax.jit
+            def fn_args(params, arrs, audio, alens):
+                feats, feat_lens = self.frontend(audio, alens, dither=0.0)
+                return self._apply(params, feats, feat_lens,
+                                   frozen_tables=merge_tables(spec, arrs))
+
+            def fn(params, audio, alens):
+                return fn_args(params, arrs, audio, alens)
+        else:
+            @jax.jit
+            def fn(params, audio, alens):
+                feats, feat_lens = self.frontend(audio, alens, dither=0.0)
+                return self._apply(params, feats, feat_lens)
 
         self._fwd_cache = (key, fn)
         return fn

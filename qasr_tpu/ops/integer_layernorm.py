@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from qasr_tpu.ops.fast_int import fast_idiv_enabled, floor_div, floor_sqrt
+
 Array = jax.Array
 
 _K = 10  # fractional bits of the normalized output
@@ -49,18 +51,24 @@ def i_layernorm_core(q: Array) -> Array:
     d_ax = q.shape[-1]
     q = q.astype(jnp.int32)
     s = jnp.sum(q, axis=-1, keepdims=True)
-    # rounded integer mean (round-half-up on the magnitude)
-    mu = jnp.where(s >= 0, (s + d_ax // 2) // d_ax,
-                   -((-s + d_ax // 2) // d_ax))
+    # rounded integer mean (round-half-up on the magnitude); |mu| <= 511
+    # so the constant-divisor divisions sit deep in floor_div's domain
+    mu = jnp.where(s >= 0, floor_div(s + d_ax // 2, d_ax),
+                   -floor_div(-s + d_ax // 2, d_ax))
     d = q - mu
-    var = jnp.sum(d * d, axis=-1, keepdims=True) // d_ax
+    var = floor_div(jnp.sum(d * d, axis=-1, keepdims=True), d_ax)
     # sigma at 2^-_SB granularity: isqrt(var << 2*_SB) = sigma << _SB.
     # int32 headroom requires 8-bit inputs (|q - mu| <= 255): the variance
     # sum stays < 2^31 up to D = 8192 and var <= 2^16, << 12 -> < 2^28.
     # (Wider inputs would overflow the sum; ConformerQuantConfig rejects
     # integer_layernorm with act_bit > 8.)
-    sigma_s = jnp.maximum(i_sqrt(var << (2 * _SB)), 1)
-    return (d << (_K + _SB)) // sigma_s
+    v12 = var << (2 * _SB)
+    sigma_s = jnp.maximum(floor_sqrt(v12) if fast_idiv_enabled()
+                          else i_sqrt(v12), 1)
+    # |d << 16| < 2^25 and sigma_s >= 1: quotient can reach ~2^22 when a
+    # near-constant row leaves var == 0 (sum(d^2) < D forces |d| < sqrt(D)
+    # there, so the worst case is sqrt(8192) << 16 / 1) -> two-stage
+    return floor_div(d << (_K + _SB), sigma_s, two_stage=True)
 
 
 def i_layernorm(q: Array, gamma: Array, beta: Array) -> Array:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from qasr_tpu.ops.fast_int import floor_div
 from qasr_tpu.ops.integer_softmax import N_IN, Q_B, Q_C, S_IN, i_exp
 
 Array = jax.Array
@@ -46,7 +47,8 @@ def i_sigmoid_grid(q: Array) -> Array:
     q = jnp.clip(q, -N_IN, N_IN)
     e = i_exp(-jnp.abs(q))
     den = e + _E0
-    s_neg = ((e << K_SIG) + (den >> 1)) // den      # sigmoid(-|x|)
+    # e <= E0 so the quotient is <= 2^(K_SIG-1): single-stage floor_div
+    s_neg = floor_div((e << K_SIG) + (den >> 1), den)  # sigmoid(-|x|)
     return jnp.where(q >= 0, (1 << K_SIG) - s_neg, s_neg)
 
 

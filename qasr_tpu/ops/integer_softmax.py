@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from qasr_tpu.ops.fast_int import floor_div
+
 Array = jax.Array
 
 # i-exp polynomial (I-BERT §3.2): exp(x) ~ a(x + b)^2 + c on (-ln2, 0]
@@ -45,7 +47,7 @@ def i_exp(q: Array) -> Array:
     Range decomposition + integer quadratic; the common positive scale
     (_A * S_IN**2) cancels in the softmax ratio and is never materialized.
     """
-    z = jnp.floor_divide(q, Q_LN2)             # >= 0, <= 28
+    z = floor_div(q, Q_LN2)                    # >= 0, <= 28
     p = q - z * Q_LN2                          # in (Q_LN2, 0]
     q_l = (p + Q_B) ** 2 + Q_C
     return jnp.right_shift(q_l, jnp.minimum(z, 30))
@@ -92,5 +94,5 @@ def _softmax_core(q: Array, mask: Array | None, out_bits: int) -> Array:
     denom = jnp.maximum(jnp.sum(q_exp, axis=-1, keepdims=True), 1)
     n = 2 ** (out_bits - 1) - 1
     # round-half-up division: same (unbiased) quantization profile as the
-    # float path's round(softmax * n)
-    return jnp.floor_divide(q_exp * n + jnp.floor_divide(denom, 2), denom)
+    # float path's round(softmax * n).  Quotient <= n < 2^15: single-stage
+    return floor_div(q_exp * n + (denom >> 1), denom)

@@ -146,8 +146,11 @@ def effective_kernel_flags() -> Dict[str, str]:
     silently misses backend-dependent defaults like QASR_CONF_ATT's
     TPU-on/CPU-off rule and would serve a stale executable after a backend
     change (ADVICE r4)."""
+    from qasr_tpu.ops.fast_int import fast_idiv_enabled
+
     return {"QASR_CONF_FUSED": _fused_flag(), "QASR_CONF_ATT": _att_flag(),
-            "QASR_CONF_MOD": _mod_flag()}
+            "QASR_CONF_MOD": _mod_flag(),
+            "QASR_FAST_IDIV": "1" if fast_idiv_enabled() else "0"}
 
 
 def _fused_enabled() -> bool:
@@ -254,6 +257,64 @@ def _ctx_pair(att_context_size) -> Tuple[int, int]:
     if att_context_size is None:
         return -1, -1
     return int(att_context_size), int(att_context_size)
+
+
+class _ArgRef:
+    """Placeholder for an array leaf lifted out by partition_tables."""
+    __slots__ = ("i",)
+
+    def __init__(self, i: int):
+        self.i = i
+
+
+def partition_tables(tables):
+    """Split a frozen-table pytree into (spec, arrays): every array leaf
+    (np.ndarray / jax.Array with ndim >= 1) is replaced in `spec` by an
+    index marker and collected into `arrays`, so callers can jit
+    `lambda arrays, ...: f(merge_tables(spec, arrays), ...)` with the
+    weights riding as RUNTIME ARGUMENTS instead of baked HLO constants.
+
+    Why: (a) the compile payload shrinks from O(weights) to O(program) —
+    a d_model >= 512 frozen encoder's baked weights exceed what a
+    remote-compile transport accepts, and re-uploading ~100 MB of
+    constants per retrace wastes HBM and wall clock; (b) a checkpoint
+    swap at serving time needs NO recompile — the new arrays just flow
+    through the cached executable.  Python scalars (the static dyadic
+    exponents `e`, act_bit, float scales), 0-d arrays, and float64 arrays
+    stay in `spec`: they are trace-time constants by design — the static-
+    shift requant reads them with host int()/float()/_rq_table math, and
+    float64 is this module's host-precision dtype (per-channel weight
+    scales; nothing float64 ever reaches the device)."""
+    arrays: List[Any] = []
+
+    def walk(x):
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            items = [walk(v) for v in x]
+            return items if isinstance(x, list) else tuple(items)
+        if isinstance(x, (np.ndarray, jax.Array)) and x.ndim >= 1 \
+                and x.dtype != np.float64:
+            arrays.append(x)
+            return _ArgRef(len(arrays) - 1)
+        return x
+
+    return walk(tables), arrays
+
+
+def merge_tables(spec, arrays):
+    """Inverse of partition_tables; `arrays` may be tracers under jit."""
+    def walk(x):
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            items = [walk(v) for v in x]
+            return items if isinstance(x, list) else tuple(items)
+        if isinstance(x, _ArgRef):
+            return arrays[x.i]
+        return x
+
+    return walk(spec)
 
 
 # ---------------------------------------------------------------------------

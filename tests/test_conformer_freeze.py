@@ -76,10 +76,14 @@ def test_frozen_deterministic_and_batch_invariant(setup):
                                       np.asarray(out1)[i, :n0])
 
 
-def test_frozen_graph_is_integer_only(setup):
+def test_frozen_graph_is_integer_only(setup, monkeypatch):
     """Between the subsampler and the output affine: no float dot/conv, no
-    exp/logistic/rsqrt — every GEMM i8->i32, everything else integer."""
+    exp/logistic/rsqrt — every GEMM i8->i32, everything else integer.
+    Asserted on the canonical QASR_FAST_IDIV=0 lowering; the default fast
+    mode strength-reduces the integer div/sqrt through f32 + exact fixup
+    (ops/fast_int.py — bit-identical, test_fast_int.py)."""
     params, feats, lens, _, tables = setup
+    monkeypatch.setenv("QASR_FAST_IDIV", "0")
     txt = jax.jit(lambda x, l: frozen_conformer_apply(tables, CFG, x, l)[0]
                   ).lower(feats, lens).as_text()
     lines = txt.splitlines()
@@ -316,3 +320,73 @@ def test_frozen_conformer_stablehlo_export(tmp_path):
     ids_ref = jnp.argmax(lp, axis=-1)
     np.testing.assert_array_equal(np.asarray(el), np.asarray(el_ref))
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_partition_tables_weights_as_args(setup):
+    """partition_tables lifts every >=1-d array leaf out of the frozen
+    tables so the jitted forward takes the weights as RUNTIME ARGUMENTS:
+    merge round-trips exactly, outputs are bit-identical to the
+    closure-constant form, and the lowered module carries no multi-KB
+    weight constants (the compile payload stays O(program) — required for
+    payload-capped remote compile at d_model >= 512, and a table swap
+    reuses the executable without retrace)."""
+    from qasr_tpu.quantize.conformer_freeze import (
+        merge_tables, partition_tables,
+    )
+
+    params, feats, lens, _, tables = setup
+    spec, arrs = partition_tables(tables)
+    assert len(arrs) > 50  # the weights really did lift out
+    rebuilt = merge_tables(spec, arrs)
+    ref, ref_l = frozen_conformer_apply(tables, CFG, feats, lens)
+    out, out_l = frozen_conformer_apply(rebuilt, CFG, feats, lens)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    fn = jax.jit(lambda a, x, l: frozen_conformer_apply(
+        merge_tables(spec, a), CFG, x, l)[0])
+    out_j = fn(arrs, feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_j), np.asarray(ref))
+    txt = fn.lower(arrs, feats, lens).as_text()
+    # every remaining dense constant is small metadata (iota tables, pad
+    # masks), not weights: the largest dense literal stays under ~4 KB
+    import re
+
+    big = [ln for ln in txt.splitlines()
+           if "dense<" in ln and len(ln) > 8192 and "dense_resource" not in ln]
+    assert not big, f"{len(big)} weight-sized constants still baked in"
+
+
+def test_forward_fn_uses_weight_args(setup):
+    """ConformerCTC.forward routes the frozen path through the
+    weights-as-args jit and stays bit-identical to the direct apply."""
+    from qasr_tpu.models.config import (DecoderConfig, EncoderConfig,
+                                        ModelConfig)
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    params, feats, lens, qstate, tables = setup
+    labels = tuple(" abc")
+    mcfg = ModelConfig(encoder=EncoderConfig(feat_in=32, blocks=[]),
+                       decoder=DecoderConfig(feat_in=64,
+                                             num_classes=len(labels)),
+                       labels=labels, preprocessor={"features": 32,
+                                                    "dither": 0.0})
+    m = ConformerCTC.from_config(mcfg, CFG, seed=0)
+    m.params["encoder"] = params
+    rng = np.random.default_rng(7)
+    audio = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+    alens = np.asarray([16000, 12000], np.int32)
+    m.quantize_encoder([(audio, alens)], quantize_attention=True,
+                       integer_softmax=True, integer_layernorm=True,
+                       integer_activations=True, static_attention=True)
+    m.freeze()
+    lp, el = m.forward(audio, alens)
+    # direct (closure-constant, eager) apply on the same feats: the integer
+    # encoder is bit-exact by construction, so the decisions must match
+    # exactly; the float head may differ by XLA-fusion ulps vs eager
+    f2, fl2 = m.frontend(jnp.asarray(audio), jnp.asarray(alens), dither=0.0)
+    enc, el2 = frozen_conformer_apply(m.enc_frozen, CFG, f2, fl2)
+    lp2 = m._head(m.params, enc)
+    np.testing.assert_array_equal(np.asarray(el), np.asarray(el2))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(lp, -1)),
+                                  np.asarray(jnp.argmax(lp2, -1)))

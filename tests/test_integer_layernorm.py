@@ -53,9 +53,18 @@ def test_i_layernorm_constant_row():
     np.testing.assert_allclose(out, 0.25)
 
 
-def test_integer_only_graph():
+def test_integer_only_graph(monkeypatch):
+    """QASR_FAST_IDIV=0 is the canonical integer-only lowering: no float
+    sqrt/divide anywhere.  The default fast mode strength-reduces the
+    integer div/sqrt through f32 estimate + exact integer fixup
+    (ops/fast_int.py, bit-identical — test_fast_int.py): its graph may
+    contain f32 sqrt/divide but still no transcendental."""
     q = jnp.ones((2, 4, 32), jnp.int32)
     g = jnp.ones((32,))
     b = jnp.zeros((32,))
+    monkeypatch.setenv("QASR_FAST_IDIV", "0")
     txt = jax.jit(lambda q: i_layernorm(q, g, b)).lower(q).as_text()
     assert "rsqrt" not in txt and "stablehlo.sqrt" not in txt
+    monkeypatch.setenv("QASR_FAST_IDIV", "1")
+    txt = jax.jit(lambda q: i_layernorm(q, g, b)).lower(q).as_text()
+    assert "exponential" not in txt and "logistic" not in txt
