@@ -738,15 +738,24 @@ def frozen_stream_step(tables, cfg: ConformerConfig, x_sub: Array, state
     attention context and conv taps come from the caches exactly as the
     offline computation sees them).  The jitted executable is cached on
     the tables per (batch, n) shape — the serving hot path dispatches one
-    compiled program per chunk."""
+    compiled program per chunk.  The tables' array leaves ride as jit
+    runtime arguments (partition_tables): uploaded once, shared across
+    every chunk-shape executable, and a table swap needs no retrace."""
     jits = tables.setdefault("_stream_jit", {})
+    part = jits.get("_part")
+    if part is None:
+        core = {k: v for k, v in tables.items() if k != "_stream_jit"}
+        spec, arrs = partition_tables(core)
+        part = (spec, [jnp.asarray(a) for a in arrs])
+        jits["_part"] = part
+    spec, arrs = part
     key = (x_sub.shape[0], x_sub.shape[1])
     fn = jits.get(key)
     if fn is None:
-        fn = jax.jit(lambda xs, st: _frozen_stream_step_body(
-            tables, cfg, xs, st))
+        fn = jax.jit(lambda a, xs, st: _frozen_stream_step_body(
+            merge_tables(spec, a), cfg, xs, st))
         jits[key] = fn
-    return fn(x_sub, state)
+    return fn(arrs, x_sub, state)
 
 
 def _frozen_stream_step_body(tables, cfg: ConformerConfig, x_sub: Array,

@@ -508,13 +508,16 @@ def calibrate_conformer(params, cfg: ConformerConfig,
         qstate = init_conformer_qstate(cfg, qcfg)
 
     @jax.jit
-    def step(qs, feats, lens):
-        _, _, nq = conformer_encoder_apply_ptq(params, cfg, qcfg, qs,
+    def step(p, qs, feats, lens):
+        # params ride as arguments, not baked constants: the compile
+        # payload stays O(program) (a d_model>=512 encoder's weights
+        # exceed payload-capped remote-compile transports)
+        _, _, nq = conformer_encoder_apply_ptq(p, cfg, qcfg, qs,
                                                feats, lens, update=True)
         return nq
 
     for feats, lens in batches:
-        qstate = step(qstate, jnp.asarray(feats), jnp.asarray(lens))
+        qstate = step(params, qstate, jnp.asarray(feats), jnp.asarray(lens))
     return qstate
 
 

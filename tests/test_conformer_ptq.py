@@ -357,9 +357,13 @@ def test_dp_sharded_bit_identical(setup):
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-def test_integer_layernorm_pipeline(setup):
+def test_integer_layernorm_pipeline(setup, monkeypatch):
     """integer_layernorm=True: every LN runs integer statistics; output
     stays close to fp32 and all ln sites calibrate."""
+    # the sqrt-count assertion below checks the canonical integer lowering;
+    # the default fast mode's f32-sqrt strength reduction (ops/fast_int.py,
+    # bit-identical) would add one exact f32 sqrt per integer LN
+    monkeypatch.setenv("QASR_FAST_IDIV", "0")
     params, feats, lens, _, _ = setup
     ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
     qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
@@ -391,10 +395,13 @@ def test_integer_layernorm_pipeline(setup):
     assert n_sqrt <= CFG.n_layers, n_sqrt  # BN only — 0 of 10 LNs remain
 
 
-def test_fully_integer_glue_pipeline(setup):
+def test_fully_integer_glue_pipeline(setup, monkeypatch):
     """All three integer-glue flags together: integer softmax, LayerNorm,
     and swish/GLU — the encoder graph keeps no exp/logistic/LN-sqrt —
-    while accuracy stays within the PTQ budget."""
+    while accuracy stays within the PTQ budget.  Lowering pinned to the
+    canonical QASR_FAST_IDIV=0 mode (the default fast mode adds one exact
+    f32 sqrt per integer LN — ops/fast_int.py, bit-identical)."""
+    monkeypatch.setenv("QASR_FAST_IDIV", "0")
     params, feats, lens, _, _ = setup
     ref, ref_lens = conformer_encoder_apply(params, CFG, feats, lens)
     qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8,
