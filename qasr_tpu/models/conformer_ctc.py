@@ -264,6 +264,37 @@ class ConformerCTC:
 
     # -- quantization -----------------------------------------------------------
 
+    def _calib_step_fn(self, qcfg, features: bool):
+        """One jitted EMA-calibration step.  Encoder params ride as a jit
+        ARGUMENT, not baked constants: the compile payload stays
+        O(program), so a d_model>=512 encoder calibrates over
+        payload-capped remote-compile transports (same rule as
+        calibrate_conformer and the frozen forward's partition_tables
+        path; test_conformer_ptq.py::test_calibration_weights_as_args)."""
+        from qasr_tpu.quantize.conformer_ptq import (
+            _batch_ranges, _ema_ranges, conformer_encoder_apply_ptq,
+        )
+
+        @jax.jit
+        def step(p, qs, audio, al):
+            if features:
+                feats, fl = audio, al
+            else:
+                feats, fl = self.frontend(audio, al, dither=0.0)
+            enc, el, nq = conformer_encoder_apply_ptq(
+                p, self.ccfg, qcfg, qs, feats, fl,
+                update=True)
+            # pad-masked (and percentile-clipped) ranges, like every
+            # encoder site
+            vm = (jnp.arange(enc.shape[1])[None, :]
+                  < el[:, None]).astype(enc.dtype)[..., None]
+            bmin, bmax = _batch_ranges(enc * vm, qcfg.percentile)
+            nq["dec_in"] = _ema_ranges(qs["dec_in"], bmin, bmax,
+                                       qcfg.act_momentum)
+            return nq
+
+        return step
+
     def quantize_encoder(self, calib_batches, *, weight_bit: int = 8,
                          act_bit: int = 8, percentile: Optional[float] = None,
                          dynamic: bool = False, momentum: float = 0.95,
@@ -280,8 +311,7 @@ class ConformerCTC:
         the feature domain — e.g. the data-free synthesizer's output
         (quantize/conformer_synth.py) — and skip the mel frontend."""
         from qasr_tpu.quantize.conformer_ptq import (
-            ConformerQuantConfig, _batch_ranges, _ema_ranges,
-            conformer_encoder_apply_ptq, init_conformer_qstate,
+            ConformerQuantConfig, init_conformer_qstate,
         )
 
         qcfg = ConformerQuantConfig(weight_bit=weight_bit, act_bit=act_bit,
@@ -295,26 +325,10 @@ class ConformerCTC:
         qstate = init_conformer_qstate(self.ccfg, qcfg)
         qstate["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
 
-        @jax.jit
-        def step(qs, audio, al):
-            if features:
-                feats, fl = audio, al
-            else:
-                feats, fl = self.frontend(audio, al, dither=0.0)
-            enc, el, nq = conformer_encoder_apply_ptq(
-                self.params["encoder"], self.ccfg, qcfg, qs, feats, fl,
-                update=True)
-            # pad-masked (and percentile-clipped) ranges, like every
-            # encoder site
-            vm = (jnp.arange(enc.shape[1])[None, :]
-                  < el[:, None]).astype(enc.dtype)[..., None]
-            bmin, bmax = _batch_ranges(enc * vm, qcfg.percentile)
-            nq["dec_in"] = _ema_ranges(qs["dec_in"], bmin, bmax,
-                                       qcfg.act_momentum)
-            return nq
-
+        step = self._calib_step_fn(qcfg, features)
         for audio, alens in calib_batches:
-            qstate = step(qstate, jnp.asarray(audio), jnp.asarray(alens))
+            qstate = step(self.params["encoder"], qstate,
+                          jnp.asarray(audio), jnp.asarray(alens))
         # host numpy (no captured device buffers, PERF.md round 3d)
         self.enc_qstate = jax.tree_util.tree_map(np.asarray, qstate)
         self.enc_qcfg = qcfg

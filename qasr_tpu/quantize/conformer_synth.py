@@ -86,16 +86,23 @@ def get_synthetic_conformer_data(params, cfg: ConformerConfig, *,
     feature batches ready for quantize_encoder(..., features=True)."""
     targets = conformer_bn_targets(params)
     keys = jax.random.split(jax.random.PRNGKey(seed), num_batch)
-    fn = jax.jit(jax.vmap(partial(
-        synthesize_conformer_batch, params, cfg, batch_size=batch_size,
-        seqlen=seqlen, train_iter=train_iter, lr=lr, targets=targets)))
+
+    # params/targets ride as jit arguments, not baked constants: the
+    # compile payload stays O(program) so a d_model>=512 encoder
+    # synthesizes over payload-capped remote-compile transports (same
+    # rule as the frozen forward's partition_tables path)
+    @jax.jit
+    def fn(p, tgt, ks):
+        return jax.vmap(partial(
+            synthesize_conformer_batch, p, cfg, batch_size=batch_size,
+            seqlen=seqlen, train_iter=train_iter, lr=lr, targets=tgt))(ks)
     lens = np.full((batch_size,), seqlen, np.int32)
     out, all_losses = [], []
     for i in range(0, num_batch, parallel):  # memory-bounding chunks
         chunk = keys[i : i + parallel]
         if len(chunk) < parallel:  # pad to one compiled shape
             chunk = jnp.concatenate([chunk, keys[: parallel - len(chunk)]])
-        xs, losses = fn(jnp.stack(chunk))
+        xs, losses = fn(params, targets, jnp.stack(chunk))
         k = min(parallel, num_batch - i)
         out.extend((np.asarray(xs[j]), lens) for j in range(k))
         all_losses.append(np.asarray(losses[:k]))
@@ -127,13 +134,13 @@ def estimate_bn_stats(params, cfg: ConformerConfig, feat_batches):
     n = 0
 
     @jax.jit
-    def stats_of(x, lens):
+    def stats_of(p, x, lens):
         st: List = []
-        conformer_encoder_apply(params, cfg, x, lens, bn_stats=st)
+        conformer_encoder_apply(p, cfg, x, lens, bn_stats=st)
         return st
 
     for feats, lens in feat_batches:
-        st = stats_of(jnp.asarray(feats), jnp.asarray(lens))
+        st = stats_of(params, jnp.asarray(feats), jnp.asarray(lens))
         for i, (m, v) in enumerate(st):
             # pool second moments so between-batch mean spread counts:
             # v2 = E[v_i + m_i^2] - (E[m_i])^2

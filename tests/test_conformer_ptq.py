@@ -587,3 +587,97 @@ def test_transducer_qat_loss():
             "preprocessor": {"features": 32, "dither": 0.0}}))
     with pytest.raises(ValueError):
         m2.loss_fn(m2.params, audio, alens, toks, tlens, qat=qat)
+
+
+def test_calibration_weights_as_args():
+    """The calibration step (ConformerCTC._calib_step_fn), the standalone
+    calibrate_conformer step, and the synthesizer's distillation jit all
+    take the encoder params as RUNTIME ARGUMENTS: the lowered modules
+    carry no weight-sized dense constants, so a d_model>=512 encoder
+    calibrates/synthesizes over payload-capped remote-compile transports
+    (the HTTP-413 class of failure the frozen forward's partition_tables
+    path already guards against)."""
+    from qasr_tpu.models.config import (DecoderConfig, EncoderConfig,
+                                        ModelConfig)
+    from qasr_tpu.models.conformer_ctc import ConformerCTC
+
+    labels = (" ", "a", "b", "c")
+    mcfg = ModelConfig(
+        encoder=EncoderConfig(feat_in=32, blocks=[]),
+        decoder=DecoderConfig(feat_in=64, num_classes=len(labels)),
+        labels=labels,
+        preprocessor={"features": 32, "dither": 0.0},
+    )
+    m = ConformerCTC.from_config(mcfg, CFG, seed=0)
+    qcfg = ConformerQuantConfig(weight_bit=8, act_bit=8)
+    qstate = init_conformer_qstate(CFG, qcfg)
+    qstate["dec_in"] = {"x_min": jnp.zeros(()), "x_max": jnp.zeros(())}
+
+    def const_bytes(txt):
+        # total dense-literal payload in a lowered module (hex chars / 2);
+        # input-independent config tables (rel-pos encodings, masks) are
+        # legitimately baked, so the guard is COMPARATIVE: as-args must
+        # shed the weight payload a deliberately-baked lowering carries
+        return sum(len(ln) // 2 for ln in txt.splitlines()
+                   if "dense<" in ln and "dense_resource" not in ln)
+
+    def assert_no_weight_payload(txt_args, txt_baked, tag):
+        a, b = const_bytes(txt_args), const_bytes(txt_baked)
+        assert a < max(b // 4, 65536), (
+            tag, f"as-args lowering still carries {a}B of constants "
+                 f"(baked form: {b}B) — weights are baked in")
+
+    # features=True keeps the (legit, O(config)) mel-frontend constants
+    # out of the lowering so the guard below targets encoder weights only
+    cfeats = jnp.full((2, 50, 32), 0.5, jnp.float32)
+    clens = jnp.asarray([50, 40], jnp.int32)
+    step = m._calib_step_fn(qcfg, features=True)
+    baked_step = jax.jit(
+        lambda qs, x, l: step.__wrapped__(m.params["encoder"], qs, x, l))
+    assert_no_weight_payload(
+        step.lower(m.params["encoder"], qstate, cfeats, clens).as_text(),
+        baked_step.lower(qstate, cfeats, clens).as_text(),
+        "ConformerCTC calibration")
+    # behavior: the step actually runs and returns updated ranges
+    nq = step(m.params["encoder"], qstate, cfeats, clens)
+    assert float(nq["dec_in"]["x_max"]) >= float(qstate["dec_in"]["x_max"])
+
+    params = m.params["encoder"]
+    feats = jnp.zeros((2, 50, 32), jnp.float32)
+    flens = jnp.asarray([50, 40], jnp.int32)
+
+    @jax.jit
+    def calib_step(p, qs, x, l):
+        return conformer_encoder_apply_ptq(p, CFG, qcfg, qs, x, l,
+                                           update=True)[2]
+
+    baked_calib = jax.jit(
+        lambda qs, x, l: conformer_encoder_apply_ptq(
+            params, CFG, qcfg, qs, x, l, update=True)[2])
+    qs0 = init_conformer_qstate(CFG, qcfg)
+    assert_no_weight_payload(
+        calib_step.lower(params, qs0, feats, flens).as_text(),
+        baked_calib.lower(qs0, feats, flens).as_text(),
+        "calibrate_conformer")
+
+    from qasr_tpu.quantize.conformer_synth import conformer_bn_targets
+    from qasr_tpu.quantize.conformer_synth import (
+        synthesize_conformer_batch,
+    )
+
+    targets = conformer_bn_targets(params)
+
+    @jax.jit
+    def synth(p, tgt, key):
+        return synthesize_conformer_batch(p, CFG, key, batch_size=1,
+                                          seqlen=32, train_iter=1,
+                                          lr=0.02, targets=tgt)
+
+    baked_synth = jax.jit(
+        lambda key: synthesize_conformer_batch(
+            params, CFG, key, batch_size=1, seqlen=32, train_iter=1,
+            lr=0.02, targets=targets))
+    assert_no_weight_payload(
+        synth.lower(params, targets, jax.random.PRNGKey(0)).as_text(),
+        baked_synth.lower(jax.random.PRNGKey(0)).as_text(),
+        "synthesizer")
