@@ -224,21 +224,60 @@ def _sub_out_len_arr(lens, kind: str):
     return jnp.floor((lens.astype(jnp.float32) - 3) / 2 + 1).astype(lens.dtype)
 
 
+def sub_prec_flag() -> str:
+    """Effective QASR_SUB_PREC: lowering of the float subsampler convs.
+
+    'hi'   — fp32 at Precision.HIGHEST (the bit-stable reference lowering;
+             default off-TPU, where fp32 is native and free).
+    'f32'  — fp32 at Precision.DEFAULT (on TPU: fewer bf16 passes).
+    'bf16' — bf16 inputs/weights with fp32 accumulation: ONE MXU pass per
+             dot instead of HIGHEST's multi-pass fp32 emulation.  Default
+             on TPU (measured: experiments/subsampler_probe.py, PERF.md
+             round 5 — the subsampler is the frozen Conformer's one float
+             region and its output is immediately quantized to int8, so
+             bf16 noise is sub-quantization-step).
+    Trace-time flag; read through effective_kernel_flags() for cache keys.
+    """
+    import os
+
+    v = os.environ.get("QASR_SUB_PREC")
+    if v is not None:
+        return v
+    return "bf16" if jax.default_backend() == "tpu" else "hi"
+
+
 def subsample_convs(p, cfg: ConformerConfig, x: Array, lens: Array):
     """The subsampler's conv/pool stack + channel flatten, WITHOUT the
     d_model projection: (B, T, F) -> ((B, T', c*f), lens').  Shared by the
     float, PTQ and frozen paths (the quantized paths route the projection
-    through their own int8 machinery)."""
+    through their own int8 machinery).  Conv precision per QASR_SUB_PREC."""
+    prec = sub_prec_flag()
+    if prec == "bf16":
+        # bf16 in AND out (f32 MXU accumulation, output rounded to bf16),
+        # then an explicit upcast.  NOT preferred_element_type=f32: that
+        # form's conv transpose receives an f32 cotangent against bf16
+        # operands and lax rejects the dtype mix, breaking value_and_grad
+        # through the float training path; with bf16-out the astype
+        # transpose recasts the cotangent and the whole VJP stays bf16.
+        def conv(v, w, strides, pads):
+            return jax.lax.conv_general_dilated(
+                v.astype(jnp.bfloat16), w.astype(jnp.bfloat16), strides,
+                pads, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32)
+    else:
+        p_lax = HI if prec == "hi" else jax.lax.Precision.DEFAULT
+
+        def conv(v, w, strides, pads):
+            return jax.lax.conv_general_dilated(
+                v, w, strides, pads,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=p_lax)
+
     y = x[:, :, :, None]  # NHWC: (B, T, F, 1)
     for blk in p["convs"]:
         if cfg.subsampling == "vggnet":
-            y = jax.lax.conv_general_dilated(
-                y, blk["c1"]["w"], (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=HI) + blk["c1"]["b"]
+            y = conv(y, blk["c1"]["w"], (1, 1), [(1, 1), (1, 1)]) + blk["c1"]["b"]
             y = jax.nn.relu(y)
-            y = jax.lax.conv_general_dilated(
-                y, blk["c2"]["w"], (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=HI) + blk["c2"]["b"]
+            y = conv(y, blk["c2"]["w"], (1, 1), [(1, 1), (1, 1)]) + blk["c2"]["b"]
             y = jax.nn.relu(y)
             # maxpool k2 s2 ceil_mode: pad to even with -inf then reduce
             pads = [(0, y.shape[1] % 2, 0), (0, y.shape[2] % 2, 0)]
@@ -246,9 +285,7 @@ def subsample_convs(p, cfg: ConformerConfig, x: Array, lens: Array):
                 y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
                 [(0, 0), pads[0][:2], pads[1][:2], (0, 0)])
         else:
-            y = jax.lax.conv_general_dilated(
-                y, blk["c1"]["w"], (2, 2), [(0, 0), (0, 0)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=HI) + blk["c1"]["b"]
+            y = conv(y, blk["c1"]["w"], (2, 2), [(0, 0), (0, 0)]) + blk["c1"]["b"]
             y = jax.nn.relu(y)
         lens = _sub_out_len_arr(lens, cfg.subsampling)
     b, t, f, c = y.shape

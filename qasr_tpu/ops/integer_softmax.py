@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from qasr_tpu.ops.fast_int import floor_div
+from qasr_tpu.ops.fast_int import fast_idiv_enabled, floor_div
 
 Array = jax.Array
 
@@ -37,16 +37,42 @@ N_IN = 16383                 # 14-bit score granularity after max-subtract
 S_IN = 20.0 / N_IN           # fixed input scale (window [-20, 0])
 Q_LN2 = int(np.floor(-_LN2 / S_IN))            # -568
 Q_B = int(np.floor(_B / S_IN))                 # 1108
-Q_C = int(np.floor(_C / (_A * S_IN * S_IN)))   # 643_985
+Q_C = int(np.floor(_C / (_A * S_IN * S_IN)))   # 643_866
 _PRESHIFT = 4                # headroom for the length-T int32 sum
 
 
 def i_exp(q: Array) -> Array:
-    """exp(q * S_IN) * 2^~21ish as an int32, for q <= 0 int32.
+    """exp(q * S_IN) * 2^~21ish as an int32, for q in [-N_IN, 0] int32
+    (every call site clamps: i_softmax/i_softmax_grid's maximum(),
+    i_sigmoid's clip, the int_attention kernel's maximum()).
 
     Range decomposition + integer quadratic; the common positive scale
     (_A * S_IN**2) cancels in the softmax ratio and is never materialized.
+
+    Under QASR_FAST_IDIV (default) the whole chain runs in f32 — EXACTLY,
+    not approximately: the TPU VPU emulates int32 multiply but is native
+    at f32 FMA, and every intermediate fits f32's 24-bit mantissa.
+      z  = floor(|q|/568) via (|q|+0.5)*fl(1/568): the true ratio sits
+           >= 0.5/568 from any integer, ~250x the f32 product error;
+      p+Q_B in (540, 1108] and (p+Q_B)^2 + Q_C < 2^21: exact;
+      q_l * 2^-z scales the exponent only: exact, and floor lands the
+           right_shift result (q_l >= 0).
+    Exhaustiveness: the domain is 16,384 values; test_fast_int.py checks
+    all of them bit-for-bit against the canonical integer lowering.
     """
+    if fast_idiv_enabled():
+        f32 = jnp.float32
+        qf = q.astype(f32)
+        z = jnp.floor((0.5 - qf) * f32(1.0 / -Q_LN2))
+        p = qf + z * f32(-Q_LN2)               # in (Q_LN2, 0], exact
+        q_l = (p + f32(Q_B)) ** 2 + f32(Q_C)   # < 2^21, exact
+        # 2^-z by exponent-field construction (z in [0, 28], no denormal):
+        # exact, and keeps the lowering transcendental-free (the HLO
+        # integer-only tests also assert no `exponential` ops)
+        zi = jnp.minimum(z.astype(jnp.int32), 30)
+        scale = jax.lax.bitcast_convert_type((jnp.int32(127) - zi) << 23,
+                                             f32)
+        return jnp.floor(q_l * scale).astype(jnp.int32)
     z = floor_div(q, Q_LN2)                    # >= 0, <= 28
     p = q - z * Q_LN2                          # in (Q_LN2, 0]
     q_l = (p + Q_B) ** 2 + Q_C

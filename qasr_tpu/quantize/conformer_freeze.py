@@ -146,11 +146,13 @@ def effective_kernel_flags() -> Dict[str, str]:
     silently misses backend-dependent defaults like QASR_CONF_ATT's
     TPU-on/CPU-off rule and would serve a stale executable after a backend
     change (ADVICE r4)."""
+    from qasr_tpu.models.conformer import sub_prec_flag
     from qasr_tpu.ops.fast_int import fast_idiv_enabled
 
     return {"QASR_CONF_FUSED": _fused_flag(), "QASR_CONF_ATT": _att_flag(),
             "QASR_CONF_MOD": _mod_flag(),
-            "QASR_FAST_IDIV": "1" if fast_idiv_enabled() else "0"}
+            "QASR_FAST_IDIV": "1" if fast_idiv_enabled() else "0",
+            "QASR_SUB_PREC": sub_prec_flag()}
 
 
 def _fused_enabled() -> bool:

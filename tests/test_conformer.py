@@ -225,3 +225,45 @@ def test_local_attention_quantized_paths():
                                                feats2, lens)
     np.testing.assert_allclose(np.asarray(o_ptq2)[0, :8],
                                np.asarray(o_ptq)[0, :8], atol=1e-6)
+
+
+def test_subsampler_precision_flag(monkeypatch):
+    """QASR_SUB_PREC controls the float subsampler's conv lowering.
+
+    The subsampler is the frozen Conformer's one float region and its
+    output is immediately quantized to int8, so the bf16 lowering only
+    has to stay well inside a quantization step (measured on-chip:
+    PERF.md round 5, experiments/subsampler_probe.py).  Off-TPU the
+    default stays 'hi' (bit-stable fp32 HIGHEST)."""
+    from qasr_tpu.models.conformer import subsample_convs, sub_prec_flag
+    from qasr_tpu.quantize.conformer_freeze import effective_kernel_flags
+
+    # default off-TPU is the canonical lowering; env overrides win
+    monkeypatch.delenv("QASR_SUB_PREC", raising=False)
+    if jax.default_backend() != "tpu":
+        assert sub_prec_flag() == "hi"
+    monkeypatch.setenv("QASR_SUB_PREC", "bf16")
+    assert sub_prec_flag() == "bf16"
+    # the flag is part of the forward-cache key (ADVICE r4: backend-
+    # dependent defaults must ride effective_kernel_flags)
+    assert effective_kernel_flags()["QASR_SUB_PREC"] == "bf16"
+
+    cfg = ConformerConfig(feat_in=24, n_layers=1, d_model=32, n_heads=4,
+                          subsampling="striding", subsampling_factor=4,
+                          subsampling_conv_channels=32,
+                          conv_kernel_size=5, dropout=0.0)
+    params = init_conformer_params(0, cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 50, 24)).astype(np.float32))
+    lens = jnp.asarray([50, 37], jnp.int32)
+    outs = {}
+    for prec in ("hi", "f32", "bf16"):
+        monkeypatch.setenv("QASR_SUB_PREC", prec)
+        y, ol = subsample_convs(params["pre_encode"], cfg, feats, lens)
+        outs[prec] = np.asarray(y)
+        np.testing.assert_array_equal(np.asarray(ol), [11, 8])
+    # all three lowerings agree to bf16-level tolerance; hi vs f32 are
+    # bit-identical on CPU (both fp32)
+    np.testing.assert_array_equal(outs["hi"], outs["f32"])
+    scale = np.abs(outs["hi"]).max()
+    assert np.abs(outs["bf16"] - outs["hi"]).max() < 0.02 * scale

@@ -121,3 +121,30 @@ def test_integer_ops_bit_identical_fast_vs_plain(op):
         else:
             os.environ["QASR_FAST_IDIV"] = old
     np.testing.assert_array_equal(fast, plain)
+
+
+def test_i_exp_exhaustive_fast_vs_plain():
+    """i_exp's f32 lowering is exact on its ENTIRE domain, not a fuzz
+    sample: every call site clamps q to [-N_IN, 0] (16,384 values), so
+    bit-identity is checked exhaustively — and through i_sigmoid_grid's
+    full [-N_IN, N_IN] input range too."""
+    from qasr_tpu.ops.integer_sigmoid import i_sigmoid_grid
+    from qasr_tpu.ops.integer_softmax import N_IN, i_exp
+
+    dom = jnp.arange(-N_IN, 1, dtype=jnp.int32)
+    sig = jnp.arange(-N_IN, N_IN + 1, dtype=jnp.int32)
+    old = os.environ.get("QASR_FAST_IDIV")
+    try:
+        os.environ["QASR_FAST_IDIV"] = "1"
+        e_fast = np.asarray(i_exp(dom))
+        s_fast = np.asarray(i_sigmoid_grid(sig))
+        os.environ["QASR_FAST_IDIV"] = "0"
+        e_plain = np.asarray(i_exp(dom))
+        s_plain = np.asarray(i_sigmoid_grid(sig))
+    finally:
+        if old is None:
+            os.environ.pop("QASR_FAST_IDIV", None)
+        else:
+            os.environ["QASR_FAST_IDIV"] = old
+    np.testing.assert_array_equal(e_fast, e_plain)
+    np.testing.assert_array_equal(s_fast, s_plain)
